@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the no-op sink (measures the whole
+pipeline, no driver collect).  Timings are per-query wall clock; "value"
+is the sum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set: one per operator family (scan-agg, joins, top-k,
+#: windows, event-time rollup, the COVID pipeline stages, dedup,
+#: similarity, text stats).
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_by_revenue",
+    "orders_without_lineitems",
+    "top_orders",
+    "user_moving_avg",
+    "user_value_growth",
+    "events_5min_rollup",
+    "daily_event_summary",
+    "events_json_extract",
+    "event_type_rankings",
+    "covid_clean",
+    "covid_predict",
+    "covid_continent_5min",
+    "covid_windowed_stats",
+    "covid_hotspots",
+    "covid_dashboard",
+    "covid_rankings",
+    "covid_top_affected",
+    "docs_exact_dedup",
+    "docs_prefix_neardup",
+    "docs_ngram_jaccard",
+    "docs_quality_by_lang",
+    "embedding_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+    from bigdata_covid19_real_time_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session so query 1 doesn't pay startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

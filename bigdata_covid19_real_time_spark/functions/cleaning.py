@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_covid19_real_time_spark.schema import NUMERIC_RAW_COLUMNS
+from bigdata_covid19_real_time_spark.schema import NUMERIC_RAW_COLUMNS, ROUND_EPS
 
 #: Strings treated as "missing" by the reference (covid_streaming.py:121).
 NULL_SENTINELS = ("", "null", "NULL")
@@ -52,12 +52,15 @@ def _guarded_ratio(numer: Column, denom: Column, scale: int, factor: float | Non
 
     The divide-by-zero guard pattern of covid_streaming.py:133-145.  A NULL
     denominator fails the ``> 0`` test and yields 0.0 via ``otherwise`` —
-    matching the reference.
+    matching the reference.  Rounding is epsilon-stabilized (see
+    schema.ROUND_EPS) so results reproduce across engines.
     """
     ratio = numer / denom
     if factor is not None:
         ratio = ratio * factor
-    return F.when(denom > 0, F.round(ratio, scale)).otherwise(F.lit(0.0))
+    return F.when(denom > 0, F.round(ratio + F.lit(ROUND_EPS), scale)).otherwise(
+        F.lit(0.0)
+    )
 
 
 def clean_observations(df: DataFrame, clock: Column | None = None) -> DataFrame:

@@ -71,17 +71,21 @@ def windowed_location_stats(
     window_duration: str = "5 minutes",
     clock: Column | None = None,
     watermark: str | None = None,
+    latest_by: Column | None = None,
 ) -> DataFrame:
     """Per-location windowed stats (A6, declared at init.sql:42-54, never
     populated by the reference code — implemented here as capability).
 
     ``latest_active_cases`` ("latest" per the DDL name) is computed with
-    ``max_by(active_cases, timestamp)`` — deterministic, unlike a naive
-    ``last()`` over an unordered group.
+    ``max_by(active_cases, timestamp)`` — deterministic up to timestamp
+    ties, unlike a naive ``last()`` over an unordered group.  Pass
+    ``latest_by`` (any totally-ordered column, e.g. a monotone event id)
+    to make it fully deterministic under ties.
     """
     clock = clock if clock is not None else F.current_timestamp()
     if watermark:
         df = df.withWatermark("timestamp", watermark)
+    latest_key = latest_by if latest_by is not None else F.col("timestamp")
     return (
         df.groupBy(F.window(F.col("timestamp"), window_duration), "location", "iso_code")
         .agg(
@@ -89,7 +93,7 @@ def windowed_location_stats(
             F.sum("new_deaths").alias("total_new_deaths_window"),
             F.avg("death_rate").alias("avg_death_rate_window"),
             F.max("total_cases").alias("max_total_cases"),
-            F.max_by("active_cases", "timestamp").alias("latest_active_cases"),
+            F.max_by("active_cases", latest_key).alias("latest_active_cases"),
         )
         .select(
             F.col("window.start").alias("window_start"),

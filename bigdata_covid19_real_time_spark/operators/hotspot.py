@@ -46,17 +46,35 @@ def detect_hotspots(
     df: DataFrame,
     clock: Column | None = None,
     deduplicate: bool = True,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Filter cleaned observations down to hotspot rows.
 
     ``deduplicate=False`` skips the per-batch ``dropDuplicates`` (useful
     when the caller dedups with ``dropDuplicatesWithinWatermark`` in
-    streaming mode instead).
+    streaming mode instead).  ``deterministic=True`` swaps the
+    reference's arbitrary-survivor ``dropDuplicates`` for a keep-latest
+    ``row_number`` dedup (ordered by timestamp desc with value
+    tie-breaks) so repeated runs — and cross-engine oracles — agree on
+    which row survives.
     """
     clock = clock if clock is not None else F.current_timestamp()
     out = df.filter(hotspot_predicate()).withColumn(
         "detected_date", F.to_date("timestamp")
     )
     if deduplicate:
-        out = out.dropDuplicates(["location", "detected_date"])
+        if deterministic:
+            from bigdata_covid19_real_time_spark.operators.dedup import dedup_latest
+
+            out = dedup_latest(
+                out,
+                ["location", "detected_date"],
+                [
+                    F.desc("timestamp"),
+                    F.desc("total_cases"),
+                    F.desc("active_cases"),
+                ],
+            )
+        else:
+            out = out.dropDuplicates(["location", "detected_date"])
     return out.select(*HOTSPOT_COLUMNS, clock.alias("detected_at"))

@@ -1,0 +1,199 @@
+"""Text analysis operators for the training-data pipeline extension
+surface (SURVEY.md §7.7): tokenization, shingling, near-dup Jaccard,
+quality stats, language scoring, fingerprinting.
+
+All built-in Spark SQL expressions (split/transform/filter/aggregate
+higher-order functions) — no UDFs, so everything stays inside
+whole-stage codegen and scales as narrow maps + one shuffle per
+groupBy/join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic and stopword-ratio quality signal.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es"],
+}
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(toks: Column, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are stopwords (0.0 for empty docs)."""
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: token count, mean token length,
+    stopword ratio, alpha ratio — the cheap filters a 100 TB corpus pass
+    runs before anything expensive.  Pure narrow map."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    char_len = F.length(F.col(text_col))
+    mean_tok_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n,
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        char_len > 0,
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")).cast("double")
+        / char_len,
+    ).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {
+            "token_count": n,
+            "char_count": char_len,
+            "mean_token_len": mean_tok_len,
+            "stopword_ratio_en": stopword_ratio(toks, STOPWORDS["en"]),
+            "alpha_ratio": alpha_ratio,
+        }
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language heuristic: per-language hit ratio plus
+    the argmax guess.  A real deployment swaps the word lists for char
+    n-gram profiles; the Spark shape (narrow map, no shuffle, no UDF) is
+    the point."""
+    toks = tokens(text_col)
+    out = df
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(f"score_{lang}", stopword_ratio(toks, words))
+    scores = F.array(
+        *[
+            F.struct(F.col(f"score_{lang}").alias("s"), F.lit(lang).alias("l"))
+            for lang in STOPWORDS
+        ]
+    )
+    best = F.array_max(scores)
+    return out.withColumn(
+        "lang_guess", F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unknown"))
+    )
+
+
+def shingles(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+
+    Documents shorter than n tokens produce no rows.  The transform runs
+    JVM-side over the token array; explode multiplies rows ~#tokens per
+    doc — at 100 TB, shingle to a 64-bit hash (``xxhash64``) instead of
+    carrying shingle strings into the join (see ``jaccard_pairs``).
+    """
+    toks = tokens(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs by exact shingle-set Jaccard >= threshold.
+
+    Plan shape (one join + one groupBy — set sizes are computed from the
+    shingle array *before* explode and carried through the join, so no
+    separate size aggregation or re-join is needed):
+
+        tokens -> distinct n-gram array -> (id, |set|, explode shingle)
+        -> self equi-join on shingle -> groupBy (pair, sizes) count
+        -> jaccard filter
+
+    ``hash_shingles`` joins on ``xxhash64(shingle)`` instead of the
+    shingle string — an 8-byte shuffle key instead of ~n-word strings
+    (collision odds ~|shingles|^2 / 2^65, immaterial).  Hot shingles
+    still fan out the join at scale; the MinHash-LSH operator is the
+    bounded-candidates alternative for 100 TB.
+    """
+    # Staged projections with aliases, NOT one fused expression tree: if
+    # the token split is written inline inside the shingle lambda,
+    # Catalyst inlines it per element_at call (~3*positions regex splits
+    # per row) and the explode's implicit not-null/size filters duplicate
+    # the whole array expression again — measured ~50x slower.
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("toks")) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    grams_df = toks_df.select(F.col(id_col), grams.alias("grams"))
+    # explode_outer, not explode: plain explode injects size>0/isnotnull
+    # predicates that predicate-pushdown re-inlines as a full copy of the
+    # gram expression in the scan filter (the same 50x blowup again).
+    base = grams_df.select(
+        F.col(id_col),
+        F.size("grams").alias("n_set"),
+        F.explode_outer("grams").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    if hash_shingles:
+        base = base.withColumn("shingle", F.xxhash64("shingle"))
+    # Persist the shingle table: (a) the self-join otherwise recomputes
+    # tokenize+shingle for both sides; (b) constraint inference from the
+    # final jaccard filter pushes isnotnull(n_set) into both scans, where
+    # it re-inlines the whole gram expression (measured ~4x).  The cache
+    # is |docs| * avg_shingles rows of (id, int, long) — at 100 TB you'd
+    # checkpoint this table to storage for exactly the same reason.
+    base = base.persist()
+    a = base.select(
+        F.col(id_col).alias("doc_a"), F.col("n_set").alias("n_a"), "shingle"
+    )
+    b = base.select(
+        F.col(id_col).alias("doc_b"), F.col("n_set").alias("n_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    jac = F.col("intersection") / (F.col("n_a") + F.col("n_b") - F.col("intersection"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "n_a", "n_b", "jaccard")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprint over normalized text (lowercased,
+    whitespace-collapsed) — the exact-dedup key for a 100 TB corpus:
+    group/join on 8 bytes instead of the document body."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.xxhash64(normalized))

@@ -1,0 +1,18 @@
+"""Query plans: the engine's public query surface.
+
+``registry`` collects every named query together with its DuckDB oracle
+SQL; ``relational`` covers the general operator surface (joins, aggs,
+windows, top-k) on the synthetic corpus; ``covid_parity`` routes the
+corpus through the actual COVID-pipeline operators so the oracle checks
+the engine code paths themselves; ``extensions`` adds the
+training-data-pipeline operators (dedup, similarity, text analysis).
+"""
+
+from bigdata_covid19_real_time_spark.plans import (  # noqa: F401  (registration side effects)
+    covid_parity,
+    extensions,
+    relational,
+)
+from bigdata_covid19_real_time_spark.plans.registry import ORACLES, QUERIES
+
+__all__ = ["QUERIES", "ORACLES"]

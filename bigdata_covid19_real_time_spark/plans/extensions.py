@@ -1,0 +1,176 @@
+"""Training-data-pipeline extension queries: dedup, similarity, text.
+
+Each wraps an operator from ``operators/text.py`` /
+``operators/similarity.py`` / ``operators/dedup.py`` and carries a DuckDB
+oracle so the correctness gate covers the extension surface too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.operators.dedup import canonicalize_duplicates
+from bigdata_covid19_real_time_spark.operators.similarity import cosine_topk
+from bigdata_covid19_real_time_spark.operators.text import (
+    STOPWORDS,
+    jaccard_pairs,
+    quality_stats,
+    shingles,
+    tokens,
+)
+from bigdata_covid19_real_time_spark.plans.registry import query, stable_round
+from bigdata_covid19_real_time_spark.sources.batch import load_table
+
+
+@query(
+    "docs_exact_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content: hash-groupBy on the text, min-id canonical
+    representative.  (At 100 TB: group on ``fingerprint`` —
+    operators/text.py — to shuffle 8-byte keys, not documents.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return canonicalize_duplicates(docs, ["text"], "doc_id").select(
+        "canonical_id", "copies"
+    )
+
+
+@query(
+    "docs_prefix_neardup",
+    oracle="""
+    SELECT array_to_string((string_split(text, ' '))[1:8], ' ') AS prefix,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*)    AS copies
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def docs_prefix_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-key near-dup groups (cheap first-pass clustering: docs
+    sharing their first 8 tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(tokens("text"), 1, 8))
+    return (
+        docs.groupBy(prefix.alias("prefix"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("copies"))
+        .filter(F.col("copies") > 1)
+    )
+
+
+@query(
+    "docs_ngram_jaccard",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS shingle
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(intersection AS BIGINT) AS intersection,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           ROUND(CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) + 1e-9, 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.6
+    """,
+)
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle-set Jaccard near-dup pairs at threshold 0.6 (the
+    corpus has injected near-dups at ~0.9; background pairs sit <0.1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, threshold=0.6, n=3)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "intersection",
+        "n_a",
+        "n_b",
+        stable_round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    flat AS (
+      SELECT q.query_id, c.neighbor_id,
+             SUM(CAST(qv[u.i] AS DOUBLE) * CAST(cv[u.i] AS DOUBLE)) AS dp,
+             sqrt(SUM(CAST(qv[u.i] AS DOUBLE) * CAST(qv[u.i] AS DOUBLE))) AS qn,
+             sqrt(SUM(CAST(cv[u.i] AS DOUBLE) * CAST(cv[u.i] AS DOUBLE))) AS cn
+      FROM q, c, unnest(range(1, len(qv) + 1)) AS u(i)
+      WHERE q.query_id != c.neighbor_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN qn > 0 AND cn > 0 THEN dp / (qn * cn) ELSE 0.0 END AS cos_raw
+      FROM flat
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           ROUND(cos_raw + 1e-9, 6) AS cosine
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries.
+    Exact baseline for ANN; the LSH-bucketed scale path shares scoring
+    (operators/similarity.py:lsh_bucketed_topk, rows-only checked)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", stable_round("cosine", 6).alias("cosine")
+    )
+
+
+@query(
+    "docs_quality_by_lang",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split(trim(text), ' ')) AS token_count,
+             length(text) AS char_count,
+             CASE WHEN len(string_split(trim(text), ' ')) > 0
+                  THEN CAST(len(list_filter(string_split(trim(text), ' '),
+                       t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+                       / len(string_split(trim(text), ' '))
+                  ELSE 0.0 END AS stopword_ratio_en
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS docs,
+           ROUND(AVG(token_count) + 1e-9, 4)       AS avg_tokens,
+           ROUND(AVG(char_count) + 1e-9, 4)        AS avg_chars,
+           ROUND(AVG(stopword_ratio_en) + 1e-9, 6) AS avg_stopword_ratio_en
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def docs_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rollup of document quality stats (token counting,
+    stopword ratio) — the cheap corpus-profiling pass."""
+    docs = quality_stats(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        stable_round(F.avg("token_count"), 4).alias("avg_tokens"),
+        stable_round(F.avg("char_count"), 4).alias("avg_chars"),
+        stable_round(F.avg("stopword_ratio_en"), 6).alias("avg_stopword_ratio_en"),
+    )

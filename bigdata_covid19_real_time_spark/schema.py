@@ -59,6 +59,17 @@ DERIVED_RATE_COLUMNS = [
     "recovery_rate",
 ]
 
+#: Epsilon added inside every engine ``round``: double divisions of
+#: low-decimal inputs land *exactly* on round-half boundaries (dyadic
+#: rationals like 29/128 = 0.2265625), where rounding direction depends
+#: on the engine's algorithm (Spark: HALF_UP on the shortest decimal
+#: repr; DuckDB/C: half-away-from-zero on the binary value) — the same
+#: logical value can round differently in different engines.  The shift
+#: makes rounding reproducible everywhere.  Divergence from the
+#: reference is confined to exact decimal ties at the rounding digit
+#: (and negative ties round toward zero instead of away).
+ROUND_EPS = 1e-9
+
 #: Natural keys used for dedup per sink (covid_streaming.py:153,159,179,188).
 DEDUP_KEYS = {
     "covid_realtime_stats": ["location", "date"],
