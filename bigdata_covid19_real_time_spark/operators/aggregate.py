@@ -28,6 +28,7 @@ def continent_window_stats(
     window_duration: str = "5 minutes",
     clock: Column | None = None,
     watermark: str | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """Tumbling-window continent rollup (A1, covid_streaming.py:162-180).
 
@@ -37,19 +38,27 @@ def continent_window_stats(
     *streaming* DataFrame to get true incremental state + late-data
     eviction.
 
+    ``approx=True`` swaps the exact ``countDistinct`` for HLL
+    ``approx_count_distinct`` — required on streaming frames (exact
+    distinct needs a second expand+shuffle Spark cannot run
+    incrementally) and the right trade at 100 TB anyway.
+
     The trailing ``dropDuplicates`` of the reference (:179) is a no-op
     after groupBy (keys already unique) and is intentionally omitted.
     """
     clock = clock if clock is not None else F.current_timestamp()
     if watermark:
         df = df.withWatermark("timestamp", watermark)
+    count_countries = (
+        F.approx_count_distinct("location") if approx else F.countDistinct("location")
+    )
     return (
         df.groupBy(F.window(F.col("timestamp"), window_duration), "continent")
         .agg(
             F.sum("new_cases").alias("continent_new_cases"),
             F.sum("new_deaths").alias("continent_new_deaths"),
             F.avg("death_rate").alias("continent_avg_death_rate"),
-            F.countDistinct("location").alias("countries_count"),
+            count_countries.alias("countries_count"),
             F.sum("total_cases").alias("continent_total_cases"),
         )
         .select(

@@ -1,0 +1,190 @@
+"""The streaming pipeline runner: one source, four derived tables.
+
+Re-expresses the reference's ``process_batch`` + ``main``
+(covid_streaming.py:111-226) Spark-first:
+
+- the per-epoch fan-out (realtime / predictions / continent / hotspots)
+  runs inside one ``foreachBatch``, like the reference — but the cleaned
+  frame is **persisted once per epoch** instead of re-derived per branch
+  (the reference re-reads the Kafka batch up to ~10x per epoch:
+  SURVEY.md §4 "caching / reuse");
+- no ``rdd.isEmpty()`` / ``count()`` probes (6+1 extra jobs per epoch in
+  the reference, covid_streaming.py:53,56,65,...) — writing an empty
+  DataFrame is a no-op task set, strictly cheaper than probing first;
+- sinks are pluggable (sinks/registry.py) instead of hard-wired MySQL;
+- two windowing modes:
+  * ``parity``   — the reference's semantics: every operator (including
+    the "7-day" row-frame forecaster and the 5-minute rollup) sees only
+    the current micro-batch; the watermark is omitted because on a batch
+    frame it is inert anyway (SURVEY.md §2.5 A2);
+  * ``streaming`` — the corrected semantics: the continent rollup runs
+    as a *true* streaming aggregation with ``withWatermark`` + append
+    mode (incremental state, late-data eviction, each window emitted
+    once on close), and realtime-row dedup uses
+    ``dropDuplicatesWithinWatermark`` instead of per-batch
+    ``dropDuplicates``.
+
+Scale: each epoch shuffles at most three times (dedup key, forecaster's
+location window, rollup key) over one persisted scan of the batch.  The
+sinks receive partition-parallel writes; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from bigdata_covid19_real_time_spark.functions.cleaning import clean_observations
+from bigdata_covid19_real_time_spark.operators.aggregate import (
+    continent_window_stats,
+)
+from bigdata_covid19_real_time_spark.operators.hotspot import detect_hotspots
+from bigdata_covid19_real_time_spark.operators.predict import (
+    PREDICTION_COLUMNS,
+    predict_future_trends,
+)
+from bigdata_covid19_real_time_spark.sinks.registry import Sink
+
+#: Sink table names (covid_streaming.py:154,159,182,193).
+REALTIME_TABLE = "covid_realtime_stats"
+PREDICTIONS_TABLE = "covid_predictions"
+CONTINENT_TABLE = "continent_covid_stats"
+HOTSPOTS_TABLE = "covid_hotspots"
+
+
+@dataclass
+class CovidPipeline:
+    """Clean -> fan out to four sink tables, per micro-batch.
+
+    ``sink`` receives every table; pass ``sinks`` to route tables to
+    different sinks (e.g. hotspots to JDBC, the rest to Parquet).
+    ``clock`` freezes audit columns for deterministic tests.
+    """
+
+    sink: Sink
+    sinks: dict[str, Sink] = field(default_factory=dict)
+    mode: str = "parity"  # "parity" | "streaming"
+    window_duration: str = "5 minutes"
+    watermark: str = "10 minutes"
+    clock: Column | None = None
+
+    def _sink_for(self, table: str) -> Sink:
+        return self.sinks.get(table, self.sink)
+
+    # ------------------------------------------------------------------
+    # the per-epoch fan-out (foreachBatch body)
+    # ------------------------------------------------------------------
+
+    def process_batch(self, raw: DataFrame, epoch_id: int) -> None:
+        """The reference's ``process_batch`` (covid_streaming.py:111-198)
+        minus its per-branch recomputation and probe jobs."""
+        cleaned = clean_observations(raw, clock=self.clock).persist()
+        try:
+            realtime = cleaned.dropDuplicates(["location", "date"])
+            self._sink_for(REALTIME_TABLE).write(realtime, epoch_id, REALTIME_TABLE)
+
+            predictions = (
+                predict_future_trends(realtime, clock=self.clock)
+                .dropDuplicates(["location", "prediction_date"])
+            )
+            self._sink_for(PREDICTIONS_TABLE).write(
+                predictions, epoch_id, PREDICTIONS_TABLE
+            )
+
+            if self.mode == "parity":
+                # continent rollup per batch (watermark inert, omitted)
+                continent = continent_window_stats(
+                    cleaned, self.window_duration, clock=self.clock
+                )
+                self._sink_for(CONTINENT_TABLE).write(
+                    continent, epoch_id, CONTINENT_TABLE
+                )
+
+            hotspots = detect_hotspots(cleaned, clock=self.clock)
+            self._sink_for(HOTSPOTS_TABLE).write(hotspots, epoch_id, HOTSPOTS_TABLE)
+        finally:
+            cleaned.unpersist()
+
+    # ------------------------------------------------------------------
+    # stream wiring
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        parsed_stream: DataFrame,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+        query_name: str = "covid-pipeline",
+    ) -> list[StreamingQuery]:
+        """Start the pipeline on a parsed (RAW_SCHEMA-shaped) stream.
+
+        ``trigger`` passes through to ``DataStreamWriter.trigger`` —
+        ``{"availableNow": True}`` for drain-and-stop test runs,
+        ``{"processingTime": "30 seconds"}`` for the reference cadence.
+
+        In ``streaming`` mode two queries start: the foreachBatch
+        fan-out (with per-batch rollup replaced by nothing) and a
+        separate true streaming aggregation for the continent rollup —
+        watermarked, append-mode, one emission per closed window.
+        Returns the started queries; callers own ``awaitTermination``.
+        """
+        trigger = trigger or {"processingTime": "30 seconds"}
+        queries: list[StreamingQuery] = []
+
+        fanout = (
+            parsed_stream.writeStream.foreachBatch(self.process_batch)
+            .outputMode("append")
+            .option("checkpointLocation", f"{checkpoint_dir}/fanout")
+            .trigger(**trigger)
+            .queryName(query_name)
+            .start()
+        )
+        queries.append(fanout)
+
+        if self.mode == "streaming":
+            continent_sink = self._sink_for(CONTINENT_TABLE)
+
+            def write_continent(df: DataFrame, epoch_id: int) -> None:
+                continent_sink.write(df, epoch_id, CONTINENT_TABLE)
+
+            rollup = continent_window_stats(
+                clean_observations(parsed_stream, clock=self.clock),
+                self.window_duration,
+                clock=self.clock,
+                watermark=self.watermark,
+                approx=True,  # exact distinct cannot run incrementally
+            )
+            agg_query = (
+                rollup.writeStream.foreachBatch(write_continent)
+                .outputMode("update")
+                .option("checkpointLocation", f"{checkpoint_dir}/continent")
+                .trigger(**trigger)
+                .queryName(f"{query_name}-continent")
+                .start()
+            )
+            queries.append(agg_query)
+        return queries
+
+
+def dedup_within_watermark(
+    parsed_stream: DataFrame,
+    keys: list[str],
+    event_time_col: str = "timestamp",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Cross-batch streaming dedup (the reference's D1-D4 are
+    within-batch only; duplicates spanning micro-batches reach the sink —
+    SURVEY.md §2.7).  ``dropDuplicatesWithinWatermark`` keeps per-key
+    state until the watermark passes, bounding state while catching any
+    duplicate arriving within the lateness budget.
+
+    The event-time column must be TIMESTAMP for watermarking; a raw
+    (still-string) frame gets it typed in place first."""
+    if dict(parsed_stream.dtypes).get(event_time_col) == "string":
+        parsed_stream = parsed_stream.withColumn(
+            event_time_col, F.try_to_timestamp(F.col(event_time_col))
+        )
+    return parsed_stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(keys)
