@@ -45,6 +45,9 @@ HEADLINE = [
     "docs_exact_dedup",
     "docs_prefix_neardup",
     "docs_ngram_jaccard",
+    "docs_minhash_lsh",
+    "docs_simhash_neardup",
+    "docs_media_meta",
     "docs_quality_by_lang",
     "embedding_cosine_topk",
 ]

@@ -1,0 +1,157 @@
+"""MinHash + banded-LSH near-duplicate detection.
+
+The 100 TB-scale path for near-dup dedup: ``jaccard_pairs``
+(operators/text.py) self-joins on raw shingles — correct, but a hot
+shingle fans the join out quadratically.  MinHash-LSH bounds the work:
+
+    shingle -> 64-bit hash -> K permutation-min signature
+    -> B bands of R rows -> band-hash bucket join -> candidate pairs
+    -> exact-Jaccard verification of candidates only
+
+Two docs with Jaccard ``s`` share a band with probability ``s^R``; with
+``B`` bands the pair is a candidate with ``1 - (1-s^R)^B`` — a sharp
+S-curve around ``(1/B)^(1/R)``.  Defaults (B=16, R=8 => K=128) put the
+knee at ~0.71 and catch Jaccard-0.9 pairs with P ~= 1 - 1.2e-4.
+
+Everything is built-in Spark SQL expressions (higher-order functions on
+the shingle-hash array) — no UDFs, no driver loops.  Signatures are
+O(K) longs per doc; the shuffle key is an 8-byte band hash.  Skewed
+buckets (boilerplate docs) can be salted or capped by bucket size
+upstream; candidate verification touches only bucket-mates.
+
+The hash family is per-permutation-salted ``xxhash64(salt_i, shingle
+hash)`` with seeded salts — deterministic across runs, and genuinely
+independent between permutations.  (A linear ``(a*x+b) mod p`` family
+constrained to ANSI-safe 64-bit operand ranges is *near-monotone* —
+``a*x`` wraps the prime at most once for 31-bit inputs — so mins
+correlate across permutations and signature agreement collapses far
+below the true Jaccard; measured 8/32 agreement on a 0.77-Jaccard pair.)
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.operators.text import jaccard_pairs, tokens
+
+
+def _permutation_salts(num_perm: int, seed: int) -> list[int]:
+    rng = random.Random(seed)
+    return [rng.randrange(-(1 << 31), 1 << 31) for _ in range(num_perm)]
+
+
+def _shingle_hashes(text_col: str, n: int) -> Column:
+    """Distinct word n-grams as 64-bit hashes (8-byte shingle ids)."""
+    toks = tokens(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+    return F.transform(grams, lambda g: F.xxhash64(g))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 128,
+    shingle_n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, signature array<long>[num_perm]) per document.
+
+    Docs with fewer than ``shingle_n`` tokens are dropped (no shingles,
+    no signature — same contract as ``shingles``).
+    """
+    salts = _permutation_salts(num_perm, seed)
+    hashes = _shingle_hashes(text_col, shingle_n)
+    staged = df.select(F.col(id_col), hashes.alias("__sh")).filter(
+        F.size("__sh") > 0
+    )
+
+    def perm(salt: int):
+        # factory, not default-arg lambda: PySpark dispatches higher-order
+        # lambdas on parameter count, so extra bound params break analysis
+        return lambda h: F.xxhash64(F.lit(salt), h)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("__sh"), perm(s))) for s in salts]
+    )
+    return staged.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) via banded LSH.
+
+    Plan: signature -> explode B band hashes -> groupBy band bucket ->
+    pairs within bucket -> distinct.  The shuffle carries (band_hash,
+    id) — 16 bytes/row/band — never document content.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, shingle_n, seed, id_col, text_col)
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b, F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        ),
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(band_hashes).alias("band_hash")
+    )
+    a = buckets.select(F.col(id_col).alias("doc_a"), "band_hash")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "band_hash")
+    return (
+        a.join(b, "band_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
+
+    Output matches ``jaccard_pairs(df, threshold)`` minus LSH false
+    negatives (P(miss) ~= (1 - s^R)^B per pair — 1.2e-4 at s=0.9 with
+    the defaults).  The verification join touches only candidates, so
+    the exact-Jaccard machinery runs on |candidates| docs, not |corpus|.
+    """
+    cands = minhash_lsh_candidates(
+        df, num_perm, bands, shingle_n, seed, id_col, text_col
+    )
+    docs_in_play = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select("doc_b"))
+        .distinct()
+        .join(df, id_col)
+    )
+    exact = jaccard_pairs(
+        docs_in_play, threshold=threshold, n=shingle_n, id_col=id_col, text_col=text_col
+    )
+    return exact.join(cands, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "intersection", "n_a", "n_b", "jaccard"
+    )

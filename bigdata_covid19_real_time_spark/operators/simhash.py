@@ -1,0 +1,131 @@
+"""SimHash near-duplicate fingerprinting.
+
+Complement to MinHash (operators/minhash.py): one 64-bit fingerprint
+per document whose Hamming distance tracks cosine similarity of the
+token multiset.  Cheaper than MinHash (no K-permutation signature; one
+pass over tokens) with coarser resolution — the standard pick for
+boilerplate-level dedup of web corpora.
+
+    token -> xxhash64 -> per-bit +/-1 votes -> sign -> packed 64-bit
+
+All higher-order-function expressions, JVM-side, no UDFs.  Candidate
+pairing buckets on 16-bit bands of the fingerprint (a Hamming-k pair
+must agree exactly on >=1 of the 4 bands for k <= 3 by pigeonhole),
+then verifies with ``bit_count(a ^ b)`` — so the join key is 8 bytes
+and the verification is two instructions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.operators.text import tokens
+
+_BITS = 64
+_BANDS = 4  # 16-bit bands: exact-match candidate buckets for Hamming <= 3
+
+
+def _vote_vector(text_col: str | Column) -> Column:
+    """Per-bit vote array: for each bit j, sum over tokens of +1 if bit j
+    of xxhash64(token) is set else -1."""
+    toks = tokens(text_col) if isinstance(text_col, str) else tokens(text_col)
+
+    def bit_votes(t: Column) -> Column:
+        # bit positions unrolled in Python: shiftright takes a literal
+        # shift amount, and the unrolled form codegens as straight-line
+        # long arithmetic anyway
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for j in range(_BITS)
+            ]
+        )
+
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), _BITS),
+        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v),
+    )
+
+
+def _pack_votes(votes: Column) -> Column:
+    """Sign of each vote packed into a 64-bit long.  ``votes`` must be a
+    plain column reference — the packing reads it 64 times, so an inlined
+    expression tree would be duplicated 64x (the Catalyst-inlining trap
+    documented on ``jaccard_pairs``).  Bit 63 wraps to the sign bit via
+    JVM shiftleft — fine for an opaque fingerprint."""
+    packed = F.lit(0).cast("long")
+    for j in range(_BITS):
+        packed = packed.bitwiseOR(
+            F.when(
+                F.element_at(votes, j + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return packed
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash long) per document.  Staged projection: the vote
+    vector materializes once per row before packing reads it 64 times."""
+    staged = df.select(F.col(id_col), _vote_vector(text_col).alias("__votes"))
+    return staged.select(
+        F.col(id_col), _pack_votes(F.col("__votes")).alias("simhash")
+    )
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, hamming <= max_hamming).
+
+    Pigeonhole banding: a pair within Hamming ``k`` over 64 bits must
+    match exactly on at least one of ``k+1`` bands — with 4 bands this
+    is exact (no false negatives) for ``k <= 3``; larger ``k`` turns the
+    guarantee probabilistic.  The band join shuffles (band_id,
+    16-bit-chunk, id) only; fingerprints travel with the row for the
+    O(1) verification.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col)
+    band_width = _BITS // _BANDS
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_width)
+                .bitwiseAND(F.lit((1 << band_width) - 1))
+                .alias("chunk"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("bc")
+    ).select(id_col, "simhash", "bc.band", "bc.chunk")
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

