@@ -34,6 +34,13 @@ HEADLINE = [
     "daily_event_summary",
     "events_json_extract",
     "event_type_rankings",
+    "events_rollup",
+    "events_cube",
+    "purchase_asof_click",
+    "user_sessions",
+    "error_only_user_days",
+    "value_percentiles",
+    "orders_with_big_items",
     "covid_clean",
     "covid_predict",
     "covid_continent_5min",

@@ -43,16 +43,34 @@ def _permutation_salts(num_perm: int, seed: int) -> list[int]:
     return [rng.randrange(-(1 << 31), 1 << 31) for _ in range(num_perm)]
 
 
-def _shingle_hashes(text_col: str, n: int) -> Column:
-    """Distinct word n-grams as 64-bit hashes (8-byte shingle ids)."""
-    toks = tokens(text_col)
+def _exploded_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle-hash) rows: distinct word n-grams as 64-bit hashes.
+
+    Staged projections (tokens -> grams -> explode as separate selects)
+    are load-bearing: fusing them lets Catalyst inline the token split
+    per element_at and duplicate the gram expression into pushed-down
+    filters — measured ~5x slower (same trap documented on
+    ``text.jaccard_pairs``).  explode_outer + isNotNull instead of plain
+    explode for the same reason.
+    """
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+            F.sequence(F.lit(0), F.size(F.col("__toks")) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__toks"), i + j + 1) for j in range(n)]
+            ),
         )
     )
-    return F.transform(grams, lambda g: F.xxhash64(g))
+    grams_df = toks_df.select(F.col(id_col), grams.alias("__grams"))
+    return grams_df.select(
+        F.col(id_col),
+        F.explode_outer(F.transform("__grams", lambda g: F.xxhash64(g))).alias("__h"),
+    ).filter(F.col("__h").isNotNull())
 
 
 def minhash_signatures(
@@ -69,20 +87,19 @@ def minhash_signatures(
     no signature — same contract as ``shingles``).
     """
     salts = _permutation_salts(num_perm, seed)
-    hashes = _shingle_hashes(text_col, shingle_n)
-    staged = df.select(F.col(id_col), hashes.alias("__sh")).filter(
-        F.size("__sh") > 0
+    exploded = _exploded_shingle_hashes(df, id_col, text_col, shingle_n)
+    # min-aggregate per permutation over exploded rows: partial (map-side)
+    # aggregation collapses each partition to one row per doc before the
+    # single shuffle on the id; the num_perm hash+min columns evaluate in
+    # one codegen'd pass per row
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(s), F.col("__h"))).alias(f"__m{i}")
+            for i, s in enumerate(salts)
+        ]
     )
-
-    def perm(salt: int):
-        # factory, not default-arg lambda: PySpark dispatches higher-order
-        # lambdas on parameter count, so extra bound params break analysis
-        return lambda h: F.xxhash64(F.lit(salt), h)
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("__sh"), perm(s))) for s in salts]
-    )
-    return staged.select(F.col(id_col), sig.alias("signature"))
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_perm)])
+    return mins.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -104,15 +121,19 @@ def minhash_lsh_candidates(
         raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, num_perm, shingle_n, seed, id_col, text_col)
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            b, F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-        ),
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+            )
+            for b in range(bands)
+        ]
     )
+    # persist the bucket table: both sides of the self-join read it, and
+    # without the cache each side re-runs the whole signature computation
     buckets = sigs.select(
         F.col(id_col), F.explode(band_hashes).alias("band_hash")
-    )
+    ).persist()
     a = buckets.select(F.col(id_col).alias("doc_a"), "band_hash")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band_hash")
     return (
@@ -140,9 +161,11 @@ def minhash_lsh_pairs(
     the defaults).  The verification join touches only candidates, so
     the exact-Jaccard machinery runs on |candidates| docs, not |corpus|.
     """
+    # persist: the candidate set feeds three consumers (doc_a ids, doc_b
+    # ids, the final semi-join) — it is tiny (pairs only) but expensive
     cands = minhash_lsh_candidates(
         df, num_perm, bands, shingle_n, seed, id_col, text_col
-    )
+    ).persist()
     docs_in_play = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select("doc_b"))

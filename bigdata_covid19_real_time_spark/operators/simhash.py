@@ -26,59 +26,52 @@ _BITS = 64
 _BANDS = 4  # 16-bit bands: exact-match candidate buckets for Hamming <= 3
 
 
-def _vote_vector(text_col: str | Column) -> Column:
-    """Per-bit vote array: for each bit j, sum over tokens of +1 if bit j
-    of xxhash64(token) is set else -1."""
-    toks = tokens(text_col) if isinstance(text_col, str) else tokens(text_col)
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash long) per document.
 
-    def bit_votes(t: Column) -> Column:
-        # bit positions unrolled in Python: shiftright takes a literal
-        # shift amount, and the unrolled form codegens as straight-line
-        # long arithmetic anyway
-        h = F.xxhash64(t)
-        return F.array(
-            *[
+    Shape: explode the token multiset to (id, token-hash) rows, then 64
+    conditional-sum aggregates (one per bit) and a packing projection —
+    all codegen'd straight-line long arithmetic.  (The
+    aggregate/zip_with higher-order form computes the same votes ~5x
+    slower: array allocation per token per row, interpreted lambdas.)
+    Partial aggregation collapses votes map-side, so the shuffle carries
+    64 longs per doc per partition.  Docs with zero tokens after split
+    produce no rows and are dropped (no text, no fingerprint).
+
+    Bit positions are unrolled in Python: shiftright takes a literal
+    shift; bit 63 wraps to the long sign bit via shiftleft — fine for an
+    opaque fingerprint.
+    """
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    ex = toks_df.select(
+        F.col(id_col), F.explode_outer("__toks").alias("__t")
+    ).filter(F.col("__t").isNotNull())
+    # stage the hash: the 64 bit-tests below each read it, and an inlined
+    # xxhash64 would be recomputed per bit
+    hashed = ex.select(F.col(id_col), F.xxhash64(F.col("__t")).alias("__h"))
+    h = F.col("__h")
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
                 F.when(
                     F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
                     F.lit(1).cast("long"),
                 ).otherwise(F.lit(-1).cast("long"))
-                for j in range(_BITS)
-            ]
-        )
-
-    return F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), _BITS),
-        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v),
+            ).alias(f"__v{j}")
+            for j in range(_BITS)
+        ]
     )
-
-
-def _pack_votes(votes: Column) -> Column:
-    """Sign of each vote packed into a 64-bit long.  ``votes`` must be a
-    plain column reference — the packing reads it 64 times, so an inlined
-    expression tree would be duplicated 64x (the Catalyst-inlining trap
-    documented on ``jaccard_pairs``).  Bit 63 wraps to the sign bit via
-    JVM shiftleft — fine for an opaque fingerprint."""
     packed = F.lit(0).cast("long")
     for j in range(_BITS):
         packed = packed.bitwiseOR(
             F.when(
-                F.element_at(votes, j + 1) > 0,
+                F.col(f"__v{j}") > 0,
                 F.shiftleft(F.lit(1).cast("long"), j),
             ).otherwise(F.lit(0).cast("long"))
         )
-    return packed
-
-
-def simhash_fingerprints(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, simhash long) per document.  Staged projection: the vote
-    vector materializes once per row before packing reads it 64 times."""
-    staged = df.select(F.col(id_col), _vote_vector(text_col).alias("__votes"))
-    return staged.select(
-        F.col(id_col), _pack_votes(F.col("__votes")).alias("simhash")
-    )
+    return votes.select(F.col(id_col), packed.alias("simhash"))
 
 
 def hamming(a: Column, b: Column) -> Column:
@@ -100,7 +93,8 @@ def simhash_pairs(
     16-bit-chunk, id) only; fingerprints travel with the row for the
     O(1) verification.
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
+    # persist: both sides of the band self-join read the fingerprints
+    fp = simhash_fingerprints(df, id_col, text_col).persist()
     band_width = _BITS // _BANDS
     chunks = F.array(
         *[

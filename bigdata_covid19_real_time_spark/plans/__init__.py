@@ -12,6 +12,7 @@ from bigdata_covid19_real_time_spark.plans import (  # noqa: F401  (registration
     covid_parity,
     extensions,
     relational,
+    relational_ext,
 )
 from bigdata_covid19_real_time_spark.plans.registry import ORACLES, QUERIES
 

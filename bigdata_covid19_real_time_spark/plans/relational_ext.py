@@ -1,0 +1,235 @@
+"""Extended relational surface: grouping sets, as-of join, session
+windows, set operations, exact percentiles, semi-joins.
+
+None of these exist in the reference (its operator inventory stops at
+plain groupBy/window/filter — SURVEY.md §2); they round out the query
+surface a user of a general analytics engine expects, each expressed as
+the Catalyst-native construct (``rollup``/``cube``, ``session_window``,
+``left_semi``, ``exceptAll``) rather than a hand-built expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.operators.asof import asof_join
+from bigdata_covid19_real_time_spark.plans.registry import query, stable_round
+from bigdata_covid19_real_time_spark.sources.batch import load_table
+
+
+@query(
+    "events_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(COUNT(*) AS BIGINT) AS events_count,
+           ROUND(SUM(value) + 1e-9, 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_date, event_type)
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (date, type), (date), () — subtotals and a
+    grand total in one pass.  Catalyst plans one Expand + one hash agg:
+    rows duplicate x3 map-side, but each grouping's partial agg collapses
+    before the single shuffle — no three-scan union."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.rollup(F.to_date("ts").alias("event_date"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("events_count"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_cube",
+    oracle="""
+    SELECT event_type, CAST(hour(ts) AS INTEGER) AS event_hour,
+           CAST(COUNT(*) AS BIGINT) AS events_count,
+           ROUND(AVG(value) + 1e-9, 4) AS avg_value
+    FROM events
+    GROUP BY CUBE (event_type, event_hour)
+    """,
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type, hour-of-day): all four grouping sets in one
+    Expand+agg — the OLAP dashboard shape."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.cube(
+            F.col("event_type"), F.hour("ts").cast("int").alias("event_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events_count"),
+            stable_round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "purchase_asof_click",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts, event_id AS click_event_id FROM events WHERE event_type = 'click')
+    SELECT p.user_id, p.event_id, p.value AS purchase_value,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.click_event_id,
+           CASE WHEN c.click_ts IS NULL THEN NULL
+                ELSE strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') END AS click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts
+    """,
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase attributed to the
+    user's latest click at-or-before it — the union-merge form, one
+    shuffle on user_id, no range cross-join.  Oracle: DuckDB ASOF JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], left_time="ts", right_time="click_ts"
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "click_event_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS events_count,
+           ROUND(SUM(value) + 1e-9, 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via ``session_window`` (30-min inactivity gap) —
+    Spark's native merging session agg (streaming-capable with a
+    watermark; here batch).  The oracle rebuilds sessions with the
+    classic gap-flag + running-sum idiom; Spark's session end is
+    last-event + gap, mirrored in the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_count"),
+            stable_round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "events_count",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "error_only_user_days",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS event_date FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id, event_date
+    """,
+)
+def error_only_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT via ``subtract``): (user, day)
+    pairs with an error but no purchase.  Spark plans a left-anti over
+    distinct keys — one shuffle on the pair."""
+    events = load_table(spark, sf_dir, "events")
+    err = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.to_date("ts").alias("event_date")
+    )
+    pur = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("event_date")
+    )
+    return err.subtract(pur).orderBy("user_id", "event_date")
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5) + 1e-9, 4)  AS p50,
+           ROUND(quantile_cont(value, 0.9) + 1e-9, 4)  AS p90,
+           ROUND(quantile_cont(value, 0.99) + 1e-9, 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (``percentile`` —
+    sort-based exact agg; both engines linear-interpolate).  At 100 TB
+    swap for ``approx_percentile`` (t-digest sketch, mergeable,
+    single-pass) — exact percentile shuffles every value."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        stable_round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        stable_round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "orders_with_big_items",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, ROUND(o.o_totalprice + 1e-9, 2) AS o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 5000)
+    ORDER BY o.o_orderkey
+    """,
+)
+def orders_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): orders containing any lineitem over 5000.
+    ``left_semi`` carries no right payload through the shuffle; the
+    extendedprice filter pushes into the lineitem parquet scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 5000
+    ).select("l_orderkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            stable_round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
