@@ -98,43 +98,98 @@ def hyperplane_signature(
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    planes: list[list[float]],
+    tables: list[list[list[float]]],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine scoring restricted to vectors whose
-    hyperplane signature matches the query's.
+    """Approximate top-k: exact cosine scoring restricted to vectors that
+    share a bucket with the query in >=1 of L hash tables.
 
-    Scale path vs ``cosine_topk``: the cross join becomes an equi-join on
-    the signature, so each query scores only its bucket (corpus/2^bits on
-    average).  Recall is tunable via the number of planes; multi-probe or
-    banded variants can re-use the same signature column.
+    ``tables`` is L independent plane sets (standard multi-table LSH):
+    a neighbor at angle theta collides per table with ``(1 - theta/pi)^b``
+    and is a candidate with ``1 - (1 - p)^L`` — L tunes recall without
+    shrinking buckets.  Scale path vs ``cosine_topk``: the cross join
+    becomes an equi-join on (table, signature), so each query scores
+    ~L * corpus / 2^b candidates instead of the whole corpus.  Plane
+    width must equal the vector width (zip_with null-pads mismatches).
     """
-    q = F.broadcast(
+    # Everything runs over persisted (id, position, value) exploded rows —
+    # signatures, norms, and candidate scoring are codegen'd sum-aggregates.
+    # The higher-order ``dot``/``l2_norm`` forms are interpreted lambdas at
+    # ~1 ms per call (measured: 26 s for this plan at 500 vectors); the
+    # exploded formulation runs the identical arithmetic in whole-stage
+    # codegen.  Two shuffles total (id for stats, pair for scoring).
+    qex = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("q_vec"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("__p", "__v"),
         )
-        .withColumn("q_norm", l2_norm(F.col("q_vec")))
-        .withColumn("sig", hyperplane_signature(F.col("q_vec"), planes))
     )
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("c_vec"),
+    cex = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("__p", "__v"),
+    ).persist()
+
+    def stats(ex: DataFrame, id_name: str) -> DataFrame:
+        """(id, sig_0..sig_L-1, norm) via one grouped pass."""
+        dot_aggs = [
+            F.sum(
+                F.col("__v") * F.element_at(F.lit(plane), F.col("__p") + 1)
+            ).alias(f"__d_{t}_{b}")
+            for t, planes in enumerate(tables)
+            for b, plane in enumerate(planes)
+        ]
+        norm_agg = F.sqrt(F.sum(F.col("__v") * F.col("__v"))).alias("norm")
+        dots = ex.groupBy(id_name).agg(*dot_aggs, norm_agg)
+        sig_cols = []
+        for t, planes in enumerate(tables):
+            sig = F.lit(0).cast("long")
+            for b in range(len(planes)):
+                sig = sig + (F.col(f"__d_{t}_{b}") >= 0).cast("long") * F.lit(
+                    2**b
+                ).cast("long")
+            sig_cols.append(sig.alias(f"__sig{t}"))
+        return dots.select(id_name, F.col("norm"), *sig_cols)
+
+    def buckets(st: DataFrame, id_name: str) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(F.lit(t).alias("table"), F.col(f"__sig{t}").alias("sig"))
+                for t in range(len(tables))
+            ]
         )
-        .withColumn("c_norm", l2_norm(F.col("c_vec")))
-        .withColumn("sig", hyperplane_signature(F.col("c_vec"), planes))
+        return st.select(id_name, F.explode(arr).alias("b")).select(
+            id_name, F.col("b.table").alias("table"), F.col("b.sig").alias("sig")
+        )
+
+    q_stats = F.broadcast(stats(qex, "query_id").persist())
+    c_stats = stats(cex, "neighbor_id").persist()
+
+    cands = (
+        buckets(c_stats, "neighbor_id")
+        .join(F.broadcast(buckets(q_stats, "query_id")), ["table", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dp = (
+        cands.join(cex.withColumnRenamed("__v", "__cv"), "neighbor_id")
+        .join(qex.withColumnRenamed("__v", "__qv"), ["query_id", "__p"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("__cv") * F.col("__qv")).alias("__dp"))
     )
     scored = (
-        c.join(q, "sig")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        dp.join(q_stats.select("query_id", F.col("norm").alias("q_norm")), "query_id")
+        .join(
+            c_stats.select("neighbor_id", F.col("norm").alias("c_norm")),
+            "neighbor_id",
+        )
         .withColumn(
             "cosine",
             F.when(
                 (F.col("q_norm") > 0) & (F.col("c_norm") > 0),
-                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+                F.col("__dp") / (F.col("q_norm") * F.col("c_norm")),
             ).otherwise(F.lit(0.0)),
         )
     )

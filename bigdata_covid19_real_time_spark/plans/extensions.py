@@ -258,3 +258,75 @@ def docs_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("height"),
         F.col("n_channels").cast("int").alias("n_channels"),
     )
+
+
+@query("embedding_lsh_topk")  # no SQL oracle: seeded random hyperplanes
+# are engine-side constants; the driver records a rows-only check and
+# tests compare recall against the exact cosine_topk on the same data
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH buckets prune the corpus
+    before exact cosine scoring (operators/similarity.py:lsh_bucketed_topk).
+    The bucket equi-join replaces cosine_topk's broadcast cross-join —
+    the 100 TB path where even a broadcast scan per query is too much."""
+    import random
+
+    from bigdata_covid19_real_time_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    rng = random.Random(7)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # plane width must equal the vector width (zip_with null-pads on
+    # mismatch, nulling every signature); read it from one row
+    dim = len(emb.select("embedding").first()[0])
+    # 16 tables x 3 bits: this corpus's true neighbors sit near cos 0.3
+    # (72 deg), so per-table collision is ~(1-72/180)^3 = 0.22 and
+    # 16 tables put candidate recall near 1-(0.78)^16 ~ 0.98
+    tables = [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)] for _ in range(16)
+    ]
+    out = lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), tables, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        stable_round("cosine", 6).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "docs_language_scores",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t FROM documents),
+    scored AS (
+      SELECT lang,
+        CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)/len(t) ELSE 0.0 END AS s_en,
+        CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','zu','ein'))) AS DOUBLE)/len(t) ELSE 0.0 END AS s_de,
+        CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('le','la','les','et','de','un','une','est'))) AS DOUBLE)/len(t) ELSE 0.0 END AS s_fr,
+        CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('el','la','los','y','de','un','una','es'))) AS DOUBLE)/len(t) ELSE 0.0 END AS s_es
+      FROM toks
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+           ROUND(AVG(s_en) + 1e-9, 6) AS avg_score_en,
+           ROUND(AVG(s_de) + 1e-9, 6) AS avg_score_de,
+           ROUND(AVG(s_fr) + 1e-9, 6) AS avg_score_fr,
+           ROUND(AVG(s_es) + 1e-9, 6) AS avg_score_es
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def docs_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID signal: per-language stopword-hit ratios aggregated
+    against the corpus's labeled lang column — the n-gram-profile
+    language heuristic's Spark shape (narrow map, no UDF;
+    operators/text.py:language_scores)."""
+    from bigdata_covid19_real_time_spark.operators.text import language_scores
+
+    docs = language_scores(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        stable_round(F.avg("score_en"), 6).alias("avg_score_en"),
+        stable_round(F.avg("score_de"), 6).alias("avg_score_de"),
+        stable_round(F.avg("score_fr"), 6).alias("avg_score_fr"),
+        stable_round(F.avg("score_es"), 6).alias("avg_score_es"),
+    )

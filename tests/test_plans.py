@@ -1,0 +1,84 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correct results with the wrong plan don't survive a 100x scale-up;
+these tests pin the plan properties the engine's docstrings promise:
+filters push into parquet scans, dimension joins broadcast, top-k plans
+as TakeOrderedAndProject (no global sort), aggregates keep partial
+(map-side) phases, and hot paths stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_covid19_real_time_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7-column projection reaches the scan (no full 11-col read)
+    assert "l_comment" not in plan
+    assert "HashAggregate" in plan and "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_revenue_by_nation_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation, region (+customer at tiny SF)
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_orders_plans_take_ordered(spark):
+    plan = plan_of(spark, "top_orders")
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node outside the top-k operator
+    assert "Sort [" not in plan
+
+
+def test_orders_without_lineitems_is_anti_join_without_payload(spark):
+    plan = plan_of(spark, "orders_without_lineitems")
+    assert "LeftAnti" in plan
+    # lineitem side reads only the join key
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_orders_with_big_items_semi_join_pushes_filter(spark):
+    plan = plan_of(spark, "orders_with_big_items")
+    assert "LeftSemi" in plan
+    assert "GreaterThan(l_extendedprice,5000" in plan
+
+
+def test_hot_paths_stay_in_codegen(spark):
+    # the cleaning stage (pure narrow map) must be one codegen span —
+    # executedPlan().toString() marks codegen'd operators with a "*(n)"
+    # stage prefix
+    plan = plan_of(spark, "covid_clean")
+    assert "*(1) Project" in plan or "*(1) " in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_rollup_single_expand_no_union(spark):
+    plan = plan_of(spark, "events_rollup")
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_asof_join_is_single_shuffle_window_not_cross_join(spark):
+    plan = plan_of(spark, "purchase_asof_click")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_media_meta_uses_arrow_batches(spark):
+    plan = plan_of(spark, "docs_media_meta")
+    # mapInPandas shows as ArrowEvalPython/MapInPandas, never row-wise Python
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan

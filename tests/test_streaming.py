@@ -221,3 +221,35 @@ def test_producer_roundtrip_wire_format(spark):
     back = parse_json_value(wire)
     assert back.columns == raw.columns
     assert back.collect() == raw.collect()
+
+
+def test_cumulative_state_survives_restart(spark, tmp_path):
+    """State restores from the checkpoint: a second run (new query, same
+    checkpoint) continues per-location counters instead of restarting."""
+    from bigdata_covid19_real_time_spark.functions.cleaning import clean_observations
+
+    def run_once():
+        stream = clean_observations(
+            read_jsonl_stream(spark, str(tmp_path / "in")), clock=frozen_clock()
+        )
+        out = cumulative_location_stats(stream, alpha=0.5)
+        emitted: list = []
+        q = (
+            out.writeStream.foreachBatch(lambda df, eid: emitted.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return emitted
+
+    write_jsonl(tmp_path / "in" / "b1.jsonl", BATCH1)
+    first = {r["location"]: r for r in run_once()}
+    assert first["Egypt"]["rows_seen"] == 2
+
+    write_jsonl(tmp_path / "in" / "b2.jsonl", BATCH2)
+    second = {r["location"]: r for r in run_once()}
+    # batch-2 Egypt row lands on top of restored state (2 + 1)
+    assert second["Egypt"]["rows_seen"] == 3
+    assert second["France"]["rows_seen"] == 2
