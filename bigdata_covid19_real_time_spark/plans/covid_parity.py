@@ -421,3 +421,38 @@ def covid_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round("avg_death_rate_country", 6).alias("avg_death_rate_country"),
         "ranking_position",
     )
+
+
+@query(
+    "covid_enrich",
+    oracle=ORACLE_CLEANED_CTE
+    + """
+    SELECT uuid, location,
+           CASE WHEN total_cases > 0 THEN ROUND(total_deaths / total_cases + 1e-9, 6) ELSE 0.0 END AS fatality_rate,
+           CASE WHEN total_cases > 0 THEN ROUND(active_cases / total_cases + 1e-9, 6) ELSE 0.0 END AS active_cases_ratio,
+           CASE WHEN total_cases > 0 THEN ROUND((total_cases - active_cases - total_deaths) / total_cases + 1e-9, 6) ELSE 0.0 END AS recovery_rate_calculated,
+           CASE WHEN (total_cases - new_cases) > 0 THEN ROUND(new_cases / (total_cases - new_cases) + 1e-9, 6) ELSE 0.0 END AS growth_rate,
+           CASE WHEN new_cases > 50000 OR death_rate > 0.10 THEN 'Critical'
+                WHEN new_cases > 10000 OR death_rate > 0.05 THEN 'High'
+                WHEN new_cases > 1000  OR death_rate > 0.02 THEN 'Medium'
+                ELSE 'Low' END AS severity_level
+    FROM cleaned
+    """,
+)
+def covid_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NiFi-contract enrichment stage (functions/enrich.py): the five
+    orphan DDL columns of init.sql:30-34 with recovered semantics —
+    fatality/active/recovered ratios, day-over-day growth, severity
+    bucketing.  Narrow map, no shuffle."""
+    from bigdata_covid19_real_time_spark.functions.enrich import enrich_observations
+
+    out = enrich_observations(cleaned_frame(spark, sf_dir))
+    return out.select(
+        "uuid",
+        "location",
+        stable_round("fatality_rate", 6).alias("fatality_rate"),
+        stable_round("active_cases_ratio", 6).alias("active_cases_ratio"),
+        stable_round("recovery_rate_calculated", 6).alias("recovery_rate_calculated"),
+        stable_round("growth_rate", 6).alias("growth_rate"),
+        "severity_level",
+    )
