@@ -42,6 +42,7 @@ HEADLINE = [
     "value_percentiles",
     "orders_with_big_items",
     "covid_clean",
+    "covid_enrich",
     "covid_predict",
     "covid_continent_5min",
     "covid_windowed_stats",
@@ -56,6 +57,7 @@ HEADLINE = [
     "docs_simhash_neardup",
     "docs_media_meta",
     "docs_quality_by_lang",
+    "docs_language_scores",
     "embedding_cosine_topk",
 ]
 
@@ -75,8 +77,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/session so query 1 doesn't pay startup cost
+    # warm the JVM/session so query 1 doesn't pay startup cost: one agg
+    # for codegen machinery, one parquet scan for the reader/footer path
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

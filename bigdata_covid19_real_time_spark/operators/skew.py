@@ -1,0 +1,49 @@
+"""Skew-handling join helpers.
+
+AQE's skew-join splitting (on in session.py) handles most skew at
+runtime by splitting oversized partitions — but only for sort-merge
+joins and only after a shuffle materializes the skew.  Salting is the
+plan-level tool for the pathological cases AQE can't reach (e.g. a
+broadcast-ineligible dimension joined on a key where one value is >50%
+of the fact table):
+
+    fact:  key -> (key, salt = pmod(xxhash64(uniq), S))
+    dim :  key -> exploded (key, salt = 0..S-1)   [dim grows x S]
+    join on (key, salt)                            [hot key spreads S ways]
+
+``salted_join`` packages that shape.  S trades dim duplication against
+per-task balance; at 100 TB pick S ~= hot-key share / target-partition
+share.  The salt derives from a unique column (not ``rand()``) so the
+plan stays deterministic and re-runnable (speculative retries see the
+same salt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt_by: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the fact side salted ``num_salts`` ways.
+
+    ``salt_by``: any fact column unique-ish per row (an id) — hashed to
+    pick the salt deterministically.  The dim side replicates each row
+    ``num_salts`` times (explode of a literal range), so keep this for
+    dims that are too big to broadcast but far smaller than the fact.
+    Output columns = plain join output (salt dropped).
+    """
+    f = fact.withColumn(_SALT, F.pmod(F.xxhash64(F.col(salt_by)), F.lit(num_salts)))
+    d = dim.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return f.join(d, on + [_SALT], how).drop(_SALT)
