@@ -233,3 +233,42 @@ def orders_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "events_sliding_rollup",
+    oracle="""
+    WITH w AS (
+      SELECT e.*, time_bucket(INTERVAL '5 minutes', e.ts) - u.k * INTERVAL '5 minutes' AS wstart
+      FROM events e, unnest(range(0, 2)) AS u(k)
+      WHERE e.ts < time_bucket(INTERVAL '5 minutes', e.ts) - u.k * INTERVAL '5 minutes' + INTERVAL '10 minutes'
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS events_count,
+           ROUND(SUM(value) + 1e-9, 2) AS total_value
+    FROM w
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10-min length, 5-min slide): every
+    event lands in two windows.  Spark plans one Expand (x2 rows) + one
+    hash agg — the same shape as rollup, not a self-union.  The oracle
+    derives each event's two window starts arithmetically."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events_count"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "events_count",
+            "total_value",
+        )
+    )

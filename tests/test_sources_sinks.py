@@ -1,0 +1,59 @@
+"""Batch source readers + partitioned sink layout tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.functions.cleaning import clean_observations
+from bigdata_covid19_real_time_spark.schema import RAW_FIELDS
+from bigdata_covid19_real_time_spark.sinks import ParquetSink
+from bigdata_covid19_real_time_spark.sources.batch import read_raw_csv, read_raw_jsonl
+from tests.conftest import frozen_clock, make_raw, obs
+
+
+def test_read_raw_csv_all_string_schema(spark, tmp_path):
+    row = obs("Egypt", "2021-03-15")
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        ",".join(RAW_FIELDS) + "\n" + ",".join(row[f] for f in RAW_FIELDS) + "\n"
+    )
+    df = read_raw_csv(spark, str(csv))
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 19
+    got = df.collect()[0]
+    assert got["location"] == "Egypt"
+    assert got["total_cases"] == "187000"
+    # flows straight into the cleaning stage
+    cleaned = clean_observations(df, clock=frozen_clock()).collect()[0]
+    assert cleaned["total_cases"] == 187000.0
+
+
+def test_read_raw_jsonl_malformed_line_is_all_null(spark, tmp_path):
+    import json
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(json.dumps(obs("Egypt", "2021-03-15")) + "\n{oops\n")
+    df = read_raw_jsonl(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r["location"] is None][0]
+    assert all(bad[f] is None for f in RAW_FIELDS)
+
+
+def test_parquet_sink_partitions_prune(spark, tmp_path):
+    """Date-partitioned sink layout: a date filter must reach the reader
+    as a partition filter (scans touch one directory, not the table)."""
+    raw = make_raw(
+        spark,
+        [obs("Egypt", "2021-03-15"), obs("Egypt", "2021-03-16"), obs("France", "2021-03-16")],
+    )
+    cleaned = clean_observations(raw, clock=frozen_clock())
+    sink = ParquetSink(str(tmp_path), partition_by=["date"])
+    sink.write(cleaned, 0, "silver")
+
+    table = spark.read.parquet(str(tmp_path / "silver"))
+    q = table.filter(F.col("date") == "2021-03-16")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(date" in plan
+    assert q.count() == 2
+    # partition dirs exist on disk
+    assert (tmp_path / "silver" / "date=2021-03-15").exists()
