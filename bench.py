@@ -41,6 +41,9 @@ HEADLINE = [
     "error_only_user_days",
     "value_percentiles",
     "orders_with_big_items",
+    "customer_order_coverage",
+    "order_rank_spectrum",
+    "events_sliding_rollup",
     "covid_clean",
     "covid_enrich",
     "covid_predict",

@@ -272,3 +272,67 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "customer_order_coverage",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS orders_count,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0.0) + 1e-9, 2) AS revenue
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving zero-order customers (COUNT of the
+    null-extended side is 0, SUM coalesced).  One shuffle on the key;
+    at scale the orders side pre-aggregates per custkey before the join
+    would be the next optimization — here the join feeds the agg
+    directly so Catalyst's partial agg handles it."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("orders_count"),
+            stable_round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "order_rank_spectrum",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK()       OVER w AS INTEGER) AS price_rank,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS price_dense_rank,
+           CAST(NTILE(4)     OVER w AS INTEGER) AS price_quartile,
+           ROUND(CUME_DIST() OVER w + 1e-9, 6)  AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def order_rank_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function spectrum (rank, dense_rank, ntile,
+    cume_dist) per priority class — W8 generalized beyond row_number.
+    One shuffle on the partition key; all four functions share a single
+    sorted window pass."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        stable_round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
