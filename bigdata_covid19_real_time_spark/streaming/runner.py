@@ -31,6 +31,7 @@ sinks receive partition-parallel writes; nothing collects to the driver.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -47,6 +48,8 @@ from bigdata_covid19_real_time_spark.operators.predict import (
     predict_future_trends,
 )
 from bigdata_covid19_real_time_spark.sinks.registry import Sink
+
+logger = logging.getLogger(__name__)
 
 #: Sink table names (covid_streaming.py:154,159,182,193).
 REALTIME_TABLE = "covid_realtime_stats"
@@ -70,6 +73,12 @@ class CovidPipeline:
     window_duration: str = "5 minutes"
     watermark: str = "10 minutes"
     clock: Column | None = None
+    #: True (default): a failing epoch fails the stream — right for
+    #: anything feeding downstream jobs.  False reproduces the
+    #: reference's log-and-continue policy (covid_streaming.py:112-198
+    #: wraps the whole batch in try/except — X4 in SURVEY.md §2.10),
+    #: where batch failures are logged and data silently dropped.
+    fail_fast: bool = True
 
     def _sink_for(self, table: str) -> Sink:
         return self.sinks.get(table, self.sink)
@@ -81,6 +90,14 @@ class CovidPipeline:
     def process_batch(self, raw: DataFrame, epoch_id: int) -> None:
         """The reference's ``process_batch`` (covid_streaming.py:111-198)
         minus its per-branch recomputation and probe jobs."""
+        try:
+            self._process_batch(raw, epoch_id)
+        except Exception:
+            if self.fail_fast:
+                raise
+            logger.exception("epoch %s failed; continuing (fail_fast=False)", epoch_id)
+
+    def _process_batch(self, raw: DataFrame, epoch_id: int) -> None:
         cleaned = clean_observations(raw, clock=self.clock).persist()
         try:
             realtime = cleaned.dropDuplicates(["location", "date"])
