@@ -35,7 +35,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_covid19_real_time_spark.operators.text import jaccard_pairs, tokens
+from bigdata_covid19_real_time_spark.operators.text import tokens
 
 
 def _permutation_salts(num_perm: int, seed: int) -> list[int]:
@@ -161,20 +161,60 @@ def minhash_lsh_pairs(
     the defaults).  The verification join touches only candidates, so
     the exact-Jaccard machinery runs on |candidates| docs, not |corpus|.
     """
-    # persist: the candidate set feeds three consumers (doc_a ids, doc_b
-    # ids, the final semi-join) — it is tiny (pairs only) but expensive
-    cands = minhash_lsh_candidates(
-        df, num_perm, bands, shingle_n, seed, id_col, text_col
+    salts = _permutation_salts(num_perm, seed)
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    rows_per_band = num_perm // bands
+
+    # ONE exploded (id, shingle-hash) table feeds everything: signatures,
+    # set sizes, and exact-Jaccard verification of candidates.  This
+    # halves the job count vs composing minhash_lsh_candidates +
+    # jaccard_pairs (which would tokenize and shingle the corpus twice).
+    exploded = _exploded_shingle_hashes(df, id_col, text_col, shingle_n).persist()
+
+    stats = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.min(F.xxhash64(F.lit(s), F.col("__h"))).alias(f"__m{i}")
+            for i, s in enumerate(salts)
+        ],
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.array(*[F.col(f"__m{b * rows_per_band + r}") for r in range(rows_per_band)]),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = stats.select(
+        F.col(id_col), F.col("__n"), F.explode(band_hashes).alias("band_hash")
     ).persist()
-    docs_in_play = (
-        cands.select(F.col("doc_a").alias(id_col))
-        .union(cands.select("doc_b"))
+    a_b = buckets.select(
+        F.col(id_col).alias("doc_a"), F.col("__n").alias("n_a"), "band_hash"
+    )
+    b_b = buckets.select(
+        F.col(id_col).alias("doc_b"), F.col("__n").alias("n_b"), "band_hash"
+    )
+    cands = (
+        a_b.join(b_b, "band_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
-        .join(df, id_col)
     )
-    exact = jaccard_pairs(
-        docs_in_play, threshold=threshold, n=shingle_n, id_col=id_col, text_col=text_col
+    # exact verification: intersect candidate docs' shingle sets
+    a_sh = exploded.select(F.col(id_col).alias("doc_a"), "__h")
+    b_sh = exploded.select(F.col(id_col).alias("doc_b"), "__h")
+    inter = (
+        cands.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "__h"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
     )
-    return exact.join(cands, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "intersection", "n_a", "n_b", "jaccard"
+    jac = F.col("intersection") / (F.col("n_a") + F.col("n_b") - F.col("intersection"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "n_a", "n_b", "jaccard")
     )
