@@ -1,9 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (one entry per implemented operator
-from SURVEY.md §2 plus the extension operators), keyed identically so the
-driver can hash-compare Spark results against DuckDB oracles at sf0.01.
+engine's registered query surface (40 queries covering SURVEY.md §2 plus
+the training-data extension operators; COVERAGE.md maps every operator
+ID to its query/test), keyed identically so the driver can hash-compare
+Spark results against DuckDB oracles at sf0.01.  38/40 carry oracles;
+``docs_simhash_neardup`` and ``embedding_lsh_topk`` are rows-only by
+design (hash-function-dependent / approximate operators whose quality is
+pinned against exact baselines in tests instead).
 """
 
 from __future__ import annotations

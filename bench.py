@@ -80,10 +80,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/session so query 1 doesn't pay startup cost: one agg
-    # for codegen machinery, one parquet scan for the reader/footer path
+    # warm the JVM/session so timings reflect steady state, not first-hit
+    # JIT: one agg for codegen machinery, one parquet scan for the
+    # reader/footer path, and the two widest agg plans (near-dup) at the
+    # smallest SF to compile their generated code once
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for warm in ("docs_minhash_lsh", "docs_simhash_neardup"):
+        QUERIES[warm](spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
+            "noop"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -330,3 +330,27 @@ def docs_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.avg("score_fr"), 6).alias("avg_score_fr"),
         stable_round(F.avg("score_es"), 6).alias("avg_score_es"),
     )
+
+
+@query("embedding_ivf_topk")  # no SQL oracle: the k-means index is
+# engine-trained state; tests pin recall against the exact baseline
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (16 lists, 3
+    Lloyd iterations, lowest-id init), queries probe their 6 nearest
+    lists and score exactly within them (operators/ivf.py).  The
+    inverted-file partition path for corpora where even LSH bucket
+    joins are too wide."""
+    from bigdata_covid19_real_time_spark.operators.ivf import (
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, n_clusters=16, n_iters=3)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=6)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        stable_round("cosine", 6).alias("cosine"),
+    ).orderBy("query_id", "rank")

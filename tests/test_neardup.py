@@ -117,3 +117,35 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 91), (2, 0)], "doc_id long, n_frames int")
     out = sorted((r.doc_id, r.frame_index) for r in frame_sample_plan(df, every_n=30).collect())
     assert out == [(1, 0), (1, 30), (1, 60), (1, 90), (2, 0)]
+
+
+def test_ivf_recall_against_exact(spark):
+    """IVF with nprobe=6/16 must recover most exact top-5 neighbors on
+    the real embeddings table (deterministic: seeded init, fixed iters)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_covid19_real_time_spark.operators.ivf import (
+        ivf_topk,
+        train_centroids,
+    )
+    from bigdata_covid19_real_time_spark.operators.similarity import cosine_topk
+    from bigdata_covid19_real_time_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_centroids(emb, n_clusters=8, n_iters=2)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    q = emb.filter(F.col("vec_id") < 5)
+    apx = ivf_topk(emb, q, cents, k=5, nprobe=3).collect()
+    exact = cosine_topk(emb, q, k=5).collect()
+    es: dict = {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    av: dict = {}
+    for r in apx:
+        av.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(es[k_] & av.get(k_, set())) for k_ in es) / sum(
+        len(s) for s in es.values()
+    )
+    assert recall >= 0.6  # 3/8 lists probed
+    # determinism: retraining reproduces identical centroids
+    assert train_centroids(emb, n_clusters=8, n_iters=2) == cents
