@@ -151,8 +151,18 @@ class CovidPipeline:
         trigger = trigger or {"processingTime": "30 seconds"}
         queries: list[StreamingQuery] = []
 
+        fanout_input = parsed_stream
+        if self.mode == "streaming":
+            # cross-batch dedup on the realtime natural key BEFORE the
+            # fan-out: the reference's per-batch dropDuplicates lets
+            # duplicates spanning micro-batches reach every sink
+            # (SURVEY.md §2.7); watermark-bounded state closes that gap
+            fanout_input = dedup_within_watermark(
+                parsed_stream, keys=["location", "date"], watermark=self.watermark
+            )
+
         fanout = (
-            parsed_stream.writeStream.foreachBatch(self.process_batch)
+            fanout_input.writeStream.foreachBatch(self.process_batch)
             .outputMode("append")
             .option("checkpointLocation", f"{checkpoint_dir}/fanout")
             .trigger(**trigger)

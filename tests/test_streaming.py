@@ -253,3 +253,20 @@ def test_cumulative_state_survives_restart(spark, tmp_path):
     # batch-2 Egypt row lands on top of restored state (2 + 1)
     assert second["Egypt"]["rows_seen"] == 3
     assert second["France"]["rows_seen"] == 2
+
+
+def test_streaming_mode_cross_batch_dedup_in_fanout(spark, tmp_path):
+    """streaming mode pre-dedups the fan-out input across micro-batches:
+    France's batch-2 duplicate must not reach the realtime sink twice."""
+    write_jsonl(tmp_path / "in" / "b1.jsonl", BATCH1)
+    write_jsonl(tmp_path / "in" / "b2.jsonl", BATCH2)
+    sink = MemorySink()
+    pipe = CovidPipeline(sink=sink, mode="streaming", clock=frozen_clock())
+    drain(pipe.run(read_jsonl_stream(spark, str(tmp_path / "in")),
+                   str(tmp_path / "ckpt"), trigger={"availableNow": True}))
+    rt = sorted((r["location"], str(r["date"])) for r in sink.rows(REALTIME_TABLE))
+    assert rt == [
+        ("Egypt", "2021-03-15"),
+        ("Egypt", "2021-03-16"),
+        ("France", "2021-03-15"),
+    ]
