@@ -43,6 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     above 2^53 ns).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Correctness must not depend on the caller's session conf (the
+    # driver's session is not get_spark()'s): every timestamp-rendering
+    # expression (date_format/to_date/window) evaluates in the session
+    # timezone, and the DuckDB oracles are timezone-naive — pin UTC at
+    # the single load chokepoint so both engines agree anywhere.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

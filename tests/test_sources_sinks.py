@@ -57,3 +57,23 @@ def test_parquet_sink_partitions_prune(spark, tmp_path):
     assert q.count() == 2
     # partition dirs exist on disk
     assert (tmp_path / "silver" / "date=2021-03-15").exists()
+
+
+def test_load_table_pins_utc_against_hostile_session_tz(spark):
+    """Correctness must not depend on the caller's session timezone (the
+    driver's session is not get_spark()'s): load_table re-pins UTC."""
+    from bigdata_covid19_real_time_spark.sources.batch import load_table
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        from pyspark.sql import functions as F
+
+        first = df.orderBy("event_id").select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s")
+        ).first()["s"]
+        assert first == "2024-01-01 00:09:58"  # UTC rendering, not EST
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
