@@ -336,3 +336,30 @@ def order_rank_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("price_quartile"),
         stable_round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
     )
+
+
+@query("daily_event_summary_sketch")  # no SQL oracle: HLL/t-digest sketch
+# outputs are engine-specific (deterministic in Spark, but not equal to
+# DuckDB's implementations); exactness is gated by the exact twins
+# daily_event_summary / value_percentiles
+def daily_event_summary_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the dashboard rollup: HLL++
+    ``approx_count_distinct`` (no expand+second-shuffle like exact
+    distinct) and t-digest ``approx_percentile`` (single-pass mergeable
+    sketch vs the exact percentile's full-value shuffle).  Same plan
+    shape as the exact twins, sketch state instead of value state."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count(F.lit(1)).alias("events_count"),
+            stable_round(
+                F.expr("approx_percentile(value, 0.5, 1000)"), 2
+            ).alias("approx_p50"),
+            stable_round(
+                F.expr("approx_percentile(value, 0.99, 1000)"), 2
+            ).alias("approx_p99"),
+        )
+        .orderBy("event_date")
+    )
