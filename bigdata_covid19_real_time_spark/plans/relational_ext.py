@@ -363,3 +363,114 @@ def daily_event_summary_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+@query(
+    "events_pivot_by_type",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN value END), 0.0) + 1e-9, 2) AS click,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN value END), 0.0) + 1e-9, 2) AS error,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0) + 1e-9, 2) AS purchase,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN value END), 0.0) + 1e-9, 2) AS signup,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN value END), 0.0) + 1e-9, 2) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per event type, daily value totals.  Explicit
+    pivot values — with them Catalyst plans a single-pass pivot agg;
+    without, it must first scan for distinct values (an extra job)."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", types)
+        .sum("value")
+    )
+    return out.select(
+        "event_date",
+        *[stable_round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(t) for t in types],
+    )
+
+
+@query(
+    "events_unpivot_daily_metrics",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS event_date,
+             CAST(COUNT(*) AS DOUBLE) AS events,
+             CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users,
+             ROUND(SUM(value) + 1e-9, 2) AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT event_date, metric, val
+    FROM daily
+    UNPIVOT (val FOR metric IN (events, users, total_value))
+    """,
+)
+def events_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide daily metrics to (date, metric, value) rows —
+    the long format dashboards and metric stores ingest.  Narrow Expand
+    op, no shuffle beyond the upstream agg."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("double").alias("events"),
+        F.countDistinct("user_id").cast("double").alias("users"),
+        stable_round(F.sum("value"), 2).alias("total_value"),
+    )
+    return daily.unpivot(
+        ["event_date"], ["events", "users", "total_value"], "metric", "val"
+    )
+
+
+@query(
+    "user_event_type_sets",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           CAST(COUNT(DISTINCT event_type) AS INTEGER) AS type_count
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation: per-user sorted distinct event-type set
+    (collect_set + array_sort for deterministic output).  The array
+    column round-trips the gate's value hash as its string form."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.countDistinct("event_type").cast("int").alias("type_count"),
+    )
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice + 1e-9, 2) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice)
+                                  FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o.o_orderkey
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the engine's SQL entry path
+    (``spark.sql`` over a registered view): orders 1.5x above their own
+    customer's average.  Catalyst decorrelates to an aggregate + join —
+    no per-row subquery execution."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               ROUND(o.o_totalprice + 1e-9, 2) AS o_totalprice
+        FROM orders_v o
+        WHERE o.o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice)
+                                      FROM orders_v o2
+                                      WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey
+        """
+    )
