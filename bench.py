@@ -44,6 +44,11 @@ HEADLINE = [
     "customer_order_coverage",
     "order_rank_spectrum",
     "events_sliding_rollup",
+    "events_pivot_by_type",
+    "events_unpivot_daily_metrics",
+    "user_event_type_sets",
+    "orders_above_customer_avg",
+    "daily_event_summary_sketch",
     "covid_clean",
     "covid_enrich",
     "covid_predict",
