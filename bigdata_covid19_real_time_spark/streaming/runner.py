@@ -41,6 +41,7 @@ from pyspark.sql.streaming import StreamingQuery
 from bigdata_covid19_real_time_spark.functions.cleaning import clean_observations
 from bigdata_covid19_real_time_spark.operators.aggregate import (
     continent_window_stats,
+    windowed_location_stats,
 )
 from bigdata_covid19_real_time_spark.operators.hotspot import detect_hotspots
 from bigdata_covid19_real_time_spark.operators.predict import (
@@ -56,6 +57,9 @@ REALTIME_TABLE = "covid_realtime_stats"
 PREDICTIONS_TABLE = "covid_predictions"
 CONTINENT_TABLE = "continent_covid_stats"
 HOTSPOTS_TABLE = "covid_hotspots"
+#: A6 — declared in the reference DDL (init.sql:42-54) but never
+#: populated by its code; the streaming mode populates it for real.
+WINDOWED_TABLE = "windowed_covid_stats"
 
 
 @dataclass
@@ -193,6 +197,30 @@ class CovidPipeline:
                 .start()
             )
             queries.append(agg_query)
+
+            # A6: the per-location windowed stats table the reference
+            # declares but never writes — populated as a second true
+            # streaming aggregation
+            windowed_sink = self._sink_for(WINDOWED_TABLE)
+
+            def write_windowed(df: DataFrame, epoch_id: int) -> None:
+                windowed_sink.write(df, epoch_id, WINDOWED_TABLE)
+
+            windowed = windowed_location_stats(
+                clean_observations(parsed_stream, clock=self.clock),
+                self.window_duration,
+                clock=self.clock,
+                watermark=self.watermark,
+            )
+            windowed_query = (
+                windowed.writeStream.foreachBatch(write_windowed)
+                .outputMode("update")
+                .option("checkpointLocation", f"{checkpoint_dir}/windowed")
+                .trigger(**trigger)
+                .queryName(f"{query_name}-windowed")
+                .start()
+            )
+            queries.append(windowed_query)
         return queries
 
 

@@ -270,3 +270,20 @@ def test_streaming_mode_cross_batch_dedup_in_fanout(spark, tmp_path):
         ("Egypt", "2021-03-16"),
         ("France", "2021-03-15"),
     ]
+
+
+def test_streaming_mode_populates_windowed_location_table(spark, tmp_path):
+    """A6 (windowed_covid_stats — declared in the reference DDL, never
+    written by its code) is populated as a true streaming agg."""
+    from bigdata_covid19_real_time_spark.streaming import runner as R
+
+    write_jsonl(tmp_path / "in" / "b1.jsonl", BATCH1)
+    sink = MemorySink()
+    pipe = CovidPipeline(sink=sink, mode="streaming", clock=frozen_clock())
+    drain(pipe.run(read_jsonl_stream(spark, str(tmp_path / "in")),
+                   str(tmp_path / "ckpt"), trigger={"availableNow": True}))
+    rows = sink.rows(R.WINDOWED_TABLE)
+    assert rows, "windowed stats table empty"
+    by_loc = {r["location"]: r for r in rows}
+    assert by_loc["Egypt"]["total_new_cases_window"] == pytest.approx(40000.0)
+    assert by_loc["France"]["max_total_cases"] == pytest.approx(187000.0)
