@@ -1,5 +1,6 @@
 from bigdata_covid19_real_time_spark.sinks.registry import (
     ConsoleSink,
+    FileSink,
     IdempotentParquetSink,
     JdbcSink,
     MemorySink,
@@ -9,6 +10,7 @@ from bigdata_covid19_real_time_spark.sinks.registry import (
 
 __all__ = [
     "Sink",
+    "FileSink",
     "MemorySink",
     "ParquetSink",
     "IdempotentParquetSink",

@@ -51,21 +51,42 @@ class MemorySink:
         return self.tables.get(table, [])
 
 
-class ParquetSink:
-    """Plain append: one directory per table.  At-least-once on replay
-    (same caveat as the reference's JDBC append)."""
+class FileSink:
+    """Plain append to a columnar/row file format: one directory per
+    table.  At-least-once on replay (same caveat as the reference's JDBC
+    append).  ``fmt`` is any built-in DataSource: parquet (default),
+    orc, json, csv — parquet/orc for analytics (column pruning +
+    predicate pushdown on read-back), json/csv for interchange."""
 
-    def __init__(self, base_dir: str, partition_by: list[str] | None = None) -> None:
+    def __init__(
+        self,
+        base_dir: str,
+        partition_by: list[str] | None = None,
+        fmt: str = "parquet",
+        options: dict[str, str] | None = None,
+    ) -> None:
         self.base_dir = base_dir
         self.partition_by = partition_by or []
+        self.fmt = fmt
+        self.options = options or {}
 
     def write(self, df: DataFrame, epoch_id: int, table: str) -> None:
-        writer = df.write.mode("append")
+        writer = df.write.mode("append").format(self.fmt)
+        for k, v in self.options.items():
+            writer = writer.option(k, v)
         if self.partition_by:
             cols = [c for c in self.partition_by if c in df.columns]
             if cols:
                 writer = writer.partitionBy(*cols)
-        writer.parquet(f"{self.base_dir}/{table}")
+        writer.save(f"{self.base_dir}/{table}")
+
+
+class ParquetSink(FileSink):
+    """The default analytics sink (kept as its own name — the engine's
+    cluster-native format)."""
+
+    def __init__(self, base_dir: str, partition_by: list[str] | None = None) -> None:
+        super().__init__(base_dir, partition_by, fmt="parquet")
 
 
 class IdempotentParquetSink:

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from bigdata_covid19_real_time_spark.functions.cleaning import clean_observations
 from bigdata_covid19_real_time_spark.schema import RAW_FIELDS
-from bigdata_covid19_real_time_spark.sinks import ParquetSink
+from bigdata_covid19_real_time_spark.sinks import FileSink, ParquetSink
 from bigdata_covid19_real_time_spark.sources.batch import read_raw_csv, read_raw_jsonl
 from tests.conftest import frozen_clock, make_raw, obs
 
@@ -77,3 +77,27 @@ def test_load_table_pins_utc_against_hostile_session_tz(spark):
         assert first == "2024-01-01 00:09:58"  # UTC rendering, not EST
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_file_sink_formats_round_trip(spark, tmp_path):
+    """FileSink writes every built-in format; read-back preserves the
+    cleaned rows (ORC/parquet typed; JSON/CSV via schema-on-read)."""
+    raw = make_raw(spark, [obs("Egypt", "2021-03-15"), obs("France", "2021-03-16")])
+    cleaned = clean_observations(raw, clock=frozen_clock()).select(
+        "location", "date", "total_cases", "death_rate"
+    )
+    expect = sorted((r.location, str(r.date), r.total_cases) for r in cleaned.collect())
+
+    for fmt in ["parquet", "orc", "json"]:
+        FileSink(str(tmp_path / fmt), fmt=fmt).write(cleaned, 0, "t")
+        back = spark.read.format(fmt).load(str(tmp_path / fmt / "t"))
+        got = sorted(
+            (r["location"], str(r["date"])[:10], float(r["total_cases"]))
+            for r in back.collect()
+        )
+        assert got == expect, fmt
+
+    csv_sink = FileSink(str(tmp_path / "csv"), fmt="csv", options={"header": "true"})
+    csv_sink.write(cleaned, 0, "t")
+    back = spark.read.option("header", True).csv(str(tmp_path / "csv" / "t"))
+    assert sorted(r["location"] for r in back.collect()) == ["Egypt", "France"]
