@@ -115,3 +115,40 @@ def write_jsonl_batch(df: DataFrame, path: str, mode: str = "append") -> None:
     """Broker-free producer twin: encode to the wire format and append
     JSON-lines files that ``read_jsonl_stream`` can tail."""
     to_json_value(df).write.mode(mode).text(path)
+
+
+def read_rate_stream(
+    spark: SparkSession, rows_per_second: int = 10
+) -> DataFrame:
+    """Rate source -> RAW-shaped synthetic observation stream: the
+    load-generator twin of the reference's sleeping producer
+    (covid_producer.py:33 paces ~10 rows/s; here the source itself is
+    rated).  Useful for soak-testing the pipeline without a broker or
+    files."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    v = F.col("value")
+    return rate.select(
+        v.cast("string").alias("uuid"),
+        F.lit("Africa").alias("continent"),
+        F.concat(F.lit("loc"), (v % 20).cast("string")).alias("location"),
+        F.concat(F.lit("L"), (v % 20).cast("string")).alias("iso_code"),
+        F.date_format("timestamp", "yyyy-MM-dd").alias("date"),
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+        (v * 1000 + 1).cast("string").alias("total_cases"),
+        (v * 10).cast("string").alias("new_cases"),
+        (v % 97).cast("string").alias("total_deaths"),
+        (v % 11).cast("string").alias("new_deaths"),
+        (v * 7 % 1000).cast("string").alias("active_cases"),
+        F.lit("1000000").alias("population"),
+        F.lit("").alias("recovery_rate"),
+        F.lit("").alias("death_rate"),
+        F.lit("").alias("cases_per_million"),
+        F.lit("").alias("deaths_per_million"),
+        F.lit("").alias("new_cases_ratio"),
+        F.lit("").alias("cases_to_population_ratio"),
+        F.when(v % 13 == 0, F.lit("true")).otherwise(F.lit("false")).alias("is_hotspot"),
+    )
