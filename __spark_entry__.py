@@ -1,13 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (40 queries covering SURVEY.md §2 plus
+engine's registered query surface (46 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
-Spark results against DuckDB oracles at sf0.01.  38/40 carry oracles;
-``docs_simhash_neardup`` and ``embedding_lsh_topk`` are rows-only by
-design (hash-function-dependent / approximate operators whose quality is
-pinned against exact baselines in tests instead).
+Spark results against DuckDB oracles at sf0.01.  All 46 carry oracles —
+including the approximate operators, each gated by the strongest
+expressible contract: MinHash-LSH and hyperplane-LSH ANN against the
+exact baselines they provably equal at these SFs (candidate recall 1.0
+with fixed seeds + exact rescoring), SimHash against a full SQL
+replication of its md5-derived fingerprints, IVF against an unrolled SQL
+replication of its deterministic k-means + probe pipeline, and the
+HLL/t-digest sketch rollup via error-bound booleans the oracle expects
+to be TRUE.
 """
 
 from __future__ import annotations

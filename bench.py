@@ -67,7 +67,24 @@ HEADLINE = [
     "docs_quality_by_lang",
     "docs_language_scores",
     "embedding_cosine_topk",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
 ]
+
+#: Heaviest queries, re-run at a second scale factor so the driver's
+#: record carries a rows-vs-runtime curve: sf0.01 -> sf0.1 is exactly
+#: 10x rows, so a plan that scales worse than ~linearly shows a ratio
+#: well above 10 (the ~2 s fixed job-overhead floor at these sizes pulls
+#: honest ratios *below* 10).
+SCALE_QUERIES = [
+    "docs_minhash_lsh",
+    "docs_simhash_neardup",
+    "docs_ngram_jaccard",
+    "covid_continent_5min",
+    "covid_predict",
+    "daily_event_summary_sketch",
+]
+SCALE_SMALL_DIR = "/root/testdata/sf0.01"
 
 
 def main() -> None:
@@ -96,12 +113,34 @@ def main() -> None:
             "noop"
         ).save()
 
+    def run_query(name: str, at_dir: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, at_dir).write.mode("overwrite").format("noop").save()
+        elapsed = round(time.perf_counter() - t0, 3)
+        # operators that persist intermediates (LSH band/shingle tables,
+        # exploded embeddings) would otherwise accumulate cached blocks
+        # across the 46-query loop until LRU eviction
+        spark.catalog.clearCache()
+        return elapsed
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = run_query(name, sf_dir)
+
+    # rows-vs-runtime curve for the heaviest plans: re-run at the small
+    # SF and report the 10x-rows timing ratio
+    scale: dict[str, dict[str, float]] = {}
+    if os.path.isdir(SCALE_SMALL_DIR) and os.path.realpath(
+        sf_dir
+    ) != os.path.realpath(SCALE_SMALL_DIR):
+        for name in SCALE_QUERIES:
+            small = run_query(name, SCALE_SMALL_DIR)
+            large = timings.get(name) or run_query(name, sf_dir)
+            scale[name] = {
+                "small_sec": small,
+                "large_sec": large,
+                "ratio": round(large / small, 2) if small > 0 else None,
+            }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +151,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "scale": {
+                    "small_sf_dir": SCALE_SMALL_DIR,
+                    "rows_factor": 10,
+                    "queries": scale,
+                },
             }
         )
     )

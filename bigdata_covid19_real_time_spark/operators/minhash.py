@@ -19,6 +19,13 @@ O(K) longs per doc; the shuffle key is an 8-byte band hash.  Skewed
 buckets (boilerplate docs) can be salted or capped by bucket size
 upstream; candidate verification touches only bucket-mates.
 
+Cache lifecycle: these operators ``persist()`` intermediate tables the
+plan reads more than once (shingle/bucket tables); the cache lives until
+the caller materializes the returned frame, so unpersisting here would
+force recomputation.  Callers looping many operator invocations in one
+session should ``spark.catalog.clearCache()`` between them (bench.py
+does) or the cached blocks accumulate until LRU eviction.
+
 The hash family is per-permutation-salted ``xxhash64(salt_i, shingle
 hash)`` with seeded salts — deterministic across runs, and genuinely
 independent between permutations.  (A linear ``(a*x+b) mod p`` family
@@ -35,6 +42,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_covid19_real_time_spark.operators.bucketing import cap_bucket_size
 from bigdata_covid19_real_time_spark.operators.text import tokens
 
 
@@ -110,12 +118,15 @@ def minhash_lsh_candidates(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) via banded LSH.
 
     Plan: signature -> explode B band hashes -> groupBy band bucket ->
     pairs within bucket -> distinct.  The shuffle carries (band_hash,
-    id) — 16 bytes/row/band — never document content.
+    id) — 16 bytes/row/band — never document content.  Buckets over
+    ``max_bucket_size`` members are dropped with a logged count
+    (operators/bucketing.py) — the quadratic-bucket guard.
     """
     if num_perm % bands != 0:
         raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
@@ -134,6 +145,9 @@ def minhash_lsh_candidates(
     buckets = sigs.select(
         F.col(id_col), F.explode(band_hashes).alias("band_hash")
     ).persist()
+    buckets = cap_bucket_size(
+        buckets, ["band_hash"], max_bucket_size, "minhash_lsh_candidates"
+    )
     a = buckets.select(F.col(id_col).alias("doc_a"), "band_hash")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band_hash")
     return (
@@ -153,6 +167,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
 
@@ -160,6 +175,8 @@ def minhash_lsh_pairs(
     negatives (P(miss) ~= (1 - s^R)^B per pair — 1.2e-4 at s=0.9 with
     the defaults).  The verification join touches only candidates, so
     the exact-Jaccard machinery runs on |candidates| docs, not |corpus|.
+    Band buckets over ``max_bucket_size`` members are dropped with a
+    logged count (operators/bucketing.py) — the quadratic-bucket guard.
     """
     salts = _permutation_salts(num_perm, seed)
     if num_perm % bands != 0:
@@ -191,6 +208,9 @@ def minhash_lsh_pairs(
     buckets = stats.select(
         F.col(id_col), F.col("__n"), F.explode(band_hashes).alias("band_hash")
     ).persist()
+    buckets = cap_bucket_size(
+        buckets, ["band_hash"], max_bucket_size, "minhash_lsh_pairs"
+    )
     a_b = buckets.select(
         F.col(id_col).alias("doc_a"), F.col("__n").alias("n_a"), "band_hash"
     )

@@ -6,12 +6,12 @@ needs: Spark moves/filters/joins the bytes without interpreting them,
 and per-modality decode/feature kernels run as Arrow-batched
 ``mapInPandas`` stages at the edges.
 
-The decode kernels themselves are STUBS in this environment (no
-image/audio libraries in the container): ``decode_image_meta`` ships a
-deterministic fake decoder (clearly marked) so the Spark-side plumbing —
-schema contract, batch shape, partition-parallelism, null handling — is
-real and tested end-to-end; swapping the fake for PIL/ffmpeg changes
-only the inner function body.
+Decode kernels are feature-gated (``select_decode_kernel``): when PIL is
+importable the real header-parse decoder runs; in this container (no
+image libraries) the clearly-marked deterministic fake takes over, so
+the Spark-side plumbing — schema contract, batch shape,
+partition-parallelism, null handling — is real and tested end-to-end
+either way, and deploying next to a real imaging lib changes nothing.
 
 Scale notes:
 - binary payloads inflate shuffle cost ~payload-size; filter and project
@@ -92,30 +92,69 @@ def text_as_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return df.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload"))
 
 
+try:  # feature gate: real decoder when the imaging lib exists
+    from PIL import Image as _PILImage  # noqa: N814
+
+    _HAS_PIL = True
+except ImportError:  # the test container ships no image libs
+    _PILImage = None
+    _HAS_PIL = False
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """DETERMINISTIC FAKE image decoder (stub — no image libs in this
     container).  Derives (width, height, channels) from payload length so
-    tests are reproducible.  Replace the body with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` in a real deployment."""
+    tests are reproducible."""
     n = len(payload)
     return (n % 1920 + 1, n % 1080 + 1, 3)
 
 
-def decode_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _pil_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real decoder: PIL header parse (no full pixel decode for size)."""
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        return (img.width, img.height, len(img.getbands()))
+
+
+def select_decode_kernel(kernel: str = "auto"):
+    """Pick the decode kernel: ``auto`` uses PIL when importable and
+    falls back to the deterministic fake; ``pil``/``fake`` force one
+    (``pil`` raises where the lib is absent rather than silently faking).
+    """
+    if kernel == "auto":
+        return _pil_decode if _HAS_PIL else _fake_decode
+    if kernel == "pil":
+        if not _HAS_PIL:
+            raise ImportError(
+                "decode kernel 'pil' requested but PIL is not installed; "
+                "use kernel='auto' to fall back to the deterministic fake"
+            )
+        return _pil_decode
+    if kernel == "fake":
+        return _fake_decode
+    raise ValueError(f"unknown decode kernel {kernel!r}: use auto|pil|fake")
+
+
+def decode_image_meta(
+    df: DataFrame, id_col: str = "doc_id", kernel: str = "auto"
+) -> DataFrame:
     """Arrow-batched decode pass: (id, payload) -> image metadata rows.
 
     The ``mapInPandas`` shape is the real contract: one Python worker per
     partition, Arrow record batches in/out, NULL payloads dropped, output
-    schema fixed.  Only ``_fake_decode``'s body is a stub.
+    schema fixed.  The kernel is selected by ``select_decode_kernel`` —
+    PIL when present, the clearly-marked deterministic fake otherwise.
     """
     schema = IMAGE_META_SCHEMA
+    decode_one = select_decode_kernel(kernel)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["payload"].notna()]
             if pdf.empty:
                 continue
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [decode_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(),

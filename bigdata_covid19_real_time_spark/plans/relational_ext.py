@@ -10,7 +10,7 @@ the Catalyst-native construct (``rollup``/``cube``, ``session_window``,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_covid19_real_time_spark.operators.asof import asof_join
@@ -338,31 +338,74 @@ def order_rank_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("daily_event_summary_sketch")  # no SQL oracle: HLL/t-digest sketch
-# outputs are engine-specific (deterministic in Spark, but not equal to
-# DuckDB's implementations); exactness is gated by the exact twins
-# daily_event_summary / value_percentiles
+@query(
+    "daily_event_summary_sketch",
+    # Sketch values are engine-specific (Spark HLL++ / t-digest cannot
+    # equal DuckDB's implementations bit-for-bit), but the sketches'
+    # ACCURACY CONTRACT is oracle-checkable: emit error-bound booleans
+    # (|approx - exact| <= rel_tol * |exact| + abs_tol, evaluated inside
+    # Spark against the exact aggregate) and have the oracle expect TRUE.
+    # Both engines agree on the exact events_count, so the row identity
+    # is still value-hashed, not just counted.
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS events_count,
+           TRUE AS approx_users_within_2pct,
+           TRUE AS approx_p50_within_5pct,
+           TRUE AS approx_p99_within_5pct
+    FROM events
+    GROUP BY 1
+    """,
+)
 def daily_event_summary_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of the dashboard rollup: HLL++
     ``approx_count_distinct`` (no expand+second-shuffle like exact
     distinct) and t-digest ``approx_percentile`` (single-pass mergeable
     sketch vs the exact percentile's full-value shuffle).  Same plan
-    shape as the exact twins, sketch state instead of value state."""
+    shape as the exact twins, sketch state instead of value state.
+
+    Gate shape: the exact twins run in the same aggregate purely to
+    evaluate the error bounds; at 100 TB you run only the sketch half —
+    the exact columns here are the verification harness, not the op.
+
+    Bound semantics match each sketch's actual guarantee: HLL bounds
+    VALUE error (rsd 0.01 -> 2% relative + 1.5 absolute slack for tiny
+    per-day cardinalities, where the sparse encoding is near-exact); the
+    percentile sketch bounds RANK error — the approx value must lie
+    between the exact p+/-5% quantiles.  A value-relative percentile
+    bound would be wrong: on a 30-row day the sketch returns a dataset
+    element while the exact percentile interpolates between elements,
+    and the inter-element gap can exceed any fixed value tolerance.
+    """
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.to_date("ts").alias("event_date"))
-        .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.count(F.lit(1)).alias("events_count"),
-            stable_round(
-                F.expr("approx_percentile(value, 0.5, 1000)"), 2
-            ).alias("approx_p50"),
-            stable_round(
-                F.expr("approx_percentile(value, 0.99, 1000)"), 2
-            ).alias("approx_p99"),
-        )
-        .orderBy("event_date")
+
+    agg = events.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("events_count"),
+        F.approx_count_distinct("user_id", 0.01).cast("double").alias("__au"),
+        F.countDistinct("user_id").cast("double").alias("__eu"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("__a50"),
+        F.expr("approx_percentile(value, 0.99, 1000)").alias("__a99"),
+        F.expr("percentile(value, 0.45)").alias("__lo50"),
+        F.expr("percentile(value, 0.55)").alias("__hi50"),
+        F.expr("percentile(value, 0.94)").alias("__lo99"),
+        F.expr("percentile(value, 1.0)").alias("__hi99"),
     )
+
+    def rank_bound(approx: str, lo: str, hi: str) -> Column:
+        return (F.col(approx) >= F.col(lo) - F.lit(1e-9)) & (
+            F.col(approx) <= F.col(hi) + F.lit(1e-9)
+        )
+
+    return agg.select(
+        "event_date",
+        "events_count",
+        (
+            F.abs(F.col("__au") - F.col("__eu"))
+            <= F.lit(0.02) * F.col("__eu") + F.lit(1.5)
+        ).alias("approx_users_within_2pct"),
+        rank_bound("__a50", "__lo50", "__hi50").alias("approx_p50_within_5pct"),
+        rank_bound("__a99", "__lo99", "__hi99").alias("approx_p99_within_5pct"),
+    ).orderBy("event_date")
 
 
 @query(
@@ -429,7 +472,7 @@ def events_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_sets",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
            CAST(COUNT(DISTINCT event_type) AS INTEGER) AS type_count
     FROM events
     GROUP BY user_id
@@ -437,11 +480,15 @@ def events_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-aggregation: per-user sorted distinct event-type set
-    (collect_set + array_sort for deterministic output).  The array
-    column round-trips the gate's value hash as its string form."""
+    (collect_set + array_sort for deterministic output), projected as a
+    comma-joined string — the gate's pandas canonicalization cannot hash
+    a raw array column (round-1 gate crash: "unhashable type: 'list'"),
+    and the string form carries the identical information."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "event_types"
+        ),
         F.countDistinct("event_type").cast("int").alias("type_count"),
     )
 

@@ -18,11 +18,15 @@ Re-expresses the reference's ``process_batch`` + ``main``
     the current micro-batch; the watermark is omitted because on a batch
     frame it is inert anyway (SURVEY.md §2.5 A2);
   * ``streaming`` — the corrected semantics: the continent rollup runs
-    as a *true* streaming aggregation with ``withWatermark`` + append
-    mode (incremental state, late-data eviction, each window emitted
-    once on close), and realtime-row dedup uses
-    ``dropDuplicatesWithinWatermark`` instead of per-batch
-    ``dropDuplicates``.
+    as a *true* streaming aggregation with ``withWatermark`` + UPDATE
+    output mode (incremental state, late-data eviction; each window
+    emits a refreshed row per batch that touches it, so results appear
+    before the window closes).  Durable append-style sinks therefore see
+    multiple partials per window: route these tables through
+    ``IdempotentParquetSink`` and read with last-wins dedup on
+    (window_start, key) — ``max(epoch)`` identifies the final row.
+    Realtime-row dedup uses ``dropDuplicatesWithinWatermark`` instead
+    of per-batch ``dropDuplicates``.
 
 Scale: each epoch shuffles at most three times (dedup key, forecaster's
 location window, rollup key) over one persisted scan of the batch.  The
@@ -48,6 +52,7 @@ from bigdata_covid19_real_time_spark.operators.predict import (
     PREDICTION_COLUMNS,
     predict_future_trends,
 )
+from bigdata_covid19_real_time_spark.schema import validate_sink_schema
 from bigdata_covid19_real_time_spark.sinks.registry import Sink
 
 logger = logging.getLogger(__name__)
@@ -83,9 +88,18 @@ class CovidPipeline:
     #: wraps the whole batch in try/except — X4 in SURVEY.md §2.10),
     #: where batch failures are logged and data silently dropped.
     fail_fast: bool = True
+    #: Check every frame against schema.SINK_SCHEMAS (the init.sql DDL
+    #: twin) before it reaches a sink.  Driver-side metadata compare —
+    #: no job — so it stays on by default.
+    validate_schemas: bool = True
 
     def _sink_for(self, table: str) -> Sink:
         return self.sinks.get(table, self.sink)
+
+    def _write(self, df: DataFrame, epoch_id: int, table: str) -> None:
+        if self.validate_schemas:
+            validate_sink_schema(df, table)
+        self._sink_for(table).write(df, epoch_id, table)
 
     # ------------------------------------------------------------------
     # the per-epoch fan-out (foreachBatch body)
@@ -105,27 +119,23 @@ class CovidPipeline:
         cleaned = clean_observations(raw, clock=self.clock).persist()
         try:
             realtime = cleaned.dropDuplicates(["location", "date"])
-            self._sink_for(REALTIME_TABLE).write(realtime, epoch_id, REALTIME_TABLE)
+            self._write(realtime, epoch_id, REALTIME_TABLE)
 
             predictions = (
                 predict_future_trends(realtime, clock=self.clock)
                 .dropDuplicates(["location", "prediction_date"])
             )
-            self._sink_for(PREDICTIONS_TABLE).write(
-                predictions, epoch_id, PREDICTIONS_TABLE
-            )
+            self._write(predictions, epoch_id, PREDICTIONS_TABLE)
 
             if self.mode == "parity":
                 # continent rollup per batch (watermark inert, omitted)
                 continent = continent_window_stats(
                     cleaned, self.window_duration, clock=self.clock
                 )
-                self._sink_for(CONTINENT_TABLE).write(
-                    continent, epoch_id, CONTINENT_TABLE
-                )
+                self._write(continent, epoch_id, CONTINENT_TABLE)
 
             hotspots = detect_hotspots(cleaned, clock=self.clock)
-            self._sink_for(HOTSPOTS_TABLE).write(hotspots, epoch_id, HOTSPOTS_TABLE)
+            self._write(hotspots, epoch_id, HOTSPOTS_TABLE)
         finally:
             cleaned.unpersist()
 
@@ -146,10 +156,13 @@ class CovidPipeline:
         ``{"availableNow": True}`` for drain-and-stop test runs,
         ``{"processingTime": "30 seconds"}`` for the reference cadence.
 
-        In ``streaming`` mode two queries start: the foreachBatch
-        fan-out (with per-batch rollup replaced by nothing) and a
-        separate true streaming aggregation for the continent rollup —
-        watermarked, append-mode, one emission per closed window.
+        In ``streaming`` mode three queries start: the foreachBatch
+        fan-out (with the per-batch rollup removed) plus true streaming
+        aggregations for the continent rollup and per-location windowed
+        stats — watermarked, UPDATE output mode, so every batch that
+        touches a window re-emits that window's refreshed row.  With a
+        durable sink, dedup on read with last-wins per (window_start,
+        key): use ``IdempotentParquetSink`` and take ``max(epoch)``.
         Returns the started queries; callers own ``awaitTermination``.
         """
         trigger = trigger or {"processingTime": "30 seconds"}
@@ -176,10 +189,9 @@ class CovidPipeline:
         queries.append(fanout)
 
         if self.mode == "streaming":
-            continent_sink = self._sink_for(CONTINENT_TABLE)
 
             def write_continent(df: DataFrame, epoch_id: int) -> None:
-                continent_sink.write(df, epoch_id, CONTINENT_TABLE)
+                self._write(df, epoch_id, CONTINENT_TABLE)
 
             rollup = continent_window_stats(
                 clean_observations(parsed_stream, clock=self.clock),
@@ -201,10 +213,8 @@ class CovidPipeline:
             # A6: the per-location windowed stats table the reference
             # declares but never writes — populated as a second true
             # streaming aggregation
-            windowed_sink = self._sink_for(WINDOWED_TABLE)
-
             def write_windowed(df: DataFrame, epoch_id: int) -> None:
-                windowed_sink.write(df, epoch_id, WINDOWED_TABLE)
+                self._write(df, epoch_id, WINDOWED_TABLE)
 
             windowed = windowed_location_stats(
                 clean_observations(parsed_stream, clock=self.clock),

@@ -45,6 +45,28 @@ def parse_json_value(
     )
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The S1/T7 option set, as data — testable without a broker or the
+    kafka connector jar (the env has neither, so ``load()`` can never
+    run here; this pins subscribe/offsets/failOnDataLoss against
+    regression instead)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -60,15 +82,15 @@ def read_kafka_stream(
     broker-less environments use ``read_jsonl_stream`` — everything
     downstream of ``load()`` is identical.
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    reader = spark.readStream.format("kafka")
+    for key, value in kafka_source_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets,
+        fail_on_data_loss,
+        max_offsets_per_trigger,
+    ).items():
+        reader = reader.option(key, value)
     return parse_json_value(reader.load())
 
 

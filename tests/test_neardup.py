@@ -84,9 +84,37 @@ def test_simhash_identical_and_near(spark, docs):
 
 
 def test_simhash_pairs_bucketing(spark, docs):
-    # exact dup pair must surface at hamming 0
+    # exact dup pair must surface at hamming 0; the near-dup (1,2) may
+    # also collapse to 0 (one-word edits can leave every bit's vote sign
+    # unchanged) — but the unrelated doc 3 never pairs
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, max_hamming=0).collect()}
-    assert pairs == {(1, 4): 0}
+    assert pairs[(1, 4)] == 0
+    assert all(h == 0 for h in pairs.values())
+    assert not any(3 in p for p in pairs)
+
+
+def test_bucket_cap_bounds_degenerate_corpus(spark, caplog):
+    """A boilerplate corpus (many identical docs) must not go quadratic:
+    over-cap band buckets are dropped and the drop is logged."""
+    import logging
+
+    n = 200
+    degenerate = spark.createDataFrame(
+        [(i, BASE) for i in range(n)], "doc_id long, text string"
+    )
+    with caplog.at_level(logging.WARNING, logger="bigdata_covid19_real_time_spark"):
+        sim = simhash_pairs(degenerate, max_hamming=3, max_bucket_size=50).count()
+        mh = minhash_lsh_pairs(degenerate, threshold=0.5, max_bucket_size=50).count()
+    # every bucket holds all 200 identical docs -> all over cap -> dropped
+    assert sim == 0 and mh == 0
+    cap_events = [
+        r for r in caplog.records if "over-cap band buckets" in r.getMessage()
+    ]
+    assert len(cap_events) >= 2  # one logged drop per operator
+    # and with the cap disabled the same corpus pairs everything
+    assert simhash_pairs(
+        degenerate.limit(20), max_hamming=3, max_bucket_size=None
+    ).count() == 20 * 19 / 2
 
 
 def test_media_metadata_and_decode(spark, docs):
@@ -104,6 +132,27 @@ def test_media_metadata_and_decode(spark, docs):
     assert meta[1]["n_channels"] == 3
 
 
+def test_decode_kernel_selection():
+    """Feature gate: auto -> PIL when importable, else the deterministic
+    fake; pil -> hard error where the lib is absent (no silent faking)."""
+    from bigdata_covid19_real_time_spark.operators.multimodal import (
+        _HAS_PIL,
+        _fake_decode,
+        select_decode_kernel,
+    )
+
+    auto = select_decode_kernel("auto")
+    if _HAS_PIL:
+        assert auto is not _fake_decode
+    else:
+        assert auto is _fake_decode
+        with pytest.raises(ImportError, match="pil"):
+            select_decode_kernel("pil")
+    assert select_decode_kernel("fake") is _fake_decode
+    with pytest.raises(ValueError, match="unknown decode kernel"):
+        select_decode_kernel("ffmpeg")
+
+
 def test_decode_drops_null_payloads(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"abc")), (2, None)], "doc_id long, payload binary"
@@ -117,6 +166,42 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 91), (2, 0)], "doc_id long, n_frames int")
     out = sorted((r.doc_id, r.frame_index) for r in frame_sample_plan(df, every_n=30).collect())
     assert out == [(1, 0), (1, 30), (1, 60), (1, 90), (2, 0)]
+
+
+def test_ivf_index_partition_pruned_probe(spark, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: same results as the in-memory
+    ivf_topk, with the probe scan reading ONLY probed cluster partitions
+    (PartitionFilters on the parquet scan — the inverted-FILE read path)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bigdata_covid19_real_time_spark.operators.ivf import (
+        ivf_topk,
+        ivf_topk_indexed,
+        train_centroids,
+        write_ivf_index,
+    )
+    from bigdata_covid19_real_time_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_centroids(emb, n_clusters=8, n_iters=2)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk_indexed(spark, path, q, cents, k=5, nprobe=3)
+    base = ivf_topk(emb, q, cents, k=5, nprobe=3)
+
+    def canon(rows):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 6)) for r in rows
+        )
+
+    assert canon(out.collect()) == canon(base.collect())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan), plan
+    spark.catalog.clearCache()
 
 
 def test_ivf_recall_against_exact(spark):

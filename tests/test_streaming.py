@@ -111,6 +111,48 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     }
 
 
+def test_kafka_source_options_match_reference():
+    """S1/T7 pin (no broker in env): the option set the Kafka reader is
+    built from matches the reference's (covid_streaming.py:206-212 —
+    subscribe topic, earliest offsets, tolerate data loss) plus the
+    engine's consumer-side backpressure knob."""
+    from bigdata_covid19_real_time_spark.streaming.sources import (
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options("kafka:9092", "covid_data")
+    assert opts == {
+        "kafka.bootstrap.servers": "kafka:9092",
+        "subscribe": "covid_data",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    capped = kafka_source_options(
+        "kafka:9092", "covid_data", max_offsets_per_trigger=5000
+    )
+    assert capped["maxOffsetsPerTrigger"] == "5000"
+
+
+def test_cli_entry_point_smoke(spark, tmp_path):
+    """`python -m bigdata_covid19_real_time_spark` wiring: drain a jsonl
+    dir with availableNow and materialize all four sink tables."""
+    from bigdata_covid19_real_time_spark.__main__ import main
+
+    write_jsonl(tmp_path / "in" / "b1.jsonl", BATCH1)
+    rc = main(
+        [
+            "--source", "jsonl", "--source-path", str(tmp_path / "in"),
+            "--sink", "parquet", "--sink-dir", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--available-now",
+        ]
+    )
+    assert rc == 0
+    for table in (REALTIME_TABLE, PREDICTIONS_TABLE, CONTINENT_TABLE, HOTSPOTS_TABLE):
+        df = spark.read.parquet(str(tmp_path / "out" / table))
+        assert df.count() >= 1, table
+
+
 def test_streaming_mode_watermarked_rollup(spark, tmp_path):
     """streaming mode: the continent rollup runs as a true streaming agg
     (update mode, incremental state) instead of per-batch recompute."""
