@@ -66,6 +66,8 @@ HEADLINE = [
     "docs_media_meta",
     "docs_quality_by_lang",
     "docs_language_scores",
+    "docs_token_stats",
+    "docs_winnow_fingerprints",
     "embedding_cosine_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",

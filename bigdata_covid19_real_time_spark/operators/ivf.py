@@ -84,32 +84,41 @@ def train_centroids(
 
     Collects only C x dim floats per iteration — never the corpus.
     """
+    # persist across Lloyd iterations: every iteration reads vecs twice
+    # (dot products + means), and training materializes eagerly inside
+    # this function, so the cache can be dropped before returning —
+    # unlike the query-shaped operators, no lazy frame escapes.
     vecs = corpus.select(
         F.col(id_col).alias("__id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
-    )
-    init_rows = vecs.orderBy("__id").limit(n_clusters).collect()
-    centroids = [list(r["__vec"]) for r in init_rows]
+    ).persist()
+    try:
+        init_rows = vecs.orderBy("__id").limit(n_clusters).collect()
+        centroids = [list(r["__vec"]) for r in init_rows]
 
-    for _ in range(n_iters):
-        dots = _dots_vs_centroids(vecs, "__id", "__vec", centroids)
-        assigned = dots.select("__id", _assignment_expr(centroids).alias("__cluster"))
-        means = (
-            vecs.join(assigned, "__id")
-            .select("__cluster", F.posexplode("__vec").alias("__p", "__v"))
-            .groupBy("__cluster", "__p")
-            .agg(F.avg("__v").alias("__m"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r["__cluster"], {})[r["__p"]] = r["__m"]
-        centroids = [
-            [by_cluster[c][p] for p in sorted(by_cluster[c])]
-            if c in by_cluster
-            else centroids[c]  # empty cluster keeps its old centroid
-            for c in range(n_clusters)
-        ]
+        for _ in range(n_iters):
+            dots = _dots_vs_centroids(vecs, "__id", "__vec", centroids)
+            assigned = dots.select(
+                "__id", _assignment_expr(centroids).alias("__cluster")
+            )
+            means = (
+                vecs.join(assigned, "__id")
+                .select("__cluster", F.posexplode("__vec").alias("__p", "__v"))
+                .groupBy("__cluster", "__p")
+                .agg(F.avg("__v").alias("__m"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cluster.setdefault(r["__cluster"], {})[r["__p"]] = r["__m"]
+            centroids = [
+                [by_cluster[c][p] for p in sorted(by_cluster[c])]
+                if c in by_cluster
+                else centroids[c]  # empty cluster keeps its old centroid
+                for c in range(n_clusters)
+            ]
+    finally:
+        vecs.unpersist()
     return centroids
 
 

@@ -57,16 +57,17 @@ def simhash_fingerprints(
     ex = toks_df.select(
         F.col(id_col), F.explode_outer("__toks").alias("__t")
     ).filter(F.col("__t").isNotNull())
-    # stage the hash halves: the 64 bit-tests below each read them, and
-    # an inlined md5+conv would be recomputed per bit.  Two 32-bit
-    # halves (hex chars 1-8 and 9-16 of the digest) instead of one
-    # 64-bit parse: conv() yields an unsigned decimal string, and a
-    # 16-hex-char value above 2^63-1 would overflow the ANSI long cast.
-    m = F.md5(F.col("__t"))
-    hashed = ex.select(
+    # stage the digest, then the halves, in SEPARATE projections: the 64
+    # bit-tests below each read the halves, and the two conv() calls
+    # each read the digest — inlining would recompute md5 per half and
+    # conv per bit.  Two 32-bit halves (hex chars 1-8 and 9-16) instead
+    # of one 64-bit parse: conv() yields an unsigned decimal string, and
+    # a 16-hex-char value above 2^63-1 would overflow the ANSI long cast.
+    digest = ex.select(F.col(id_col), F.md5(F.col("__t")).alias("__md5"))
+    hashed = digest.select(
         F.col(id_col),
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("__h1"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("__h2"),
+        F.conv(F.substring("__md5", 1, 8), 16, 10).cast("long").alias("__h1"),
+        F.conv(F.substring("__md5", 9, 8), 16, 10).cast("long").alias("__h2"),
     )
 
     def bit(j: int) -> Column:

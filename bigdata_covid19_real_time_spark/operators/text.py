@@ -191,6 +191,75 @@ def jaccard_pairs(
     )
 
 
+#: BPE-ish tokenizer regex: letter runs, digit runs, single punctuation
+#: marks — the pre-tokenization split most BPE vocabularies assume.
+#: ASCII classes only so Spark (Java regex) and SQL oracles (RE2-style
+#: engines) agree on every match.
+BPE_SPLIT_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: str | Column) -> Column:
+    """Token count under the BPE-ish pre-tokenization split — the
+    budget-relevant count for an LLM corpus (whitespace counting misses
+    punctuation splits; 'don't.' is one whitespace token but three
+    BPE-ish pieces).  JVM-side ``regexp_count``, narrow map."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(BPE_SPLIT_REGEX))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): (id, fp) rows.
+
+    Each position's char ``k``-gram is hashed; every sliding window of
+    ``window`` consecutive gram hashes contributes its minimum; the
+    distinct minima are the document's fingerprint set.  Guarantees:
+    any shared substring of length >= k + window - 1 yields a shared
+    fingerprint, and the selected set is position-stable (robust to
+    whitespace-preserving edits elsewhere in the doc).
+
+    Spark shape: all array work (k-gram hash, per-window min, distinct)
+    happens in one ``transform``/``slice``/``array_min`` expression
+    chain per row — narrow map, no shuffle until the caller aggregates.
+    Staged projections (grams as a named column before the window pass)
+    keep Catalyst from re-inlining the gram array per window
+    (the documented inlining trap on ``jaccard_pairs``).
+
+    The gram hash is md5-derived (first 15 hex chars -> 60-bit int, the
+    same cross-engine-reproducible trick as operators/simhash.py), so a
+    SQL oracle can recompute fingerprints exactly.  Docs shorter than
+    ``k + window - 1`` chars produce no rows.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col), norm.alias("__t")).filter(
+        F.length("__t") >= k + window - 1
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("__t") - k + 1),
+        # Column.substr accepts Column start positions (F.substring needs
+        # literals); 15 hex chars = 60 bits, ANSI-long-safe (simhash.py)
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("__t").substr(i, F.lit(k))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    grams_df = base.select(F.col(id_col), grams.alias("__g"))
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__g") - window + 1),
+            lambda j: F.array_min(F.slice(F.col("__g"), j, window)),
+        )
+    )
+    mins_df = grams_df.select(F.col(id_col), mins.alias("__m"))
+    return mins_df.select(
+        F.col(id_col), F.explode_outer("__m").alias("fp")
+    ).filter(F.col("fp").isNotNull())
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint over normalized text (lowercased,
     whitespace-collapsed) — the exact-dedup key for a 100 TB corpus:

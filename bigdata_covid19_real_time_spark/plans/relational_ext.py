@@ -378,24 +378,29 @@ def daily_event_summary_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the inter-element gap can exceed any fixed value tolerance.
     """
     events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("event_date")
 
-    agg = events.groupBy(F.to_date("ts").alias("event_date")).agg(
+    # TWO passes joined on the 30-row result, not one mixed aggregate:
+    # a distinct aggregate (countDistinct) mixed with percentile buffers
+    # makes Catalyst Expand every input row through every agg buffer,
+    # and separate percentile(p) calls each sort their own buffer.  The
+    # sketch pass is pure single-phase; the exact pass uses the
+    # array-percentile form (one sort serves all four quantiles).
+    sketch = events.groupBy(day).agg(
         F.count(F.lit(1)).alias("events_count"),
         F.approx_count_distinct("user_id", 0.01).cast("double").alias("__au"),
-        F.countDistinct("user_id").cast("double").alias("__eu"),
-        F.expr("approx_percentile(value, 0.5, 1000)").alias("__a50"),
-        F.expr("approx_percentile(value, 0.99, 1000)").alias("__a99"),
-        F.expr("percentile(value, 0.45)").alias("__lo50"),
-        F.expr("percentile(value, 0.55)").alias("__hi50"),
-        F.expr("percentile(value, 0.94)").alias("__lo99"),
-        F.expr("percentile(value, 1.0)").alias("__hi99"),
+        F.expr("approx_percentile(value, array(0.5, 0.99), 1000)").alias("__ap"),
     )
+    exact = events.groupBy(day).agg(
+        F.countDistinct("user_id").cast("double").alias("__eu"),
+        F.expr("percentile(value, array(0.45, 0.55, 0.94, 1.0))").alias("__ep"),
+    )
+    agg = sketch.join(exact, "event_date")
 
-    def rank_bound(approx: str, lo: str, hi: str) -> Column:
-        return (F.col(approx) >= F.col(lo) - F.lit(1e-9)) & (
-            F.col(approx) <= F.col(hi) + F.lit(1e-9)
-        )
+    def rank_bound(approx: Column, lo: Column, hi: Column) -> Column:
+        return (approx >= lo - F.lit(1e-9)) & (approx <= hi + F.lit(1e-9))
 
+    ap, ep = F.col("__ap"), F.col("__ep")
     return agg.select(
         "event_date",
         "events_count",
@@ -403,8 +408,8 @@ def daily_event_summary_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("__au") - F.col("__eu"))
             <= F.lit(0.02) * F.col("__eu") + F.lit(1.5)
         ).alias("approx_users_within_2pct"),
-        rank_bound("__a50", "__lo50", "__hi50").alias("approx_p50_within_5pct"),
-        rank_bound("__a99", "__lo99", "__hi99").alias("approx_p99_within_5pct"),
+        rank_bound(ap[0], ep[0], ep[1]).alias("approx_p50_within_5pct"),
+        rank_bound(ap[1], ep[2], ep[3]).alias("approx_p99_within_5pct"),
     ).orderBy("event_date")
 
 

@@ -93,6 +93,41 @@ def test_simhash_pairs_bucketing(spark, docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing invariant: docs sharing a substring of length >=
+    k + window - 1 (= 11 for k=8, w=4) share >= 1 fingerprint; docs
+    shorter than that produce no fingerprints at all."""
+    from bigdata_covid19_real_time_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "completely different lead-in then " + shared),
+            (3, "nothing in common with either of the above documents"),
+            (4, "tiny"),  # < 11 chars -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=8, window=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 44-char substring must share a fingerprint"
+    assert 4 not in fps
+    # overlap with the unrelated doc is far smaller than the shared pair
+    assert len(fps[1] & fps[2]) > len(fps[1] & fps[3])
+
+
+def test_bpe_token_count_splits_punctuation(spark):
+    from bigdata_covid19_real_time_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("don't stop, it's 2024!",)], "text string"
+    ).select(bpe_token_count("text").alias("n"))
+    # don / ' / t / stop / , / it / ' / s / 2024 / ! -> 10 pieces
+    assert df.first().n == 10
+
+
 def test_bucket_cap_bounds_degenerate_corpus(spark, caplog):
     """A boilerplate corpus (many identical docs) must not go quadratic:
     over-cap band buckets are dropped and the drop is logged."""
