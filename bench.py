@@ -68,6 +68,8 @@ HEADLINE = [
     "docs_language_scores",
     "docs_token_stats",
     "docs_winnow_fingerprints",
+    "docs_sample_10pct",
+    "docs_stratified_sample",
     "embedding_cosine_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",

@@ -1,0 +1,87 @@
+"""Deterministic, reproducible corpus sampling.
+
+Not in the reference (its pipeline forwards everything); part of the
+training-data extension surface.  At 100 TB, sampling must be:
+
+- **deterministic under retries** — a speculative task re-run must pick
+  the same rows, or the corpus differs between attempts.  Spark's
+  ``df.sample()`` draws per-partition ``rand()`` streams whose output
+  depends on partitioning and task attempt; hash-based sampling is a
+  pure row-wise predicate, immune to both;
+- **seed-addressable** — changing the seed yields an independent sample
+  (held-out splits, ablations) while keeping run-to-run stability;
+- **stratifiable** — per-source / per-language keep rates are the
+  mixing-weights knob every LLM data recipe needs.
+
+Mechanism: row kept iff ``bucket(key, seed) < rate * M`` where the
+bucket is an md5-derived uniform integer in ``[0, M)``.  md5 (not
+``xxhash64``) for the same reason as operators/simhash.py: both engines
+compute it bit-identically, so the correctness gate's SQL oracle can
+reproduce the EXACT sampled row set, not just its approximate size.
+The predicate is a narrow map — it pushes below shuffles and costs one
+hash per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket modulus: rate resolution of 1e-6.
+NUM_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, seed: int) -> Column:
+    """Uniform bucket in [0, NUM_BUCKETS) from (seed, key) — md5-derived
+    60-bit integer (15 hex chars keep the ANSI long cast safe), modulo
+    the bucket count.  Cross-engine SQL twin:
+    ``('0x' || substr(md5(seed || ':' || key), 1, 15))::BIGINT % M``."""
+    digest = F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long"),
+        F.lit(NUM_BUCKETS),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen purely by key hash.
+
+    The same (key, seed) is kept or dropped identically in every run,
+    every partitioning, every engine — and samples at different rates
+    are NESTED (rate 0.1 is a subset of rate 0.2), which makes
+    scale-up experiments comparable.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(
+        hash_bucket(F.col(key_col), seed) < F.lit(int(rate * NUM_BUCKETS))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum keep rates — the mixing-weights sampler.
+
+    ``rates`` maps stratum values (e.g. language or source) to keep
+    probabilities; unlisted strata fall back to ``default_rate``.  One
+    hash + one CASE per row, narrow map, no shuffle.
+    """
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    threshold: Column | None = None
+    for k, r in rates.items():
+        t = F.lit(int(r * NUM_BUCKETS))
+        cond = F.col(strata_col) == k
+        threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
+    fallback = F.lit(int(default_rate * NUM_BUCKETS))
+    threshold = fallback if threshold is None else threshold.otherwise(fallback)
+    return df.filter(hash_bucket(F.col(key_col), seed) < threshold)

@@ -453,6 +453,67 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_sample_10pct",
+    # exact row-set replication: the md5-derived bucket is bit-identical
+    # in DuckDB, so the oracle reproduces the sample membership itself,
+    # not just its expected size
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000 < 100000
+    """,
+)
+def docs_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample by key hash
+    (operators/sampling.py): retry-stable, seed-addressable, nested
+    across rates — the reproducible-sampling primitive a training
+    pipeline needs in place of ``rand()``-based ``df.sample``."""
+    from bigdata_covid19_real_time_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.10, "doc_id", seed=7).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "docs_stratified_sample",
+    oracle="""
+    WITH kept AS (
+      SELECT lang FROM documents
+      WHERE ('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000
+            < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                        WHEN 'fr' THEN 100000 ELSE 50000 END
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept FROM kept GROUP BY lang
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixing weights (operators/sampling.py): keep 50% en,
+    25% de, 10% fr, 5% everything else — the data-recipe knob, as one
+    narrow hash+CASE predicate.  Oracle replicates exact membership via
+    the same md5 buckets, then counts per stratum."""
+    from bigdata_covid19_real_time_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        {"en": 0.5, "de": 0.25, "fr": 0.10},
+        strata_col="lang",
+        key_col="doc_id",
+        seed=13,
+        default_rate=0.05,
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+
+
+@query(
     "embedding_cosine_neardup",
     # all-pairs exact cosine >= threshold — the LSH candidate pass has
     # P(miss) = (1 - 0.35)^24 ~= 3e-5 per qualifying pair at this

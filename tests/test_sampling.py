@@ -1,0 +1,74 @@
+"""Deterministic sampling: retry-stability, nesting, mixing weights."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    stratified_sample,
+)
+from bigdata_covid19_real_time_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_sample_is_deterministic_and_repartition_stable(spark, docs):
+    ids1 = {r.doc_id for r in deterministic_sample(docs, 0.2, "doc_id", 7).collect()}
+    ids2 = {r.doc_id for r in deterministic_sample(docs, 0.2, "doc_id", 7).collect()}
+    assert ids1 == ids2
+    # partitioning must not change membership (rand()-based sample fails this)
+    ids3 = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(13), 0.2, "doc_id", 7).collect()
+    }
+    assert ids1 == ids3
+
+
+def test_samples_nest_across_rates_and_split_across_seeds(spark, docs):
+    small = {r.doc_id for r in deterministic_sample(docs, 0.1, "doc_id", 7).collect()}
+    large = {r.doc_id for r in deterministic_sample(docs, 0.3, "doc_id", 7).collect()}
+    assert small <= large
+    other_seed = {
+        r.doc_id for r in deterministic_sample(docs, 0.1, "doc_id", 8).collect()
+    }
+    assert other_seed != small  # independent draw
+
+
+def test_sample_rate_approximately_holds(spark, docs):
+    total = docs.count()
+    kept = deterministic_sample(docs, 0.25, "doc_id", 3).count()
+    assert abs(kept / total - 0.25) < 0.08
+
+
+def test_stratified_rates_apply_per_stratum(spark, docs):
+    rates = {"en": 0.8, "de": 0.1}
+    out = stratified_sample(docs, rates, "lang", "doc_id", seed=5, default_rate=0.0)
+    kept = {r.lang: r.kept for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("kept")).collect()}
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(kept) <= {"en", "de"}  # default_rate=0 drops other strata
+    assert abs(kept["en"] / totals["en"] - 0.8) < 0.15
+    assert kept.get("de", 0) / totals["de"] < 0.3
+
+
+def test_bucket_uniform_range(spark, docs):
+    stats = docs.select(hash_bucket(F.col("doc_id"), 1).alias("b")).agg(
+        F.min("b"), F.max("b")
+    ).first()
+    assert 0 <= stats[0] and stats[1] < 1_000_000
+
+
+def test_invalid_rates_raise(spark, docs):
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5, "doc_id")
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"en": -0.1}, "lang", "doc_id")
