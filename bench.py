@@ -37,6 +37,7 @@ HEADLINE = [
     "events_rollup",
     "events_cube",
     "purchase_asof_click",
+    "purchase_window_clicks",
     "user_sessions",
     "error_only_user_days",
     "value_percentiles",
@@ -70,6 +71,8 @@ HEADLINE = [
     "docs_winnow_fingerprints",
     "docs_sample_10pct",
     "docs_stratified_sample",
+    "docs_decontam",
+    "docs_repetition_stats",
     "embedding_cosine_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",

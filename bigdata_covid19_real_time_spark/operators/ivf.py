@@ -9,17 +9,23 @@ L/2^bits for LSH.
 
 Spark-first shape:
 - centroids live on the driver (C x dim floats — KBs) and enter the
-  plan as literal arrays, so assignment is a narrow map: per vector,
-  C codegen'd dot products + argmin.  No shuffle to assign.
-- Lloyd iterations are DataFrame aggregations: posexplode(vec) ->
-  groupBy (cluster, position) -> avg -> collect C x dim means.  Each
-  iteration is one shuffle of (C x dim) partial sums per partition.
+  plan as a **broadcast C-row DataFrame**, so assignment is a broadcast
+  cross-join + ``zip_with`` dot product followed by a per-vector argmax
+  — one shuffle on the vector id.  Centroids-as-DataFrame, NOT as
+  literal arrays baked into aggregate expressions: literals make every
+  Lloyd iteration a brand-new plan whose generated code (C aggregates x
+  dim-element arrays) Janino recompiles from scratch — measured ~5 s of
+  compile per iteration at C=16, dim=64, vs a single reusable compiled
+  plan when the centroid values arrive as broadcast data.
+- Lloyd iterations are DataFrame aggregations: assignment as above,
+  then posexplode(vec) -> groupBy (cluster, position) -> avg -> collect
+  C x dim means.  Only C x dim floats ever reach the driver.
 - training is deterministic: seeded centroid init from a fixed-id
   sample, fixed iteration count — rerunning reproduces the same index.
 
-Cache lifecycle: ``ivf_topk`` persists the exploded corpus and stats
-tables; the cache must outlive the returned lazy frame, so callers
-looping invocations should ``spark.catalog.clearCache()`` between them
+Cache lifecycle: ``ivf_topk`` persists the exploded corpus table; the
+cache must outlive the returned lazy frame, so callers looping
+invocations should ``spark.catalog.clearCache()`` between them
 (bench.py does).
 
 At 100 TB: train on a sample (kmeans quality saturates fast),
@@ -30,46 +36,72 @@ part of inverted-file), and score with the same exploded-join used here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _assignment_expr(centroids: list[list[float]]):
-    """argmin over squared L2 distance == argmax(dot - |c|^2/2) for unit
-    cost; returns a Column picking the nearest centroid id from the
-    exploded-sum columns ``__d_0..__d_{C-1}`` (dot products).
-
-    ``array_max`` over (score, -id) structs, NOT a folded
-    when/otherwise chain: each fold step embeds the previous tree twice
-    (condition + otherwise), so C centroids build a 2^C-node expression
-    — 16 centroids OOM'd the driver during analysis.  Struct ordering
-    breaks exact score ties toward the lower centroid id.
-    """
-    entries = F.array(
-        *[
-            F.struct(
-                (F.col(f"__d_{i}") - F.lit(sum(x * x for x in c) / 2.0)).alias("s"),
-                F.lit(-i).alias("nc"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return -F.array_max(entries)["nc"]
-
-
-def _dots_vs_centroids(
-    df: DataFrame, id_name: str, vec_col: str, centroids: list[list[float]]
-) -> DataFrame:
-    """(id, __d_0.., norm): dot product against every centroid + L2 norm,
-    via posexplode + codegen sum-aggregates (one shuffle on id)."""
-    ex = df.select(id_name, F.posexplode(vec_col).alias("__p", "__v"))
-    aggs = [
-        F.sum(F.col("__v") * F.element_at(F.lit(c), F.col("__p") + 1)).alias(f"__d_{i}")
+def _centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
+    """(cid, cvec, chalf) — chalf = |c|^2 / 2 precomputed driver-side so
+    the score expression ``dot(v, c) - chalf`` is a plain column op."""
+    rows = [
+        (i, [float(x) for x in c], float(sum(x * x for x in c)) / 2.0)
         for i, c in enumerate(centroids)
     ]
-    aggs.append(F.sqrt(F.sum(F.col("__v") * F.col("__v"))).alias("norm"))
-    return ex.groupBy(id_name).agg(*aggs)
+    return spark.createDataFrame(rows, "cid INT, cvec ARRAY<DOUBLE>, chalf DOUBLE")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(vec: Column) -> Column:
+    """L2 norm as a narrow array aggregate — no explode, no shuffle."""
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _scored(vecs: DataFrame, id_name: str, centroids: list[list[float]]) -> DataFrame:
+    """(id, cid, __s): every vector scored against every centroid with
+    the argmin-equivalent score ``dot(v, c) - |c|^2/2``.  Broadcast
+    cross-join of a C-row frame — C * |vecs| rows, no corpus shuffle."""
+    cent = _centroid_frame(vecs.sparkSession, centroids)
+    return vecs.crossJoin(F.broadcast(cent)).select(
+        id_name,
+        "cid",
+        (_dot(F.col("__vec"), F.col("cvec")) - F.col("chalf")).alias("__s"),
+    )
+
+
+def _assign(vecs: DataFrame, id_name: str, centroids: list[list[float]]) -> DataFrame:
+    """(id, cluster): nearest centroid per vector; exact score ties break
+    toward the lower centroid id (max of (s, -cid) structs)."""
+    return (
+        _scored(vecs, id_name, centroids)
+        .groupBy(id_name)
+        .agg(
+            F.max(F.struct(F.col("__s").alias("s"), (-F.col("cid")).alias("nc"))).alias(
+                "m"
+            )
+        )
+        .select(id_name, (-F.col("m.nc")).cast("int").alias("cluster"))
+    )
+
+
+def _probes(
+    vecs: DataFrame, id_name: str, centroids: list[list[float]], nprobe: int
+) -> DataFrame:
+    """(id, cluster): each vector's ``nprobe`` best-scoring centroids.
+    Ties rank toward the HIGHER centroid id — matches the historical
+    ``reverse(array_sort(...))`` probe order the SQL oracles replicate."""
+    w = Window.partitionBy(id_name).orderBy(F.desc("__s"), F.desc("cid"))
+    return (
+        _scored(vecs, id_name, centroids)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(id_name, F.col("cid").alias("cluster"))
+    )
 
 
 def train_centroids(
@@ -78,48 +110,61 @@ def train_centroids(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_rows: int = 262_144,
 ) -> list[list[float]]:
     """Deterministic k-means: init = the ``n_clusters`` lowest-id vectors,
-    then ``n_iters`` Lloyd steps as DataFrame aggregations.
+    then ``n_iters`` Lloyd steps — computed driver-side in numpy over a
+    BOUNDED training set.
 
-    Collects only C x dim floats per iteration — never the corpus.
+    Coarse-quantizer training is the one deliberate driver-side step in
+    the IVF pipeline, and it is bounded by design: k-means quality
+    saturates on a sample long before corpus scale (FAISS trains IVF
+    quantizers on <=256 * n_clusters sampled vectors), while running
+    Lloyd as repeated Spark jobs costs seconds of scheduling per
+    iteration to average kilobytes of numbers.  The training set here is
+    the ``max_train_rows`` lowest-id vectors, fetched with one
+    distributed top-K (no global sort); at the correctness-gate scale
+    factors that cap exceeds the corpus, so training is exact full-corpus
+    Lloyd — which is what the gate's SQL oracle replicates.  For an
+    unbiased subsample at 100 TB (where low ids may correlate with one
+    shard), pre-sample the corpus with
+    ``operators.sampling.deterministic_sample`` and pass the result in.
+
+    Everything corpus-sized — assignment, probing, scoring, the
+    inverted-file write — stays fully distributed (``_assign`` /
+    ``ivf_topk`` / ``write_ivf_index``).
+
+    Lloyd semantics (replicated by the SQL oracle): assignment by
+    ``argmax(dot(v, c) - |c|^2/2)`` with exact-score ties to the lower
+    centroid id; new centroid = per-position mean; empty clusters keep
+    their previous centroid.
     """
-    # persist across Lloyd iterations: every iteration reads vecs twice
-    # (dot products + means), and training materializes eagerly inside
-    # this function, so the cache can be dropped before returning —
-    # unlike the query-shaped operators, no lazy frame escapes.
-    vecs = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
-    ).persist()
-    try:
-        init_rows = vecs.orderBy("__id").limit(n_clusters).collect()
-        centroids = [list(r["__vec"]) for r in init_rows]
+    import numpy as np
 
-        for _ in range(n_iters):
-            dots = _dots_vs_centroids(vecs, "__id", "__vec", centroids)
-            assigned = dots.select(
-                "__id", _assignment_expr(centroids).alias("__cluster")
-            )
-            means = (
-                vecs.join(assigned, "__id")
-                .select("__cluster", F.posexplode("__vec").alias("__p", "__v"))
-                .groupBy("__cluster", "__p")
-                .agg(F.avg("__v").alias("__m"))
-                .collect()
-            )
-            by_cluster: dict[int, dict[int, float]] = {}
-            for r in means:
-                by_cluster.setdefault(r["__cluster"], {})[r["__p"]] = r["__m"]
-            centroids = [
-                [by_cluster[c][p] for p in sorted(by_cluster[c])]
-                if c in by_cluster
-                else centroids[c]  # empty cluster keeps its old centroid
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
+        )
+        .orderBy("__id")
+        .limit(max_train_rows)
+        .collect()
+    )
+    X = np.array([r["__vec"] for r in rows], dtype=np.float64)
+    centroids = X[:n_clusters].copy()
+
+    for _ in range(n_iters):
+        # N x C scores; np.argmax breaks exact ties toward the first
+        # (lowest) centroid id, matching _assign's (s, -cid) struct max
+        scores = X @ centroids.T - 0.5 * (centroids * centroids).sum(axis=1)
+        assign = np.argmax(scores, axis=1)
+        centroids = np.vstack(
+            [
+                X[assign == c].mean(axis=0) if (assign == c).any() else centroids[c]
                 for c in range(n_clusters)
             ]
-    finally:
-        vecs.unpersist()
-    return centroids
+        )
+    return [list(map(float, c)) for c in centroids]
 
 
 def assign_clusters(
@@ -130,18 +175,15 @@ def assign_clusters(
 ) -> DataFrame:
     """Corpus + a ``cluster`` column: nearest-centroid id per vector.
 
-    Narrow shape: one shuffle on the id for the exploded dot-product
-    aggregate, then a join back to the original rows (broadcast-eligible
-    when the corpus is small; co-partitioned on the id otherwise).
+    One shuffle on the id for the per-vector argmax, then a join back to
+    the original rows (broadcast-eligible when the corpus is small;
+    co-partitioned on the id otherwise).
     """
     vecs = corpus.select(
         F.col(id_col).alias("__aid"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
     )
-    dots = _dots_vs_centroids(vecs, "__aid", "__vec", centroids)
-    assigned = dots.select(
-        "__aid", _assignment_expr(centroids).alias("cluster")
-    )
+    assigned = _assign(vecs, "__aid", centroids)
     return corpus.join(
         assigned, corpus[id_col] == assigned["__aid"]
     ).drop("__aid")
@@ -166,6 +208,33 @@ def write_ivf_index(
     assign_clusters(corpus, centroids, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cluster").parquet(path)
+
+
+def _score_candidates(
+    cands: DataFrame, cex: DataFrame, qex: DataFrame, k: int
+) -> DataFrame:
+    """Shared tail: exact cosine over (query, candidate) pairs from the
+    exploded corpus/query tables, then per-query top-k with ties broken
+    by neighbor id."""
+    dp = (
+        cands.join(cex, "neighbor_id")
+        .join(qex, ["query_id", "__p"])
+        .groupBy("query_id", "neighbor_id", "q_norm", "c_norm")
+        .agg(F.sum(F.col("__cv") * F.col("__qv")).alias("__dp"))
+    )
+    scored = dp.withColumn(
+        "cosine",
+        F.when(
+            (F.col("q_norm") > 0) & (F.col("c_norm") > 0),
+            F.col("__dp") / (F.col("q_norm") * F.col("c_norm")),
+        ).otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
 
 
 def ivf_topk_indexed(
@@ -194,31 +263,12 @@ def ivf_topk_indexed(
     qex = F.broadcast(
         q_vecs.select("query_id", F.posexplode("__vec").alias("__p", "__qv"))
     )
-    q_stats = qex.groupBy("query_id").agg(
-        *[
-            F.sum(F.col("__qv") * F.element_at(F.lit(c), F.col("__p") + 1)).alias(
-                f"__d_{i}"
-            )
-            for i, c in enumerate(centroids)
-        ],
-        F.sqrt(F.sum(F.col("__qv") * F.col("__qv"))).alias("norm"),
+    q_norms = q_vecs.select("query_id", _norm(F.col("__vec")).alias("q_norm"))
+    q_probes = (
+        _probes(q_vecs, "query_id", centroids, nprobe)
+        .join(q_norms, "query_id")
+        .persist()
     )
-    probe_entries = F.array(
-        *[
-            F.struct(
-                (F.col(f"__d_{i}") - F.lit(sum(x * x for x in c) / 2.0)).alias("s"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    q_probes = q_stats.select(
-        "query_id",
-        F.col("norm").alias("q_norm"),
-        F.explode(F.slice(F.reverse(F.array_sort(probe_entries)), 1, nprobe)).alias(
-            "pe"
-        ),
-    ).select("query_id", "q_norm", F.col("pe.c").alias("cluster")).persist()
 
     probe_clusters = sorted(
         r["cluster"] for r in q_probes.select("cluster").distinct().collect()
@@ -227,40 +277,23 @@ def ivf_topk_indexed(
     pruned = spark.read.parquet(index_path).filter(
         F.col("cluster").isin(probe_clusters)
     )
-    cex = pruned.select(
+    c_base = pruned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("cluster"),
-        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
-            "__p", "__cv"
-        ),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
     )
-    c_stats = cex.groupBy("neighbor_id", "cluster").agg(
-        F.sqrt(F.sum(F.col("__cv") * F.col("__cv"))).alias("c_norm")
+    cex = c_base.select(
+        "neighbor_id", F.posexplode("__vec").alias("__p", "__cv")
+    )
+    c_stats = c_base.select(
+        "neighbor_id", "cluster", _norm(F.col("__vec")).alias("c_norm")
     )
     cands = (
         c_stats.join(F.broadcast(q_probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "q_norm", "c_norm")
     )
-    dp = (
-        cands.join(cex.drop("cluster"), "neighbor_id")
-        .join(qex, ["query_id", "__p"])
-        .groupBy("query_id", "neighbor_id", "q_norm", "c_norm")
-        .agg(F.sum(F.col("__cv") * F.col("__qv")).alias("__dp"))
-    )
-    scored = dp.withColumn(
-        "cosine",
-        F.when(
-            (F.col("q_norm") > 0) & (F.col("c_norm") > 0),
-            F.col("__dp") / (F.col("q_norm") * F.col("c_norm")),
-        ).otherwise(F.lit(0.0)),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _score_candidates(cands, cex, qex, k)
 
 
 def ivf_topk(
@@ -292,44 +325,12 @@ def ivf_topk(
         q_vecs.select("query_id", F.posexplode("__vec").alias("__p", "__qv"))
     )
 
-    def stats_from_exploded(ex: DataFrame, id_name: str, val: str) -> DataFrame:
-        aggs = [
-            F.sum(F.col(val) * F.element_at(F.lit(c), F.col("__p") + 1)).alias(
-                f"__d_{i}"
-            )
-            for i, c in enumerate(centroids)
-        ]
-        aggs.append(F.sqrt(F.sum(F.col(val) * F.col(val))).alias("norm"))
-        return ex.groupBy(id_name).agg(*aggs)
-
-    c_stats = stats_from_exploded(cex, "neighbor_id", "__cv").persist()
-    q_stats = stats_from_exploded(qex, "query_id", "__qv").persist()
-
-    c_assign = c_stats.select(
+    c_assign = _assign(c_vecs, "neighbor_id", centroids).join(
+        c_vecs.select("neighbor_id", _norm(F.col("__vec")).alias("c_norm")),
         "neighbor_id",
-        F.col("norm").alias("c_norm"),
-        _assignment_expr(centroids).alias("cluster"),
     )
-    # query probes: rank centroids by the same (dot - |c|^2/2) score and
-    # keep the nprobe best -> (query_id, cluster) pairs
-    probe_entries = F.array(
-        *[
-            F.struct(
-                (F.col(f"__d_{i}") - F.lit(sum(x * x for x in c) / 2.0)).alias("s"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    q_probes = (
-        q_stats.select(
-            "query_id",
-            F.col("norm").alias("q_norm"),
-            F.explode(F.slice(F.reverse(F.array_sort(probe_entries)), 1, nprobe)).alias(
-                "pe"
-            ),
-        )
-        .select("query_id", "q_norm", F.col("pe.c").alias("cluster"))
+    q_probes = _probes(q_vecs, "query_id", centroids, nprobe).join(
+        q_vecs.select("query_id", _norm(F.col("__vec")).alias("q_norm")), "query_id"
     )
 
     cands = (
@@ -337,22 +338,4 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "q_norm", "c_norm")
     )
-    dp = (
-        cands.join(cex, "neighbor_id")
-        .join(qex, ["query_id", "__p"])
-        .groupBy("query_id", "neighbor_id", "q_norm", "c_norm")
-        .agg(F.sum(F.col("__cv") * F.col("__qv")).alias("__dp"))
-    )
-    scored = dp.withColumn(
-        "cosine",
-        F.when(
-            (F.col("q_norm") > 0) & (F.col("c_norm") > 0),
-            F.col("__dp") / (F.col("q_norm") * F.col("c_norm")),
-        ).otherwise(F.lit(0.0)),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _score_candidates(cands, cex, qex, k)

@@ -100,44 +100,40 @@ def hyperplane_signature(
     return sig
 
 
-def _signature_stats(
-    ex: DataFrame, id_name: str, tables: list[list[list[float]]], val: str = "__v"
-) -> DataFrame:
-    """(id, norm, __sig0..__sigL-1) from exploded (id, __p, val) rows —
-    one grouped codegen pass computing every table's hyperplane dot
-    products plus the L2 norm."""
-    dot_aggs = [
-        F.sum(F.col(val) * F.element_at(F.lit(plane), F.col("__p") + 1)).alias(
-            f"__d_{t}_{b}"
-        )
+def _plane_frame(spark, tables: list[list[list[float]]]) -> DataFrame:
+    """(table, weight, plane) — one row per (hash table, bit), with the
+    bit's power-of-two packing weight carried as data."""
+    rows = [
+        (t, float(2**b), [float(x) for x in plane])
         for t, planes in enumerate(tables)
         for b, plane in enumerate(planes)
     ]
-    norm_agg = F.sqrt(F.sum(F.col(val) * F.col(val))).alias("norm")
-    dots = ex.groupBy(id_name).agg(*dot_aggs, norm_agg)
-    sig_cols = []
-    for t, planes in enumerate(tables):
-        sig = F.lit(0).cast("long")
-        for b in range(len(planes)):
-            sig = sig + (F.col(f"__d_{t}_{b}") >= 0).cast("long") * F.lit(2**b).cast(
-                "long"
-            )
-        sig_cols.append(sig.alias(f"__sig{t}"))
-    return dots.select(id_name, F.col("norm"), *sig_cols)
+    return spark.createDataFrame(rows, "table INT, weight DOUBLE, plane ARRAY<DOUBLE>")
 
 
-def _signature_buckets(
-    st: DataFrame, id_name: str, n_tables: int
+def _signatures(
+    vecs: DataFrame, id_name: str, tables: list[list[list[float]]]
 ) -> DataFrame:
-    """(id, table, sig) rows — one bucket row per hash table."""
-    arr = F.array(
-        *[
-            F.struct(F.lit(t).alias("table"), F.col(f"__sig{t}").alias("sig"))
-            for t in range(n_tables)
-        ]
-    )
-    return st.select(id_name, F.explode(arr).alias("b")).select(
-        id_name, F.col("b.table").alias("table"), F.col("b.sig").alias("sig")
+    """(id, table, sig) bucket rows: every table's hyperplane signature
+    per vector.
+
+    The planes enter as a **broadcast (L x b)-row DataFrame**, not as
+    literal arrays inside aggregate expressions: the literal form makes
+    Janino compile L*b dim-wide sum-aggregates (~seconds of codegen for
+    16x2 tables at dim 64, the dominant cost of the whole query), while
+    this form is one small reusable plan — broadcast cross-join,
+    ``zip_with`` dot per (vector, plane), then a per-(id, table) sum of
+    the set bits' weights.  Bit weights are powers of two carried as
+    doubles (exact to 2^53) and the sum is cast back to long."""
+    planes = _plane_frame(vecs.sparkSession, tables)
+    contrib = F.when(
+        dot(F.col("__vec"), F.col("plane")) >= 0, F.col("weight")
+    ).otherwise(F.lit(0.0))
+    return (
+        vecs.crossJoin(F.broadcast(planes))
+        .select(id_name, "table", contrib.alias("__c"))
+        .groupBy(id_name, "table")
+        .agg(F.sum("__c").cast("long").alias("sig"))
     )
 
 
@@ -161,12 +157,11 @@ def cosine_neardup_pairs(
     pruning.  Output equals the all-pairs exact result minus those
     misses, so with adequate L the exact result IS the oracle.
     """
-    cex = corpus.select(
-        F.col(id_col).alias("__nid"),
-        F.posexplode(_as_double(F.col(vec_col))).alias("__p", "__v"),
+    c_vecs = corpus.select(
+        F.col(id_col).alias("__nid"), _as_double(F.col(vec_col)).alias("__vec")
     ).persist()
-    stats = _signature_stats(cex, "__nid", tables).persist()
-    buckets = _signature_buckets(stats, "__nid", len(tables))
+    cex = c_vecs.select("__nid", F.posexplode("__vec").alias("__p", "__v"))
+    buckets = _signatures(c_vecs, "__nid", tables)
     a = buckets.select(F.col("__nid").alias("vec_a"), "table", "sig")
     b = buckets.select(F.col("__nid").alias("vec_b"), "table", "sig")
     cands = (
@@ -191,7 +186,7 @@ def cosine_neardup_pairs(
         .groupBy("vec_a", "vec_b")
         .agg(F.sum(F.col("__av") * F.col("__bv")).alias("__dp"))
     )
-    norms = stats.select("__nid", "norm")
+    norms = c_vecs.select("__nid", l2_norm(F.col("__vec")).alias("norm"))
     scored = (
         dp.join(norms.select(F.col("__nid").alias("vec_a"), F.col("norm").alias("__na")), "vec_a")
         .join(norms.select(F.col("__nid").alias("vec_b"), F.col("norm").alias("__nb")), "vec_b")
@@ -227,30 +222,25 @@ def lsh_bucketed_topk(
     ~L * corpus / 2^b candidates instead of the whole corpus.  Plane
     width must equal the vector width (zip_with null-pads mismatches).
     """
-    # Everything runs over persisted (id, position, value) exploded rows —
-    # signatures, norms, and candidate scoring are codegen'd sum-aggregates.
-    # The higher-order ``dot``/``l2_norm`` forms are interpreted lambdas at
-    # ~1 ms per call (measured: 26 s for this plan at 500 vectors); the
-    # exploded formulation runs the identical arithmetic in whole-stage
-    # codegen.  Two shuffles total (id for stats, pair for scoring).
-    qex = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.posexplode(_as_double(F.col(vec_col))).alias("__p", "__v"),
-        )
-    )
-    cex = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode(_as_double(F.col(vec_col))).alias("__p", "__v"),
+    # Candidate generation runs on bucket rows from the broadcast-planes
+    # ``_signatures`` pass (no plan literals — see its docstring for the
+    # codegen-compile rationale); candidate scoring stays a codegen'd
+    # sum-aggregate over the exploded (id, position, value) rows.
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__vec")
     ).persist()
-
-    q_stats = F.broadcast(_signature_stats(qex, "query_id", tables).persist())
-    c_stats = _signature_stats(cex, "neighbor_id", tables).persist()
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__vec")
+    )
+    qex = F.broadcast(
+        q_vecs.select("query_id", F.posexplode("__vec").alias("__p", "__v"))
+    )
+    cex = c_vecs.select("neighbor_id", F.posexplode("__vec").alias("__p", "__v"))
 
     cands = (
-        _signature_buckets(c_stats, "neighbor_id", len(tables))
+        _signatures(c_vecs, "neighbor_id", tables)
         .join(
-            F.broadcast(_signature_buckets(q_stats, "query_id", len(tables))),
+            F.broadcast(_signatures(q_vecs, "query_id", tables)),
             ["table", "sig"],
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -264,9 +254,14 @@ def lsh_bucketed_topk(
         .agg(F.sum(F.col("__cv") * F.col("__qv")).alias("__dp"))
     )
     scored = (
-        dp.join(q_stats.select("query_id", F.col("norm").alias("q_norm")), "query_id")
+        dp.join(
+            F.broadcast(
+                q_vecs.select("query_id", l2_norm(F.col("__vec")).alias("q_norm"))
+            ),
+            "query_id",
+        )
         .join(
-            c_stats.select("neighbor_id", F.col("norm").alias("c_norm")),
+            c_vecs.select("neighbor_id", l2_norm(F.col("__vec")).alias("c_norm")),
             "neighbor_id",
         )
         .withColumn(

@@ -260,6 +260,83 @@ def winnow_fingerprints(
     ).filter(F.col("fp").isNotNull())
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher/C4 family of quality
+    rules, adapted to token/n-gram form): type-token ratio, most-frequent
+    token fraction, most-frequent bigram fraction.
+
+    Highly repetitive documents (boilerplate, keyword stuffing, broken
+    scrapes) show low TTR and high top-n-gram coverage; corpus pipelines
+    drop or down-weight them before training.
+
+    Plan shape: explode unigrams and bigrams, count per (doc, gram),
+    then collapse per doc — two shuffle rounds on (doc, gram), both with
+    map-side partial aggregation, so the shuffled volume is the number
+    of DISTINCT grams per doc, not the token stream.  Grams are hashed
+    to 8 bytes (``xxhash64``) before the shuffle; the counts, not the
+    gram identities, are what the metrics need.  Docs with fewer than 2
+    tokens get bigram stats of 0.
+    """
+    # explode_outer + isNotNull, NOT explode: plain explode injects
+    # size>0 filters that predicate-pushdown re-inlines as a full copy
+    # of the staged array expression (the documented trap on
+    # jaccard_pairs/winnow_fingerprints)
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+
+    uni = (
+        toks_df.select(F.col(id_col), F.explode_outer("toks").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .withColumn("g", F.xxhash64("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("tok_total"),
+            F.count(F.lit(1)).alias("tok_distinct"),
+            F.max("c").alias("tok_top"),
+        )
+    )
+
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("toks")) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i + 1), F.element_at(F.col("toks"), i + 2)
+        ),
+    )
+    bi = (
+        toks_df.filter(F.size("toks") >= 2)
+        .select(F.col(id_col), bigrams.alias("bg"))
+        .select(F.col(id_col), F.explode_outer("bg").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .withColumn("g", F.xxhash64("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("bg_total"),
+            F.max("c").alias("bg_top"),
+        )
+    )
+    safe_div = lambda a, b: F.when(b > 0, a.cast("double") / b).otherwise(F.lit(0.0))
+    return (
+        uni.join(bi, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("tok_total").alias("token_count"),
+            safe_div(F.col("tok_distinct"), F.col("tok_total")).alias("ttr"),
+            safe_div(F.col("tok_top"), F.col("tok_total")).alias("top_token_frac"),
+            safe_div(
+                F.coalesce(F.col("bg_top"), F.lit(0)),
+                F.coalesce(F.col("bg_total"), F.lit(0)),
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint over normalized text (lowercased,
     whitespace-collapsed) — the exact-dedup key for a 100 TB corpus:

@@ -731,3 +731,102 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         stable_round("cosine", 6).alias("cosine"),
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "docs_decontam",
+    # full SQL replication: same 5-gram construction, string-keyed join
+    # (Spark joins on xxhash64 of the same strings — membership identical)
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] || ' ' ||
+             t[u.i+3] || ' ' || t[u.i+4] AS shingle
+      FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 5
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, COUNT(*) AS n_set FROM sh WHERE source != 'src0' GROUP BY 1),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS hit
+      FROM sh s JOIN ev USING (shingle)
+      WHERE s.source != 'src0'
+      GROUP BY 1
+    )
+    SELECT tr.doc_id, CAST(n_set AS BIGINT) AS n_set,
+           CAST(COALESCE(hit, 0) AS BIGINT) AS contaminated_ngrams,
+           ROUND(COALESCE(hit, 0) * 1.0 / n_set + 1e-9, 6) AS contamination_frac
+    FROM tr LEFT JOIN hits USING (doc_id)
+    """,
+)
+def docs_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): treat source
+    'src0' as the held-out eval set and report every other document's
+    5-gram overlap with it.  Broadcast semi-join on hashed shingles —
+    the corpus never shuffles.  n=5 isolates true cross-source
+    near-dups (n=3 flags 84% of a 40-word-vocabulary corpus)."""
+    from bigdata_covid19_real_time_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = contamination_report(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=5,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_set").cast("long").alias("n_set"),
+        F.col("contaminated_ngrams").cast("long").alias("contaminated_ngrams"),
+        stable_round("contamination_frac", 6).alias("contamination_frac"),
+    )
+
+
+@query(
+    "docs_repetition_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uc AS (
+      SELECT doc_id, t[u.i] AS g, COUNT(*) AS c
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    um AS (
+      SELECT doc_id, SUM(c) AS tok_total, COUNT(*) AS tok_distinct,
+             MAX(c) AS tok_top
+      FROM uc GROUP BY 1
+    ),
+    bc AS (
+      SELECT doc_id, t[u.i] || ' ' || t[u.i+1] AS g, COUNT(*) AS c
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+      GROUP BY 1, 2
+    ),
+    bm AS (SELECT doc_id, SUM(c) AS bg_total, MAX(c) AS bg_top FROM bc GROUP BY 1)
+    SELECT um.doc_id, CAST(tok_total AS BIGINT) AS token_count,
+           ROUND(tok_distinct * 1.0 / tok_total + 1e-9, 6) AS ttr,
+           ROUND(tok_top * 1.0 / tok_total + 1e-9, 6) AS top_token_frac,
+           ROUND(CASE WHEN COALESCE(bg_total, 0) > 0
+                      THEN bg_top * 1.0 / bg_total ELSE 0.0 END + 1e-9, 6)
+             AS top_bigram_frac
+    FROM um LEFT JOIN bm USING (doc_id)
+    """,
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (operators/text.py:repetition_stats):
+    type-token ratio + top unigram/bigram coverage per document — the
+    Gopher/C4 repetition-rule family, as two partial-agg shuffle rounds
+    on hashed grams."""
+    from bigdata_covid19_real_time_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "token_count",
+        stable_round("ttr", 6).alias("ttr"),
+        stable_round("top_token_frac", 6).alias("top_token_frac"),
+        stable_round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )

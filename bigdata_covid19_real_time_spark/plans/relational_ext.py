@@ -526,3 +526,55 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderkey
         """
     )
+
+
+@query(
+    "purchase_window_clicks",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, ts AS w_start,
+             ts + INTERVAL 1 HOUR AS w_end
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT ts AS click_ts, value AS click_value FROM events
+          WHERE event_type = 'click')
+    SELECT purchase_id, CAST(COUNT(click_ts) AS BIGINT) AS clicks_1h,
+           ROUND(COALESCE(SUM(click_value), 0) + 1e-9, 4) AS click_value_1h
+    FROM p LEFT JOIN c ON click_ts >= w_start AND click_ts < w_end
+    GROUP BY purchase_id
+    """,
+)
+def purchase_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/range_join.py): clicks falling in the hour
+    after each purchase, per purchase.  The naive formulation is a
+    nested-loop theta-join (the oracle runs exactly that); the engine
+    buckets both sides on an hourly grid so Catalyst executes a hash
+    equi-join on an 8-byte bucket id — the O(matches) plan that survives
+    100 TB.  Purchases with no clicks are kept with zero counts."""
+    from bigdata_covid19_real_time_spark.operators.range_join import (
+        bucketed_interval_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    matched = bucketed_interval_join(
+        clicks, purchases, "click_ts", "w_start", "w_end", bucket_seconds=3600
+    )
+    agg = matched.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("clicks_1h"),
+        F.sum("click_value").alias("click_value_1h"),
+    )
+    return purchases.select("purchase_id").join(agg, "purchase_id", "left").select(
+        "purchase_id",
+        F.coalesce("clicks_1h", F.lit(0)).cast("long").alias("clicks_1h"),
+        stable_round(F.coalesce("click_value_1h", F.lit(0.0)), 4).alias(
+            "click_value_1h"
+        ),
+    )

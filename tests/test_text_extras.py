@@ -1,0 +1,109 @@
+"""Decontamination, repetition stats, and the bucketed range join."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.operators.decontam import contamination_report
+from bigdata_covid19_real_time_spark.operators.range_join import (
+    bucketed_interval_join,
+)
+from bigdata_covid19_real_time_spark.operators.text import repetition_stats
+
+
+def test_contamination_report_flags_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),  # contains eval 5-gram
+            (2, "one two three four five six seven eight"),  # clean
+            (3, "too short"),  # < n tokens: no shingles, no row
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in contamination_report(train, eval_docs, n=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].contaminated_ngrams == 1 and out[1].n_set == 3
+    assert out[2].contaminated_ngrams == 0 and out[2].contamination_frac == 0.0
+    assert out[1].contamination_frac == pytest.approx(1 / 3)
+
+
+def test_contamination_hashed_and_string_paths_agree(spark):
+    train = spark.createDataFrame(
+        [(i, f"w{i} common phrase tail here and more words {i}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(0, "common phrase tail here and")], ["doc_id", "text"])
+    h = contamination_report(train, ev, n=5, hash_shingles=True).collect()
+    s = contamination_report(train, ev, n=5, hash_shingles=False).collect()
+    key = lambda rows: sorted((r.doc_id, r.contaminated_ngrams) for r in rows)
+    assert key(h) == key(s)
+
+
+def test_repetition_stats_known_document(spark):
+    # "a a a b": 4 tokens, 2 distinct, top token 3x; bigrams (a a, a a,
+    # a b): top bigram 2/3
+    df = spark.createDataFrame([(1, "a a a b"), (2, "x y")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].token_count == 4
+    assert out[1].ttr == pytest.approx(0.5)
+    assert out[1].top_token_frac == pytest.approx(0.75)
+    assert out[1].top_bigram_frac == pytest.approx(2 / 3)
+    assert out[2].ttr == pytest.approx(1.0)
+    assert out[2].top_bigram_frac == pytest.approx(1.0)
+
+
+def _ts(minute: int, second: int = 0):
+    return datetime.datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_bucketed_interval_join_matches_naive_theta_join(spark):
+    points = spark.createDataFrame(
+        [(i, _ts(i)) for i in range(0, 60, 7)], ["pid", "ts"]
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, _ts(0), _ts(15)),
+            (101, _ts(10), _ts(40)),  # spans multiple 10-min buckets
+            (102, _ts(55), _ts(59)),
+        ],
+        ["iid", "start", "end"],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in bucketed_interval_join(
+            points, intervals, "ts", "start", "end", bucket_seconds=600
+        ).collect()
+    }
+    naive = {
+        (p, i)
+        for p, pt in [(r.pid, r.ts) for r in points.collect()]
+        for i, s, e in [(r.iid, r.start, r.end) for r in intervals.collect()]
+        if s <= pt < e
+    }
+    assert got == naive and got  # non-empty and identical
+
+
+def test_bucketed_interval_join_half_open_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(10))], ["pid", "ts"]
+    )
+    intervals = spark.createDataFrame([(9, _ts(0), _ts(10))], ["iid", "start", "end"])
+    got = {
+        (r.pid, r.iid)
+        for r in bucketed_interval_join(
+            points, intervals, "ts", "start", "end", bucket_seconds=60
+        ).collect()
+    }
+    assert got == {(1, 9)}  # start inclusive, end exclusive
+
+
+def test_bucketed_interval_join_rejects_bad_bucket(spark):
+    df = spark.createDataFrame([(1, _ts(0))], ["pid", "ts"])
+    with pytest.raises(ValueError):
+        bucketed_interval_join(df, df, "ts", "ts", "ts", bucket_seconds=0)
