@@ -73,6 +73,8 @@ HEADLINE = [
     "docs_stratified_sample",
     "docs_decontam",
     "docs_repetition_stats",
+    "docs_chunked",
+    "docs_quality_filter",
     "embedding_cosine_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",

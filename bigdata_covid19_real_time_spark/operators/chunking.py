@@ -1,0 +1,65 @@
+"""Document chunking: split documents into fixed-size token windows
+with overlap — the sequence-preparation step between a cleaned corpus
+and a tokenizer (pre-training windows, RAG passage splits).
+
+Pure narrow map: the token array is staged once per document, chunk
+start positions come from a ``sequence`` expression, and each chunk is
+a ``slice`` + ``concat_ws`` over that array — no shuffle, no UDF, rows
+multiply by ~n_tokens/stride.  At 100 TB this is exactly the shape you
+want: chunking parallelizes per input row and the explode factor is
+bounded by the chunk geometry, not data skew.
+
+Start-position rule: starts run ``1, 1+stride, 1+2*stride, ...`` while
+``start <= max(n_tokens - overlap, 1)`` (stride = chunk - overlap).
+Consequences, all deliberate:
+- a document shorter than ``chunk_tokens`` yields exactly one chunk
+  (its whole token list);
+- the final chunk always carries more than ``overlap`` fresh tokens —
+  no trailing chunk that is a strict subset of its predecessor;
+- every token belongs to >=1 chunk (full coverage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.operators.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, chunk_n_tokens) rows; ``chunk_id`` is
+    the 0-based window index within its document."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap} vs {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__toks") - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    # explode_outer + isNotNull (not explode): the pushdown/re-inline
+    # trap documented on jaccard_pairs
+    staged = toks_df.select(
+        F.col(id_col), F.col("__toks"), F.explode_outer(starts).alias("__start")
+    ).filter(F.col("__start").isNotNull())
+    chunk = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return staged.select(
+        F.col(id_col),
+        ((F.col("__start") - 1) / stride).cast("int").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("chunk_n_tokens"),
+    )

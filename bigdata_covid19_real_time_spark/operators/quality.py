@@ -1,0 +1,73 @@
+"""Composed corpus quality filter: the C4/Gopher-style keep/drop rule
+stack over the per-document signals from ``operators/text.py``.
+
+Each rule is named; the output carries both the boolean ``keep`` and a
+deterministic comma-joined ``reasons`` string (sorted rule names), so a
+pipeline can (a) filter on ``keep`` and (b) audit *why* documents were
+dropped — the reasons histogram is the first thing you look at when a
+filter eats too much of a corpus.
+
+Shape: ``quality_stats`` is a narrow map; ``repetition_stats`` adds two
+partial-agg shuffle rounds on hashed grams; the rule evaluation itself
+is a projection.  Nothing here is corpus-quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.operators.text import (
+    quality_stats,
+    repetition_stats,
+)
+
+
+def quality_filter(
+    df: DataFrame,
+    min_tokens: int = 25,
+    max_tokens: int = 100_000,
+    min_ttr: float = 0.35,
+    max_top_bigram_frac: float = 0.07,
+    min_alpha_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keep/drop with named reasons.
+
+    Output: the id column plus the signal columns (``token_count``,
+    ``ttr``, ``top_token_frac``, ``top_bigram_frac``, ``alpha_ratio``),
+    ``keep`` boolean, and ``reasons`` (sorted comma-joined failed-rule
+    names; empty string when kept).
+    """
+    stats = quality_stats(df, text_col).select(
+        F.col(id_col), "alpha_ratio"
+    )
+    rep = repetition_stats(df, id_col, text_col)
+    joined = rep.join(stats, id_col)
+
+    rules = {
+        "too_few_tokens": F.col("token_count") < min_tokens,
+        "too_many_tokens": F.col("token_count") > max_tokens,
+        "low_ttr": F.col("ttr") < min_ttr,
+        "repetitive_bigrams": F.col("top_bigram_frac") > max_top_bigram_frac,
+        "low_alpha": F.col("alpha_ratio") < min_alpha_ratio,
+    }
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in sorted(rules.items())
+            ]
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        "token_count",
+        "ttr",
+        "top_token_frac",
+        "top_bigram_frac",
+        "alpha_ratio",
+        (F.size(reasons) == 0).alias("keep"),
+        F.concat_ws(",", reasons).alias("reasons"),
+    )

@@ -830,3 +830,107 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round("top_token_frac", 6).alias("top_token_frac"),
         stable_round("top_bigram_frac", 6).alias("top_bigram_frac"),
     )
+
+
+@query(
+    "docs_chunked",
+    # full SQL replication of the start-position rule and slicing
+    # (chunk=32, overlap=8 -> stride=24); DuckDB list slices are
+    # 1-based inclusive like Spark's slice()
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    starts AS (
+      SELECT doc_id, t, n, u.s AS s
+      FROM base, unnest(range(1, greatest(n - 8, 1) + 1, 24)) AS u(s)
+    )
+    SELECT doc_id, CAST((s - 1) // 24 AS INTEGER) AS chunk_id,
+           array_to_string(t[s : least(s + 31, n)], ' ') AS chunk_text,
+           CAST(least(s + 31, n) - s + 1 AS INTEGER) AS chunk_n_tokens
+    FROM starts
+    """,
+)
+def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (operators/chunking.py):
+    32-token windows, 8-token overlap — the sequence-prep step between a
+    cleaned corpus and the tokenizer.  Narrow map, no shuffle."""
+    from bigdata_covid19_real_time_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@query(
+    "docs_quality_filter",
+    oracle="""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    uc AS (
+      SELECT doc_id, t[u.i] AS g, COUNT(*) AS c
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    um AS (
+      SELECT doc_id, SUM(c) AS tok_total, COUNT(*) AS tok_distinct,
+             MAX(c) AS tok_top
+      FROM uc GROUP BY 1
+    ),
+    bc AS (
+      SELECT doc_id, t[u.i] || ' ' || t[u.i+1] AS g, COUNT(*) AS c
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+      GROUP BY 1, 2
+    ),
+    bm AS (SELECT doc_id, SUM(c) AS bg_total, MAX(c) AS bg_top FROM bc GROUP BY 1),
+    sig AS (
+      SELECT um.doc_id,
+             tok_total AS token_count,
+             tok_distinct * 1.0 / tok_total AS ttr,
+             tok_top * 1.0 / tok_total AS top_token_frac,
+             CASE WHEN COALESCE(bg_total, 0) > 0
+                  THEN bg_top * 1.0 / bg_total ELSE 0.0 END AS top_bigram_frac,
+             length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 1.0
+               / length(d.text) AS alpha_ratio
+      FROM um
+      LEFT JOIN bm USING (doc_id)
+      JOIN toks d ON d.doc_id = um.doc_id
+    ),
+    flagged AS (
+      SELECT *,
+             list_filter([
+               CASE WHEN alpha_ratio < 0.5 THEN 'low_alpha' END,
+               CASE WHEN ttr < 0.35 THEN 'low_ttr' END,
+               CASE WHEN top_bigram_frac > 0.07 THEN 'repetitive_bigrams' END,
+               CASE WHEN token_count < 25 THEN 'too_few_tokens' END,
+               CASE WHEN token_count > 100000 THEN 'too_many_tokens' END
+             ], x -> x IS NOT NULL) AS r
+      FROM sig
+    )
+    SELECT doc_id, CAST(token_count AS BIGINT) AS token_count,
+           ROUND(ttr + 1e-9, 6) AS ttr,
+           ROUND(top_token_frac + 1e-9, 6) AS top_token_frac,
+           ROUND(top_bigram_frac + 1e-9, 6) AS top_bigram_frac,
+           ROUND(alpha_ratio + 1e-9, 6) AS alpha_ratio,
+           len(r) = 0 AS keep,
+           COALESCE(array_to_string(r, ','), '') AS reasons
+    FROM flagged
+    """,
+)
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher-style keep/drop filter with named reasons
+    (operators/quality.py): token-count bounds, TTR floor, bigram
+    repetition cap, alpha-ratio floor.  The reasons string is the audit
+    artifact a corpus pass reads before trusting a filter."""
+    from bigdata_covid19_real_time_spark.operators.quality import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_filter(docs)
+    return out.select(
+        "doc_id",
+        "token_count",
+        stable_round("ttr", 6).alias("ttr"),
+        stable_round("top_token_frac", 6).alias("top_token_frac"),
+        stable_round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        stable_round("alpha_ratio", 6).alias("alpha_ratio"),
+        "keep",
+        "reasons",
+    )
