@@ -27,6 +27,7 @@ HEADLINE = [
     "revenue_by_nation",
     "top_customers_by_revenue",
     "orders_without_lineitems",
+    "shipping_priority",
     "top_orders",
     "user_moving_avg",
     "user_value_growth",
@@ -75,6 +76,7 @@ HEADLINE = [
     "docs_repetition_stats",
     "docs_chunked",
     "docs_quality_filter",
+    "docs_incremental_dedup",
     "embedding_cosine_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",

@@ -30,35 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from bigdata_covid19_real_time_spark.operators.text import tokens
-
-
-def _shingle_sets(
-    df: DataFrame, n: int, id_col: str, text_col: str, hash_shingles: bool
-) -> DataFrame:
-    """(id, n_set, shingle) rows: distinct word n-grams per doc with the
-    per-doc set size carried through (staged projections — see
-    ``text.jaccard_pairs`` for why the fused form is ~50x slower)."""
-    toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
-        F.size("toks") >= n
-    )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("toks")) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
-            ),
-        )
-    )
-    grams_df = toks_df.select(F.col(id_col), grams.alias("grams"))
-    out = grams_df.select(
-        F.col(id_col),
-        F.size("grams").alias("n_set"),
-        F.explode_outer("grams").alias("shingle"),
-    ).filter(F.col("shingle").isNotNull())
-    if hash_shingles:
-        out = out.withColumn("shingle", F.xxhash64("shingle"))
-    return out
+from bigdata_covid19_real_time_spark.operators.text import shingle_sets
 
 
 def contamination_report(
@@ -79,9 +51,9 @@ def contamination_report(
     84% of docs on a 40-word vocabulary, n=5 flags exactly the injected
     cross-source near-dups).
     """
-    tr = _shingle_sets(train, n, id_col, text_col, hash_shingles)
+    tr = shingle_sets(train, n, id_col, text_col, hash_shingles)
     ev = (
-        _shingle_sets(eval_docs, n, eval_id_col, text_col, hash_shingles)
+        shingle_sets(eval_docs, n, eval_id_col, text_col, hash_shingles)
         .select("shingle")
         .distinct()
     )

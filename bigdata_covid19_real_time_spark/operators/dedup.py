@@ -69,3 +69,46 @@ def canonicalize_duplicates(
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("copies"),
     )
+
+
+def jaccard_dedup_against_history(
+    new: DataFrame,
+    history: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Survivors of ``new`` after near-dup screening against ``history``
+    — the continuous-ingest dedup step: each incoming batch is checked
+    against the corpus already accepted, not against itself.
+
+    A new document is dropped when its n-gram-shingle Jaccard similarity
+    with ANY history document reaches ``threshold``; documents too short
+    to shingle always survive (nothing to match on).  Returns ``new``'s
+    rows unchanged (left_anti join against the dropped-id set).
+
+    Scale shape: both sides stage to (id, n_set, shingle-hash) rows
+    (``text.shingle_sets``), the intersection is a hashed-shingle
+    equi-join new x history — never a self-join of the full corpus, so
+    each increment costs |batch| x selectivity, and a real deployment
+    persists the history shingle table once and appends to it per epoch
+    instead of re-shingling (the join is against precisely that table).
+    """
+    from bigdata_covid19_real_time_spark.operators.text import shingle_sets
+
+    nh = shingle_sets(new, n, id_col, text_col, hash_shingles)
+    hh = shingle_sets(history, n, id_col, text_col, hash_shingles).select(
+        F.col(id_col).alias("__hist_id"),
+        F.col("n_set").alias("__n_h"),
+        "shingle",
+    )
+    inter = (
+        nh.join(hh, "shingle")
+        .groupBy(id_col, "__hist_id", "n_set", "__n_h")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = F.col("__i") / (F.col("n_set") + F.col("__n_h") - F.col("__i"))
+    dropped = inter.filter(jac >= threshold).select(id_col).distinct()
+    return new.join(dropped, id_col, "left_anti")

@@ -113,6 +113,42 @@ def shingles(
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """(id, n_set, shingle) rows: distinct word n-grams per doc with the
+    per-doc set size carried through — the shared staging for every
+    shingle-membership operator (decontamination, history dedup).
+
+    Staged projections + explode_outer per the inlining trap documented
+    on ``jaccard_pairs``; ``hash_shingles`` swaps the shingle string for
+    its ``xxhash64`` so downstream joins shuffle 8 bytes."""
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("toks")) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    grams_df = toks_df.select(F.col(id_col), grams.alias("grams"))
+    out = grams_df.select(
+        F.col(id_col),
+        F.size("grams").alias("n_set"),
+        F.explode_outer("grams").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    if hash_shingles:
+        out = out.withColumn("shingle", F.xxhash64("shingle"))
+    return out
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,

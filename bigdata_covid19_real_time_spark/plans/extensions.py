@@ -934,3 +934,49 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         "reasons",
     )
+
+
+@query(
+    "docs_incremental_dedup",
+    # SQL replication of the whole screen: odd-id "new batch" anti-joined
+    # against 3-gram Jaccard >= 0.6 matches in the even-id "history"
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS nid, b.doc_id AS hid, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT nid FROM inter
+      JOIN sz sa ON sa.doc_id = nid
+      JOIN sz sb ON sb.doc_id = hid
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT nid FROM dropped)
+    """,
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dedup (operators/dedup.py:
+    jaccard_dedup_against_history): odd doc_ids play the incoming batch,
+    even doc_ids the accepted corpus; batch docs with 3-gram Jaccard >=
+    0.6 against any history doc are dropped.  The batch x history
+    hashed-shingle equi-join — never a corpus self-join."""
+    from bigdata_covid19_real_time_spark.operators.dedup import (
+        jaccard_dedup_against_history,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    return jaccard_dedup_against_history(new, history, threshold=0.6, n=3).select(
+        "doc_id", "lang"
+    )

@@ -107,3 +107,23 @@ def test_bucketed_interval_join_rejects_bad_bucket(spark):
     df = spark.createDataFrame([(1, _ts(0))], ["pid", "ts"])
     with pytest.raises(ValueError):
         bucketed_interval_join(df, df, "ts", "ts", "ts", bucket_seconds=0)
+
+
+def test_jaccard_dedup_against_history(spark):
+    from bigdata_covid19_real_time_spark.operators.dedup import (
+        jaccard_dedup_against_history,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    history = spark.createDataFrame([(0, base)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (1, base + " extra"),        # near-dup of history -> dropped
+            (2, "one two three four five six seven eight nine ten"),  # fresh
+            (3, "ab"),                   # too short to shingle -> survives
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id for r in
+           jaccard_dedup_against_history(new, history, threshold=0.6, n=3).collect()}
+    assert out == {2, 3}
