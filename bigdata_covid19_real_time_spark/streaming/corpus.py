@@ -1,0 +1,147 @@
+"""Streaming corpus builder: the training-data extension operators
+composed under Structured Streaming.
+
+Per micro-batch (``foreachBatch``):
+
+1. **quality gate** — ``operators/quality.quality_filter`` keep/drop
+   with named reasons;
+2. **within-batch exact dedup** — min-id canonical per content
+   fingerprint (8-byte ``xxhash64`` of normalized text);
+3. **history dedup** — anti-join the batch's fingerprints against the
+   fingerprints already accepted in PREVIOUS epochs (the accepted table
+   itself is the index: scan its ``fingerprint`` column only — column
+   pruning makes this an 8-bytes-per-doc read);
+4. **idempotent append** — accepted docs and the rejection audit land
+   in ``epoch=N`` partitions with dynamic partition overwrite
+   (``sinks.IdempotentParquetSink``), so a replayed epoch overwrites
+   only itself.
+
+Replay safety detail: the history read EXCLUDES the current epoch's own
+partition (``epoch < current``) — on crash-replay, a half-written
+partition from the failed attempt would otherwise dedup the batch
+against itself and accept nothing.
+
+At 100 TB the shapes hold: the quality gate is narrow (+ two hashed-gram
+partial-agg rounds), fingerprint dedup shuffles 8-byte keys, and the
+history anti-join reads one pruned column of the accepted table — or a
+dedicated fingerprint index table if the corpus outgrows per-epoch
+scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.window import Window
+
+from bigdata_covid19_real_time_spark.operators.quality import quality_filter
+from bigdata_covid19_real_time_spark.operators.text import fingerprint
+from bigdata_covid19_real_time_spark.sinks.registry import IdempotentParquetSink
+from bigdata_covid19_real_time_spark.streaming.sources import read_jsonl_stream
+
+#: Wire schema of the document stream (all strings, like RAW_SCHEMA —
+#: typing happens in the pipeline, sentinel/garbage-safe).
+DOC_WIRE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+class CorpusIngest:
+    """Continuous corpus ingestion with quality + dedup gates.
+
+    Tables written under ``base_dir`` (both epoch-partitioned):
+    - ``accepted``: doc_id, text, lang, source, fingerprint
+    - ``rejected``: doc_id, reason (one row per dropped doc;
+      ``quality:<names>`` or ``duplicate_in_batch`` / ``duplicate_of_corpus``)
+    """
+
+    def __init__(self, base_dir: str, **quality_kwargs) -> None:
+        self.base_dir = base_dir
+        self.quality_kwargs = quality_kwargs
+        self._sink = IdempotentParquetSink(base_dir)
+
+    def _history_fingerprints(
+        self, spark: SparkSession, current_epoch: int
+    ) -> DataFrame | None:
+        try:
+            accepted = spark.read.parquet(f"{self.base_dir}/accepted")
+        except Exception:  # first epoch: nothing accepted yet
+            return None
+        return (
+            accepted.filter(F.col("epoch") < current_epoch)
+            .select("fingerprint")
+            .distinct()
+        )
+
+    def process_batch(self, docs: DataFrame, epoch_id: int) -> None:
+        """``docs``: (doc_id string, text, lang, source) batch frame."""
+        spark = docs.sparkSession
+        typed = docs.withColumn("doc_id", F.col("doc_id").try_cast("long")).filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+
+        verdict = quality_filter(typed, **self.quality_kwargs).select(
+            "doc_id", "keep", "reasons"
+        )
+        scored = typed.join(verdict, "doc_id")
+        quality_rejects = (
+            scored.filter(~F.col("keep"))
+            .select("doc_id", F.concat(F.lit("quality:"), F.col("reasons")).alias("reason"))
+        )
+        kept = fingerprint(scored.filter(F.col("keep")).drop("keep", "reasons"))
+
+        # within-batch exact dedup: min-id survives per fingerprint
+        kept = kept.withColumn(
+            "__min_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        batch_rejects = kept.filter(F.col("doc_id") != F.col("__min_id")).select(
+            "doc_id", F.lit("duplicate_in_batch").alias("reason")
+        )
+        survivors = kept.filter(F.col("doc_id") == F.col("__min_id")).drop("__min_id")
+
+        history = self._history_fingerprints(spark, int(epoch_id))
+        if history is not None:
+            corpus_rejects = survivors.join(history, "fingerprint", "left_semi").select(
+                "doc_id", F.lit("duplicate_of_corpus").alias("reason")
+            )
+            survivors = survivors.join(history, "fingerprint", "left_anti")
+        else:
+            corpus_rejects = None
+
+        rejected = quality_rejects.unionByName(batch_rejects)
+        if corpus_rejects is not None:
+            rejected = rejected.unionByName(corpus_rejects)
+
+        # one pass over the batch feeds both writes
+        survivors = survivors.persist()
+        try:
+            self._sink.write(survivors, int(epoch_id), "accepted")
+            self._sink.write(rejected, int(epoch_id), "rejected")
+        finally:
+            survivors.unpersist()
+
+    def run(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        checkpoint: str,
+        available_now: bool = True,
+    ):
+        """Wire a JSON-lines directory stream through the ingest; one
+        file per micro-batch (deterministic epochs, like the covid
+        pipeline's broker-free twin)."""
+        stream = read_jsonl_stream(spark, input_path, schema=DOC_WIRE_SCHEMA)
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,98 @@
+"""Streaming corpus builder: quality gate + batch/corpus dedup +
+idempotent epoch partitions + checkpoint restart."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.streaming.corpus import CorpusIngest
+
+GOOD = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lamda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+    "akron bolton casper delphi erie fresno galway hobart ithaca juneau"
+)
+GOOD2 = GOOD.replace("alpha", "anchor").replace("sigma", "summit")
+
+
+def _doc(doc_id, text, lang="en", source="s1"):
+    return json.dumps(
+        {"doc_id": str(doc_id), "text": text, "lang": lang, "source": source}
+    )
+
+
+def _write_batch(path, lines):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_corpus_ingest_end_to_end(spark, tmp_path):
+    inp = tmp_path / "in"
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: two good docs, one in-batch exact dup, one too-short doc
+    _write_batch(
+        inp / "b1.jsonl",
+        [
+            _doc(1, GOOD),
+            _doc(2, GOOD2),
+            _doc(3, GOOD),  # same text as doc 1 -> duplicate_in_batch
+            _doc(4, "tiny doc"),  # quality reject
+        ],
+    )
+    # batch 2: dup of an accepted doc, plus one genuinely new doc
+    _write_batch(
+        inp / "b2.jsonl",
+        [
+            _doc(5, GOOD),  # duplicate_of_corpus (doc 1 accepted in epoch 0)
+            _doc(6, GOOD2.replace("beta", "border")),
+        ],
+    )
+
+    ingest = CorpusIngest(base)
+    q = ingest.run(spark, str(inp), ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    accepted = spark.read.parquet(f"{base}/accepted")
+    rejected = spark.read.parquet(f"{base}/rejected")
+    acc = {r.doc_id: r for r in accepted.collect()}
+    rej = {r.doc_id: r.reason for r in rejected.collect()}
+
+    assert set(acc) == {1, 2, 6}
+    assert rej[3] == "duplicate_in_batch"
+    assert rej[5] == "duplicate_of_corpus"
+    assert rej[4].startswith("quality:") and "too_few_tokens" in rej[4]
+    # one file per trigger -> docs 1/2 in epoch 0, doc 6 in epoch 1
+    assert acc[1].epoch == 0 and acc[6].epoch == 1
+    # fingerprint column is the 8-byte dedup key, present and non-null
+    assert accepted.filter(F.col("fingerprint").isNull()).count() == 0
+
+    # restart from the same checkpoint with a third batch: corpus dedup
+    # must see epochs 0-1 history
+    _write_batch(inp / "b3.jsonl", [_doc(7, GOOD2), _doc(8, GOOD2 + " appendix")])
+    q2 = ingest.run(spark, str(inp), ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    acc2 = {r.doc_id for r in spark.read.parquet(f"{base}/accepted").collect()}
+    rej2 = {r.doc_id: r.reason for r in spark.read.parquet(f"{base}/rejected").collect()}
+    assert acc2 == {1, 2, 6, 8}
+    assert rej2[7] == "duplicate_of_corpus"
+
+
+def test_corpus_ingest_epoch_replay_is_idempotent(spark, tmp_path):
+    """Re-running an epoch's batch through process_batch overwrites only
+    that epoch's partition — no duplicate accepted rows."""
+    base = str(tmp_path / "corpus")
+    ingest = CorpusIngest(base)
+    batch = spark.createDataFrame(
+        [("1", GOOD, "en", "s1"), ("2", GOOD2, "en", "s1")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    ingest.process_batch(batch, 0)
+    ingest.process_batch(batch, 0)  # replay after simulated crash
+    accepted = spark.read.parquet(f"{base}/accepted")
+    assert accepted.count() == 2
+    assert {r.doc_id for r in accepted.collect()} == {1, 2}

@@ -82,3 +82,36 @@ def test_media_meta_uses_arrow_batches(spark):
     # mapInPandas shows as ArrowEvalPython/MapInPandas, never row-wise Python
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    """The eval/benchmark shingle set is the broadcast side of the
+    contamination join — the training corpus must never shuffle."""
+    plan = plan_of(spark, "docs_decontam")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_hash_equi_join_not_nested_loop(spark):
+    """Bucketing must turn the interval theta-join into a hash equi-join:
+    no BroadcastNestedLoopJoin / CartesianProduct in the plan."""
+    plan = plan_of(spark, "purchase_window_clicks")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # still an actual join, on the bucket key
+
+
+def test_chunking_is_shuffle_free(spark):
+    """chunk_documents is a pure narrow map: scan -> generate -> project,
+    no Exchange anywhere."""
+    plan = plan_of(spark, "docs_chunked")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_shipping_priority_pushes_all_three_filters(spark):
+    plan = plan_of(spark, "shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10, no global sort
