@@ -90,6 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     run = p.add_argument_group("run")
+    run.add_argument(
+        "--pipeline",
+        choices=["covid", "corpus"],
+        default="covid",
+        help="covid = the reference pipeline fan-out; corpus = the "
+        "streaming training-corpus builder (quality gate + fingerprint "
+        "dedup; jsonl source + --sink-dir only)",
+    )
     run.add_argument("--checkpoint", required=True, help="checkpoint directory")
     run.add_argument(
         "--mode",
@@ -188,6 +196,26 @@ def main(argv: list[str] | None = None) -> int:
 
     from bigdata_covid19_real_time_spark.session import get_spark
     from bigdata_covid19_real_time_spark.streaming.runner import CovidPipeline
+
+    if args.pipeline == "corpus":
+        from bigdata_covid19_real_time_spark.streaming.corpus import CorpusIngest
+
+        if args.source != "jsonl" or not args.source_path:
+            raise SystemExit("--pipeline corpus requires --source jsonl --source-path")
+        if not args.sink_dir:
+            raise SystemExit("--pipeline corpus requires --sink-dir")
+        spark = get_spark(app_name="corpus-ingest", master=args.master)
+        q = CorpusIngest(args.sink_dir).run(
+            spark, args.source_path, args.checkpoint,
+            available_now=args.available_now,
+        )
+        try:
+            q.awaitTermination(args.timeout)
+            if args.timeout is not None:
+                q.stop()
+        except KeyboardInterrupt:
+            q.stop()
+        return 0
 
     spark = get_spark(app_name="covid-pipeline", master=args.master)
     stream = _build_source(args, spark)

@@ -94,3 +94,75 @@ def test_rate_identities(spark, cases, deaths, active):
         row["recovery_rate"], round((cases - active - deaths) / cases + 1e-9, 6), abs_tol=1e-9
     )
     assert row["cases_per_million"] == 0.0  # population 0 -> guard
+
+
+# ---- chunking geometry invariants ------------------------------------
+
+chunk_geometry = st.tuples(
+    st.integers(1, 200),   # n_tokens
+    st.integers(2, 64),    # chunk_tokens
+    st.integers(0, 63),    # overlap (clamped below chunk)
+).filter(lambda t: t[2] < t[1])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(chunk_geometry)
+def test_chunking_invariants(spark, geom):
+    """Coverage (every token in >=1 chunk, order-preserving), bounded
+    chunk size, stride positions, >overlap fresh tokens in the tail."""
+    from bigdata_covid19_real_time_spark.operators.chunking import chunk_documents
+
+    n, chunk, overlap = geom
+    text = " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert rows, "every non-empty doc yields at least one chunk"
+    stride = chunk - overlap
+    toks = [r.chunk_text.split(" ") for r in rows]
+    for i, r in enumerate(rows):
+        assert r.chunk_id == i
+        assert 1 <= r.chunk_n_tokens <= chunk
+        assert len(toks[i]) == r.chunk_n_tokens
+    # reassembly: first chunk + non-overlap tail of each later chunk
+    merged = toks[0] + [t for c in toks[1:] for t in c[overlap:]]
+    assert merged == text.split(" ")
+    if len(rows) > 1:
+        # the final chunk contributes more than `overlap` fresh tokens
+        assert len(toks[-1]) > overlap
+
+
+# ---- deterministic sampling invariants -------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.tuples(
+        st.floats(0.05, 0.45), st.floats(0.5, 0.95), st.integers(0, 1000)
+    )
+)
+def test_sampling_nesting_invariant(spark, params):
+    """For any rate pair r1 < r2 and seed, sample(r1) is a subset of
+    sample(r2) and both are repartition-stable."""
+    from bigdata_covid19_real_time_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    r1, r2, seed = params
+    df = spark.range(0, 400).withColumnRenamed("id", "k")
+    small = {r.k for r in deterministic_sample(df, r1, "k", seed).collect()}
+    large = {r.k for r in deterministic_sample(df, r2, "k", seed).collect()}
+    assert small <= large
+    again = {
+        r.k for r in deterministic_sample(df.repartition(7), r1, "k", seed).collect()
+    }
+    assert small == again
