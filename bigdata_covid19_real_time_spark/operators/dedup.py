@@ -98,11 +98,21 @@ def jaccard_dedup_against_history(
     """
     from bigdata_covid19_real_time_spark.operators.text import shingle_sets
 
-    nh = shingle_sets(new, n, id_col, text_col, hash_shingles)
-    hh = shingle_sets(history, n, id_col, text_col, hash_shingles).select(
-        F.col(id_col).alias("__hist_id"),
-        F.col("n_set").alias("__n_h"),
-        "shingle",
+    # persist both shingle tables: constraint inference from the final
+    # jaccard filter would otherwise push isnotnull(n_set) back into the
+    # scans and re-inline the whole gram expression (the ~4x trap
+    # documented on text.jaccard_pairs).  A real deployment persists the
+    # history shingle table durably anyway — that IS the incremental
+    # index.
+    nh = shingle_sets(new, n, id_col, text_col, hash_shingles).persist()
+    hh = (
+        shingle_sets(history, n, id_col, text_col, hash_shingles)
+        .select(
+            F.col(id_col).alias("__hist_id"),
+            F.col("n_set").alias("__n_h"),
+            "shingle",
+        )
+        .persist()
     )
     inter = (
         nh.join(hh, "shingle")
