@@ -77,6 +77,7 @@ HEADLINE = [
     "docs_chunked",
     "docs_quality_filter",
     "docs_incremental_dedup",
+    "corpus_token_budget",
     "embedding_cosine_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdata_covid19_real_time_spark.operators.dedup import canonicalize_duplicates
 from bigdata_covid19_real_time_spark.operators.minhash import minhash_lsh_pairs
@@ -979,4 +980,50 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = docs.filter(F.col("doc_id") % 2 == 0)
     return jaccard_dedup_against_history(new, history, threshold=0.6, n=3).select(
         "doc_id", "lang"
+    )
+
+
+@query(
+    "corpus_token_budget",
+    # regexp_extract_all-based count replicates BPE_SPLIT_REGEX exactly
+    # (ASCII classes only — both regex engines agree; same equivalence
+    # docs_token_stats already gates)
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang, source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(bpe) AS BIGINT) AS bpe_tokens
+      FROM per_doc GROUP BY 1, 2
+    )
+    SELECT lang, source, docs, bpe_tokens,
+           ROUND(bpe_tokens * 1.0 / SUM(bpe_tokens) OVER () + 1e-9, 6) AS token_share
+    FROM agg
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning report: BPE-ish token totals and corpus
+    share per (lang, source) — the number a data recipe multiplies by
+    its mixing weights.  One narrow map + one partial-agg groupBy; the
+    global share is a window over the ~|lang x source| aggregate rows,
+    not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        docs.select("lang", "source", bpe_token_count("text").alias("bpe"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("bpe").alias("bpe_tokens"),
+        )
+    )
+    total = F.sum("bpe_tokens").over(Window.partitionBy())
+    return agg.select(
+        "lang",
+        "source",
+        "docs",
+        "bpe_tokens",
+        stable_round(F.col("bpe_tokens") / total, 6).alias("token_share"),
     )

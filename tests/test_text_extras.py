@@ -127,3 +127,32 @@ def test_jaccard_dedup_against_history(spark):
     out = {r.doc_id for r in
            jaccard_dedup_against_history(new, history, threshold=0.6, n=3).collect()}
     assert out == {2, 3}
+
+
+def test_redact_pii_planted_matches(spark):
+    from bigdata_covid19_real_time_spark.operators.redact import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 192.168.0.1 today"),
+            (2, "ssn 123-45-6789 phone +1 (555) 123-4567 end"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].redacted_email == 1 and out[1].redacted_ipv4 == 1
+    assert "[PII:email]" in out[1].text and "[PII:ipv4]" in out[1].text
+    assert "bob.smith" not in out[1].text and "192.168" not in out[1].text
+    assert out[2].redacted_ssn_like == 1 and out[2].redacted_phone_like >= 1
+    assert "123-45-6789" not in out[2].text
+    assert out[3].text == "nothing sensitive here"
+    assert (out[3].redacted_email, out[3].redacted_ipv4) == (0, 0)
+
+
+def test_redact_pii_custom_out_col_preserves_original(spark):
+    from bigdata_covid19_real_time_spark.operators.redact import redact_pii
+
+    df = spark.createDataFrame([(1, "mail a@b.io")], ["doc_id", "text"])
+    r = redact_pii(df, out_col="clean_text").first()
+    assert r.text == "mail a@b.io" and "[PII:email]" in r.clean_text
