@@ -92,7 +92,7 @@ def minhash_signatures(
     """(id, signature array<long>[num_perm]) per document.
 
     Docs with fewer than ``shingle_n`` tokens are dropped (no shingles,
-    no signature — same contract as ``shingles``).
+    no signature — same contract as ``shingle_sets``).
     """
     salts = _permutation_salts(num_perm, seed)
     exploded = _exploded_shingle_hashes(df, id_col, text_col, shingle_n)

@@ -86,20 +86,6 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(
-    vec: Column, planes: list[list[float]]
-) -> Column:
-    """Random-hyperplane LSH signature: bit i = sign(vec . plane_i),
-    packed into a long.  Cosine-similar vectors collide with probability
-    1 - theta/pi per bit."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (dot(vec, p) >= 0).cast("long")
-        sig = sig + (bit * F.lit(2**i).cast("long"))
-    return sig
-
-
 def _plane_frame(spark, tables: list[list[list[float]]]) -> DataFrame:
     """(table, weight, plane) — one row per (hash table, bit), with the
     bit's power-of-two packing weight carried as data."""

@@ -88,31 +88,6 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(
-    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle) rows.
-
-    Documents shorter than n tokens produce no rows.  The transform runs
-    JVM-side over the token array; explode multiplies rows ~#tokens per
-    doc — at 100 TB, shingle to a 64-bit hash (``xxhash64``) instead of
-    carrying shingle strings into the join (see ``jaccard_pairs``).
-    """
-    toks = tokens(text_col)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        )
-    )
-    return (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-    )
-
-
 def shingle_sets(
     df: DataFrame,
     n: int = 3,

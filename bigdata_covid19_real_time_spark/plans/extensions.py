@@ -26,7 +26,6 @@ from bigdata_covid19_real_time_spark.operators.text import (
     bpe_token_count,
     jaccard_pairs,
     quality_stats,
-    shingles,
     token_count,
     tokens,
     winnow_fingerprints,

@@ -96,3 +96,33 @@ def test_corpus_ingest_epoch_replay_is_idempotent(spark, tmp_path):
     accepted = spark.read.parquet(f"{base}/accepted")
     assert accepted.count() == 2
     assert {r.doc_id for r in accepted.collect()} == {1, 2}
+
+
+def test_compact_epoch_table_shrinks_files_preserves_rows(spark, tmp_path):
+    from bigdata_covid19_real_time_spark.sinks.maintenance import (
+        compact_epoch_table,
+    )
+    from bigdata_covid19_real_time_spark.sinks.registry import IdempotentParquetSink
+
+    base = str(tmp_path / "t")
+    sink = IdempotentParquetSink(base)
+    # 3 epochs x multi-partition writes -> many small files
+    for epoch in range(3):
+        df = spark.range(epoch * 100, (epoch + 1) * 100).repartition(4).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        )
+        sink.write(df, epoch, "tbl")
+    table = f"{base}/tbl"
+    before = spark.read.parquet(table)
+    before_rows = sorted(r.id for r in before.collect())
+
+    stats = compact_epoch_table(spark, table, files_per_epoch=1, sort_by=["k"])
+    assert stats["files_before"] > stats["files_after"]
+    assert stats["files_after"] <= 3  # one file per epoch partition
+    after = spark.read.parquet(table)
+    assert sorted(r.id for r in after.collect()) == before_rows
+    # epoch partitioning survives (partition pruning still applies)
+    assert {r.epoch for r in after.select("epoch").distinct().collect()} == {0, 1, 2}
+    # rollback copy kept for crash recovery
+    import os
+    assert os.path.isdir(f"{base}/tbl.pre-compact")
