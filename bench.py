@@ -64,6 +64,7 @@ HEADLINE = [
     "docs_prefix_neardup",
     "docs_ngram_jaccard",
     "docs_minhash_lsh",
+    "docs_dedup_clusters",
     "docs_simhash_neardup",
     "docs_media_meta",
     "docs_quality_by_lang",

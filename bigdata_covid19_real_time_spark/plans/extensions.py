@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bigdata_covid19_real_time_spark.operators.components import dedup_clusters
 from bigdata_covid19_real_time_spark.operators.dedup import canonicalize_duplicates
 from bigdata_covid19_real_time_spark.operators.minhash import minhash_lsh_pairs
 from bigdata_covid19_real_time_spark.operators.multimodal import (
@@ -1026,3 +1027,63 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpe_tokens",
         stable_round(F.col("bpe_tokens") / total, 6).alias("token_share"),
     )
+
+
+@query(
+    "docs_dedup_clusters",
+    # Oracle: exact-Jaccard pairs (the same pair set docs_minhash_lsh is
+    # gated against — LSH recall is 1.0 with the fixed seeds, and exact
+    # verification removes false positives, so the Spark pair list
+    # equals this one deterministically) closed transitively with a
+    # recursive CTE: walk enumerates (reachable-node, start) pairs and
+    # min(start) per node is the component id — textbook SQL connected
+    # components, independent of the Spark pointer-jumping algorithm.
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS shingle
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY node),
+    csize AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM labels GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, c.cluster_size,
+           l.doc_id = l.cluster_id AS is_canonical
+    FROM labels l JOIN csize c USING (cluster_id)
+    """,
+)
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: MinHash-LSH pairs -> connected
+    components (min-label propagation + pointer jumping,
+    operators/components.py) -> per-doc cluster id, size, and the
+    min-id canonical-survivor flag.  The step between pair detection
+    and actually deleting duplicates: A~B, B~C must retire both B and
+    C even though (A, C) was never emitted as a pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.6)
+    return dedup_clusters(pairs)

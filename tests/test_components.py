@@ -1,0 +1,63 @@
+"""Connected-components / cluster-resolution operator tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_covid19_real_time_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _cc_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_chain_and_isolated_pair(spark):
+    # chain 1-2-3 plus pair 10-11: transitivity must merge the chain.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = _cc_map(connected_components(pairs))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges_via_pointer_jumping(spark):
+    # A 64-node path has diameter 63; plain min-propagation needs ~63
+    # rounds, pointer jumping needs ~log2(64)+1. max_iter=10 only
+    # passes if the shortcut step works.
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    got = _cc_map(connected_components(pairs, max_iter=10))
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_edge_order_and_direction_invariance(spark):
+    fwd = spark.createDataFrame([(5, 9), (9, 7), (2, 1)], ["doc_a", "doc_b"])
+    rev = spark.createDataFrame([(1, 2), (7, 9), (9, 5)], ["doc_a", "doc_b"])
+    assert _cc_map(connected_components(fwd)) == _cc_map(connected_components(rev))
+
+
+def test_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # one round cannot close a 41-node path
+        connected_components(pairs, max_iter=1)
+
+
+def test_dedup_clusters_survivor_flags(spark):
+    pairs = spark.createDataFrame(
+        [(3, 1), (1, 2), (8, 9)], ["doc_a", "doc_b"]
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[1]["is_canonical"]
+    assert rows[2]["cluster_id"] == 1 and not rows[2]["is_canonical"]
+    assert rows[3]["cluster_size"] == 3
+    assert rows[8]["cluster_id"] == 8 and rows[8]["is_canonical"]
+    assert rows[9]["cluster_size"] == 2
+    # exactly one canonical per cluster
+    canon = [r for r in rows.values() if r["is_canonical"]]
+    assert sorted(c["cluster_id"] for c in canon) == [1, 8]
