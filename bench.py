@@ -79,6 +79,7 @@ HEADLINE = [
     "docs_quality_filter",
     "docs_incremental_dedup",
     "corpus_token_budget",
+    "docs_pii_redaction",
     "embedding_cosine_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",

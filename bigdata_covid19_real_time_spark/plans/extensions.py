@@ -1087,3 +1087,105 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.6)
     return dedup_clusters(pairs)
+
+
+@query(
+    "docs_pii_redaction",
+    # Full SQL replication: the corpus ships no PII (by design), so the
+    # query PLANTS deterministic doc_id-derived PII, scrubs it with the
+    # production pattern set, and audits the result.  All four patterns
+    # are conservative ASCII classes that mean the same thing to Java
+    # regex (Spark) and RE2 (DuckDB); replacement chains nest in the
+    # same order on both sides.  Audit counts are measured on the
+    # pre-scrub text (the operator's contract); residual_pii re-scans
+    # the scrubbed text with every pattern and must come out 0.
+    oracle="""
+    WITH planted AS (
+      SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) ELSE '' END
+                  || CASE WHEN doc_id % 2 = 0 THEN ' tel +1 (555) 010-0200' ELSE '' END
+               AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT source,
+        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c_email,
+        len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS c_ssn,
+        len(regexp_extract_all(text, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS c_ipv4,
+        len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS c_phone,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII:email]', 'g'),
+              '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[PII:ssn_like]', 'g'),
+            '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[PII:ipv4]', 'g'),
+          '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '[PII:phone_like]', 'g') AS scrubbed
+      FROM planted
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)      AS docs,
+           CAST(SUM(c_email) AS BIGINT)  AS emails,
+           CAST(SUM(c_ssn) AS BIGINT)    AS ssns,
+           CAST(SUM(c_ipv4) AS BIGINT)   AS ipv4s,
+           CAST(SUM(c_phone) AS BIGINT)  AS phones,
+           CAST(SUM(len(scrubbed)) AS BIGINT) AS scrubbed_chars,
+           CAST(SUM(
+               len(regexp_extract_all(scrubbed, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(scrubbed, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))
+             + len(regexp_extract_all(scrubbed, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))
+             + len(regexp_extract_all(scrubbed, '\\+?[0-9][0-9()\\- ]{7,}[0-9]'))
+           ) AS BIGINT) AS residual_pii
+    FROM red
+    GROUP BY source
+    """,
+)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit over the corpus: plant deterministic
+    doc_id-derived PII (the corpus itself ships none), scrub with
+    operators/redact.py (chained JVM regexp_replace — narrow map, scan
+    speed), and report per-source audit counts plus a residual re-scan
+    of the scrubbed text (must be 0).  Gates the redaction pipeline the
+    planted-match unit tests cover, through the driver's oracle."""
+    from bigdata_covid19_real_time_spark.operators.redact import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" ip 10.0.0."), (F.col("doc_id") % 255).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" tel +1 (555) 010-0200")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    red = redact_pii(planted)
+    residual = None
+    for rx in PII_PATTERNS.values():
+        c = F.regexp_count(F.col("text"), F.lit(rx))
+        residual = c if residual is None else residual + c
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("redacted_email").alias("emails"),
+        F.sum("redacted_ssn_like").alias("ssns"),
+        F.sum("redacted_ipv4").alias("ipv4s"),
+        F.sum("redacted_phone_like").alias("phones"),
+        F.sum(F.length("text")).alias("scrubbed_chars"),
+        F.sum(residual).alias("residual_pii"),
+    )
