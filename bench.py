@@ -28,6 +28,9 @@ HEADLINE = [
     "top_customers_by_revenue",
     "orders_without_lineitems",
     "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue_share",
+    "disjunctive_brand_revenue",
     "top_orders",
     "user_moving_avg",
     "user_value_growth",
