@@ -43,6 +43,8 @@ HEADLINE = [
     "purchase_asof_click",
     "purchase_window_clicks",
     "user_sessions",
+    "purchase_funnel",
+    "lineitem_corr_stats",
     "error_only_user_days",
     "value_percentiles",
     "orders_with_big_items",
@@ -83,6 +85,7 @@ HEADLINE = [
     "docs_incremental_dedup",
     "corpus_token_budget",
     "docs_pii_redaction",
+    "docs_sequence_packing",
     "embedding_cosine_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",

@@ -1189,3 +1189,44 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("scrubbed_chars"),
         F.sum(residual).alias("residual_pii"),
     )
+
+
+@query(
+    "docs_sequence_packing",
+    # Full SQL replication. The oracle computes the GLOBAL-order cumsum
+    # directly (one window — fine for DuckDB at gate scale); the Spark
+    # side uses the two-pass bucketed prefix sum (operators/packing.py)
+    # whose layout is identical because the bucket is a prefix of the
+    # md5 sort key. Hash, token regex, and integer arithmetic are all
+    # engine-portable.
+    oracle="""
+    WITH per AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token_count
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, token_count,
+             ROW_NUMBER() OVER (ORDER BY h) AS shuffle_pos,
+             COALESCE(SUM(token_count) OVER
+               (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+      FROM per
+    )
+    SELECT doc_id,
+           CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+           CAST(token_count AS BIGINT) AS token_count,
+           CAST(off0 // 2048 AS BIGINT) AS seq_id,
+           CAST(off0 % 2048 AS BIGINT)  AS seq_pos
+    FROM c
+    """,
+)
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-sequence layout: md5-shuffled corpus
+    order, exclusive token-count prefix sum, 2048-token sequence id and
+    offset per document — the reproducible-epoch packing pass, computed
+    with the two-pass distributed prefix sum (no single-partition
+    global window; operators/packing.py)."""
+    from bigdata_covid19_real_time_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, bpe_token_count("text"), budget=2048)

@@ -739,3 +739,100 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("items"),
         )
     )
+
+
+@query(
+    "lineitem_corr_stats",
+    # corr/covar_samp/stddev_samp/var_samp have identical definitions in
+    # Spark and DuckDB (sample variants, Welford-style merge); rounding
+    # absorbs float merge-order noise, the established policy for every
+    # double aggregate in this registry.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS items,
+           ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6)        AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice) + 1e-9, 4)  AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice) + 1e-9, 4)             AS price_stddev,
+           ROUND(var_samp(l_quantity) + 1e-9, 4)                     AS qty_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments per return flag: correlation, sample
+    covariance/variance/stddev — single-pass mergeable aggregates
+    (partial Welford states combine associatively, so the 100 TB plan
+    is one map-side-combined groupBy, same shape as a SUM)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("items"),
+        stable_round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        stable_round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        stable_round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        stable_round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
+
+
+@query(
+    "purchase_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT)                           AS users_total,
+           CAST((SELECT COUNT(*) FROM v WHERE first_view IS NOT NULL) AS BIGINT) AS viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT)                           AS clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT)                           AS purchased_after_click
+    """,
+)
+def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that click.
+
+    Scale: three conditional-min aggregations, each shuffling only
+    (user_id, ts) pairs; the stage joins are user_id-keyed and reuse
+    the same partitioning (no re-shuffle under AQE); final counts
+    collapse to one row."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.agg(
+            F.count(F.lit(1)).alias("users_total"),
+            F.count("first_view").alias("viewed"),
+        )
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+    )
