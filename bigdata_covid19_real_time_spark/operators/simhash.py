@@ -74,21 +74,32 @@ def simhash_fingerprints(
         half = F.col("__h1") if j < 32 else F.col("__h2")
         return F.shiftright(half, j % 32).bitwiseAND(F.lit(1))
 
-    votes = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(bit(j) == 1, F.lit(1).cast("long")).otherwise(
-                    F.lit(-1).cast("long")
-                )
-            ).alias(f"__v{j}")
-            for j in range(_BITS)
-        ]
-    )
+    # Pack TWO per-bit counters into each aggregated long (31-bit
+    # fields): sum(b_lo + (b_hi << 31)) = s_lo + (s_hi << 31) with no
+    # carry while a document stays under 2^31 token occurrences (any
+    # real document does).  Halves the aggregate count (32 sums + 1
+    # count vs 64 conditional sums) — less generated code to compile
+    # and 33 longs per doc per partition on the shuffle instead of 64.
+    # The +/-1 vote sign is recovered as 2*s_j > n.
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for k in range(_BITS // 2):
+        packed_pair = bit(2 * k) + F.shiftleft(bit(2 * k + 1), 31)
+        aggs.append(F.sum(packed_pair).alias(f"__p{k}"))
+    votes = hashed.groupBy(id_col).agg(*aggs)
+
+    lo_mask = F.lit((1 << 31) - 1).cast("long")
+
+    def ones(j: int) -> Column:
+        pair = F.col(f"__p{j // 2}")
+        return (
+            pair.bitwiseAND(lo_mask) if j % 2 == 0 else F.shiftright(pair, 31)
+        )
+
     packed = F.lit(0).cast("long")
     for j in range(_BITS):
         packed = packed.bitwiseOR(
             F.when(
-                F.col(f"__v{j}") > 0,
+                ones(j) * 2 > F.col("__n"),
                 F.shiftleft(F.lit(1).cast("long"), j),
             ).otherwise(F.lit(0).cast("long"))
         )
