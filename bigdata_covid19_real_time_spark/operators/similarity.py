@@ -146,7 +146,6 @@ def cosine_neardup_pairs(
     c_vecs = corpus.select(
         F.col(id_col).alias("__nid"), _as_double(F.col(vec_col)).alias("__vec")
     ).persist()
-    cex = c_vecs.select("__nid", F.posexplode("__vec").alias("__p", "__v"))
     buckets = _signatures(c_vecs, "__nid", tables)
     a = buckets.select(F.col("__nid").alias("vec_a"), "table", "sig")
     b = buckets.select(F.col("__nid").alias("vec_b"), "table", "sig")
@@ -155,7 +154,18 @@ def cosine_neardup_pairs(
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+        .persist()
     )
+    # Explode only vectors that made it into some candidate pair (see
+    # lsh_bucketed_topk): verification cost tracks |candidates| * dim,
+    # not |corpus| * dim.
+    cand_ids = (
+        cands.select(F.col("vec_a").alias("__nid"))
+        .union(cands.select(F.col("vec_b").alias("__nid")))
+        .distinct()
+    )
+    cand_vecs = c_vecs.join(cand_ids, "__nid", "left_semi").persist()
+    cex = cand_vecs.select("__nid", F.posexplode("__vec").alias("__p", "__v"))
     dp = (
         cands.join(
             cex.select(
@@ -172,7 +182,7 @@ def cosine_neardup_pairs(
         .groupBy("vec_a", "vec_b")
         .agg(F.sum(F.col("__av") * F.col("__bv")).alias("__dp"))
     )
-    norms = c_vecs.select("__nid", l2_norm(F.col("__vec")).alias("norm"))
+    norms = cand_vecs.select("__nid", l2_norm(F.col("__vec")).alias("norm"))
     scored = (
         dp.join(norms.select(F.col("__nid").alias("vec_a"), F.col("norm").alias("__na")), "vec_a")
         .join(norms.select(F.col("__nid").alias("vec_b"), F.col("norm").alias("__nb")), "vec_b")
@@ -221,7 +231,6 @@ def lsh_bucketed_topk(
     qex = F.broadcast(
         q_vecs.select("query_id", F.posexplode("__vec").alias("__p", "__v"))
     )
-    cex = c_vecs.select("neighbor_id", F.posexplode("__vec").alias("__p", "__v"))
 
     cands = (
         _signatures(c_vecs, "neighbor_id", tables)
@@ -232,7 +241,17 @@ def lsh_bucketed_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+        .persist()
     )
+    # Explode and L2-norm ONLY the candidate vectors: the semi-join
+    # prunes the corpus to bucket-mates of some query before the dim-way
+    # explode, so scoring cost is |candidates| * dim, not |corpus| * dim
+    # — pruning is the whole point of the LSH index, and doing the
+    # explode corpus-wide would silently throw it away.
+    cand_vecs = c_vecs.join(
+        cands.select("neighbor_id").distinct(), "neighbor_id", "left_semi"
+    ).persist()
+    cex = cand_vecs.select("neighbor_id", F.posexplode("__vec").alias("__p", "__v"))
     dp = (
         cands.join(cex.withColumnRenamed("__v", "__cv"), "neighbor_id")
         .join(qex.withColumnRenamed("__v", "__qv"), ["query_id", "__p"])
@@ -247,7 +266,7 @@ def lsh_bucketed_topk(
             "query_id",
         )
         .join(
-            c_vecs.select("neighbor_id", l2_norm(F.col("__vec")).alias("c_norm")),
+            cand_vecs.select("neighbor_id", l2_norm(F.col("__vec")).alias("c_norm")),
             "neighbor_id",
         )
         .withColumn(
