@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdata_covid19_real_time_spark.operators.text import (
     quality_stats,
@@ -71,3 +72,46 @@ def quality_filter(
         (F.size(reasons) == 0).alias("keep"),
         F.concat_ws(",", reasons).alias("reasons"),
     )
+
+
+def percentile_rank_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row its percentile-rank bucket (1..n_buckets) —
+    curriculum binning / quality tiers WITHOUT a global sort.
+
+    ``ntile`` over a global window funnels the corpus through one task;
+    interpolated-percentile boundaries introduce cross-engine float
+    comparisons.  This instead buckets on the *percentile rank of the
+    score value*, in pure integer arithmetic:
+
+        bucket(v) = ceil(n_buckets * |rows with score <= v| / N)
+
+    Plan: groupBy(score) count -> cumulative sum over the collapsed
+    per-value frame (tiny: one row per distinct score — quantize
+    continuous scores first) -> broadcast-join the (score -> bucket) map
+    back onto the corpus.  Ties share a bucket, so bucket populations
+    deviate from N/n_buckets only at heavy ties — the honest semantics
+    for "top decile by length"-style selection.
+    """
+    counts = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    buckets = (
+        counts.withColumn("__cum", F.sum("__cnt").over(w_cum))
+        .withColumn("__total", F.sum("__cnt").over(w_all))
+        .select(
+            score_col,
+            # integer ceil(n*cum/total) = (n*cum + total - 1) div total:
+            # exact in both engines, no float division anywhere
+            F.expr(f"({n_buckets} * __cum + __total - 1) div __total")
+            .cast("int")
+            .alias(bucket_col),
+        )
+    )
+    return df.join(F.broadcast(buckets), score_col)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Bucket modulus: rate resolution of 1e-6.
 NUM_BUCKETS = 1_000_000
@@ -85,3 +86,30 @@ def stratified_sample(
     fallback = F.lit(int(default_rate * NUM_BUCKETS))
     threshold = fallback if threshold is None else threshold.otherwise(fallback)
     return df.filter(hash_bucket(F.col(key_col), seed) < threshold)
+
+
+def group_sample_topk(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (hash-ordered).
+
+    Rate-based sampling keeps a *fraction* per stratum; inspection and
+    eval-set construction want a *fixed count* per group instead.  Rows
+    are ranked inside each group by their md5 key hash (a deterministic
+    shuffle of the group, stable under retries and ingestion order, same
+    rationale as ``hash_bucket``) and the first ``k`` kept.
+
+    One window per group — no global sort, no skew beyond the group
+    sizes themselves.  Adds ``sample_rank`` (1-based within group).
+    """
+    order_key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(order_key, F.col(key_col))
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )

@@ -283,3 +283,47 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def label_centroid_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label centroid diagnostics: size, centroid norm, inertia.
+
+    The cluster-quality readout for a labeled / clustered embedding
+    table (e.g. after IVF assignment or an external classifier): per
+    label the member count, the L2 norm of the element-wise mean vector,
+    and the mean squared distance of members to that centroid (inertia).
+    Tight labels -> low inertia; a label whose inertia rivals the global
+    variance is mislabeled or incoherent.
+
+    Plan: posexplode once -> groupBy (label, pos) for centroid
+    components -> join the exploded table back on (label, pos) for the
+    squared-distance sum.  Shuffle keys are (label, pos) pairs — never
+    whole vectors — and the join is centroid-table-broadcastable (C*dim
+    rows).  No driver-side collect, no UDF.
+
+    Output: ``(label, n_vecs, centroid_norm, inertia)``.
+    """
+    exploded = df.select(
+        F.col(id_col), F.col(label_col), F.posexplode(_as_double(F.col(vec_col)))
+    ).toDF(id_col, label_col, "pos", "val").persist()
+    cent = exploded.groupBy(label_col, "pos").agg(F.avg("val").alias("c"))
+    norms = cent.groupBy(label_col).agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("centroid_norm")
+    )
+    sq = (
+        exploded.join(F.broadcast(cent), [label_col, "pos"])
+        .groupBy(label_col)
+        .agg(
+            (F.sum(F.pow(F.col("val") - F.col("c"), 2))
+             / F.countDistinct(id_col)).alias("inertia"),
+            F.countDistinct(id_col).alias("n_vecs"),
+        )
+    )
+    return sq.join(norms, label_col).select(
+        label_col, "n_vecs", "centroid_norm", "inertia"
+    )

@@ -354,3 +354,48 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     group/join on 8 bytes instead of the document body."""
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fingerprint", F.xxhash64(normalized))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token n-gram spans repeated across documents — the lightweight
+    cousin of suffix-array exact-substring dedup: any span appearing in
+    ``min_docs``+ distinct documents is shared boilerplate or a copied
+    passage, and its occurrence counts tell you how much of the corpus
+    it eats.
+
+    Plan: staged tokens -> positional n-gram spans (ALL occurrences, not
+    the distinct set — occurrence counts matter here) -> explode ->
+    one groupBy on the span with ``count(*)`` + ``count(distinct doc)``.
+    At 100 TB group on ``xxhash64(span)`` and keep ``min(span)`` as the
+    representative so the shuffle key is 8 bytes; the gate groups on the
+    string so the DuckDB oracle can replicate membership exactly.
+
+    Output: ``(span, n_docs, n_occurrences)``, spans of ``n`` tokens.
+    """
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("toks")) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
+        ),
+    )
+    spans_df = toks_df.select(F.col(id_col), spans.alias("spans"))
+    exploded = spans_df.select(
+        F.col(id_col), F.explode_outer("spans").alias("span")
+    ).filter(F.col("span").isNotNull())
+    return (
+        exploded.groupBy("span")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -1,0 +1,106 @@
+"""TF-IDF keyword extraction and token-distribution entropy.
+
+Corpus-statistics operators for the training-data extension surface:
+``tfidf_top_terms`` surfaces each document's most characteristic terms
+(keyword extraction / topic tagging); ``unigram_entropy`` scores the
+token distribution's Shannon entropy — a low-entropy document is
+repetitive boilerplate even when its raw token count looks healthy
+(complements operators/text.py::repetition_stats' TTR/coverage
+signals).
+
+Both are pure DataFrame compositions over the one exploded
+``(doc_id, term)`` table:
+
+- TF is one groupBy on (doc_id, term) with map-side partial
+  aggregation; DF is one groupBy on term over the collapsed TF table.
+  The TF<->DF join shuffles on the term; at 100 TB group on
+  ``xxhash64(term)`` instead to shuffle 8-byte keys (the gate keys on
+  the string so the DuckDB oracle can replicate membership).
+- The corpus size N joins in as a broadcast single-row frame — no
+  driver-side ``.count()`` action at plan-build time.
+- Entropy needs no join at all: ``H = ln(n) - sum(tf*ln(tf))/n`` turns
+  the per-document normalization into a single aggregate pass over the
+  TF table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_covid19_real_time_spark.operators.text import tokens
+
+
+def _term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per (doc, term) with its occurrence count."""
+    term_rows = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    return term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF.
+
+    ``tfidf = tf * ln((N + 1) / (doc_freq + 1))`` (smoothed IDF).  The
+    per-document ranking orders by the 6-decimal-rounded score (the two
+    engines' ``ln`` can differ in the last ulp; rounding before ranking
+    makes the order — not just the output — cross-engine stable) with
+    the term string as the deterministic tie-break.
+
+    Output: ``(id_col, term, tf, doc_freq, tfidf, term_rank)``.
+    """
+    tf = _term_freq(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0)))
+                + F.lit(1e-9),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "tfidf", "term_rank")
+    )
+
+
+def unigram_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution (nats).
+
+    ``H = -sum(p_i ln p_i) = ln(n) - sum(tf_i ln tf_i) / n`` — the
+    rewrite needs no second pass for the normalizer, so the whole
+    operator is explode -> groupBy(doc, term) -> groupBy(doc).
+
+    Output: ``(id_col, token_total, distinct_terms, entropy)``.
+    """
+    tf = _term_freq(df, id_col, text_col)
+    agg = tf.groupBy(id_col).agg(
+        F.sum("tf").alias("token_total"),
+        F.count(F.lit(1)).alias("distinct_terms"),
+        F.sum(F.col("tf") * F.log("tf")).alias("__s"),
+    )
+    n = F.col("token_total")
+    return agg.select(
+        F.col(id_col),
+        "token_total",
+        "distinct_terms",
+        F.round(F.log(n) - F.col("__s") / n + F.lit(1e-9), 6).alias("entropy"),
+    )

@@ -9,6 +9,7 @@ training-data-pipeline operators (dedup, similarity, text analysis).
 """
 
 from bigdata_covid19_real_time_spark.plans import (  # noqa: F401  (registration side effects)
+    analytics,
     covid_parity,
     extensions,
     relational,

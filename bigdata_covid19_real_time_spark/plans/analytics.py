@@ -1,0 +1,271 @@
+"""Corpus-statistics and behavioral-analytics queries.
+
+Second extension batch: keyword extraction (TF-IDF), distribution
+entropy, percentile-rank binning, cross-document span mining, fixed-k
+group sampling, retention cohorts, z-score anomaly flags, and embedding
+cluster diagnostics.  Every query carries a full DuckDB oracle
+replication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.operators.quality import (
+    percentile_rank_buckets,
+)
+from bigdata_covid19_real_time_spark.operators.sampling import group_sample_topk
+from bigdata_covid19_real_time_spark.operators.similarity import (
+    label_centroid_stats,
+)
+from bigdata_covid19_real_time_spark.operators.text import duplicate_spans
+from bigdata_covid19_real_time_spark.operators.tfidf import (
+    tfidf_top_terms,
+    unigram_entropy,
+)
+from bigdata_covid19_real_time_spark.plans.registry import query, stable_round
+from bigdata_covid19_real_time_spark.sources.batch import load_table
+
+
+@query(
+    "docs_tfidf_topterms",
+    oracle="""
+    WITH term_rows AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM term_rows GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+             ROUND(t.tf * LN((n.n_docs + 1.0) / (d.doc_freq + 1.0)) + 1e-9, 6)
+               AS tfidf
+      FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(doc_freq AS BIGINT) AS doc_freq, tfidf,
+           CAST(rn AS INTEGER) AS term_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/tfidf.py): keyword
+    extraction as explode -> TF groupBy -> DF groupBy -> join -> per-doc
+    window.  The corpus size joins in as a broadcast 1-row frame (no
+    driver-side count), and the ranking orders by the ROUNDED score so
+    the order itself — not just the output — is cross-engine stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+@query(
+    "docs_unigram_entropy",
+    oracle="""
+    WITH term_rows AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM term_rows GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS token_total,
+           CAST(COUNT(*) AS BIGINT) AS distinct_terms,
+           ROUND(LN(SUM(tf)) - SUM(tf * LN(tf)) / SUM(tf) + 1e-9, 6) AS entropy
+    FROM tf GROUP BY doc_id
+    """,
+)
+def docs_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution
+    (operators/tfidf.py): the boilerplate signal TTR misses (a doc
+    repeating 5 tokens evenly has high TTR-per-window but ~ln(5)
+    entropy).  ``H = ln(n) - sum(tf ln tf)/n`` — one explode, two
+    groupBys, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_entropy(docs)
+
+
+@query(
+    "docs_length_deciles",
+    oracle="""
+    WITH counts AS (SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    cum AS (
+      SELECT n_chars, SUM(cnt) OVER (ORDER BY n_chars) AS c,
+             SUM(cnt) OVER () AS total
+      FROM counts
+    ),
+    buckets AS (
+      SELECT n_chars, CAST((10 * c + total - 1) // total AS INTEGER) AS decile
+      FROM cum
+    )
+    SELECT d.doc_id, d.n_chars, b.decile
+    FROM documents d JOIN buckets b USING (n_chars)
+    """,
+)
+def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank decile per document by length
+    (operators/quality.py::percentile_rank_buckets) — curriculum
+    binning with NO global sort and NO float boundaries: the decile is
+    ``ceil(10 * rank_of_value / N)`` in pure integer arithmetic,
+    computed on the collapsed per-value frame and broadcast-joined
+    back."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = percentile_rank_buckets(
+        docs.select("doc_id", "n_chars"), "n_chars", 10, "decile"
+    )
+    return out.select("doc_id", "n_chars", "decile")
+
+
+@query(
+    "docs_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, array_to_string(t[u.i:u.i+9], ' ') AS span
+      FROM toks, unnest(range(1, len(t) - 8)) AS u(i)
+      WHERE len(t) >= 10
+    )
+    SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM spans GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 10-token spans (operators/text.py::
+    duplicate_spans) — exact-substring-dedup lite: shared boilerplate
+    and copied passages surface with their document reach and total
+    occurrence mass.  One explode + one groupBy; the 100 TB variant
+    groups on the span hash (8-byte shuffle key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=10, min_docs=2)
+
+
+@query(
+    "docs_source_topk_sample",
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS sample_rank
+    FROM (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('21:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def docs_source_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5-per-source deterministic sample
+    (operators/sampling.py::group_sample_topk): rows ranked inside each
+    group by md5 key hash — a reproducible per-group shuffle, stable
+    under retries — and the first five kept.  The oracle reproduces the
+    exact membership, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = group_sample_topk(docs, k=5, group_col="source", key_col="doc_id", seed=21)
+    return out.select("doc_id", "source", F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
+@query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    firsts AS (SELECT user_id, MIN(d) AS cohort_date FROM ev GROUP BY 1),
+    days AS (SELECT DISTINCT user_id, d FROM ev)
+    SELECT cohort_date, CAST(d - cohort_date AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM days JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users grouped by first-seen date, counted on
+    each later active day offset.  Both the first-seen aggregate and the
+    (user, day) distinct shuffle on user_id — co-partitioned, so the
+    join adds no third shuffle; the final rollup is on the tiny
+    (cohort, offset) grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    days = ev.distinct()
+    return (
+        days.join(firsts, "user_id")
+        .withColumn(
+            "day_offset", F.datediff(F.col("d"), F.col("cohort_date")).cast("long")
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@query(
+    "events_value_anomalies",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT event_id, e.event_type, e.value,
+           ROUND(ABS((e.value - mu) / sd) + 1e-9, 4) AS abs_zscore
+    FROM events e JOIN stats USING (event_type)
+    WHERE sd > 0 AND ROUND(ABS((e.value - mu) / sd) + 1e-9, 4) >= 3.0
+    """,
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| >= 3): the per-type moment table
+    is tiny and broadcasts, so flagging is a narrow map over the event
+    stream — the batch shape of a streaming anomaly monitor.  The
+    threshold compares the ROUNDED z-score so the boundary itself is
+    cross-engine stable."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = stable_round(F.abs((F.col("value") - F.col("mu")) / F.col("sd")), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("abs_zscore", z)
+        .filter((F.col("sd") > 0) & (F.col("abs_zscore") >= 3.0))
+        .select("event_id", "event_type", "value", "abs_zscore")
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    cent AS (SELECT label, pos, AVG(val) AS c FROM v GROUP BY 1, 2),
+    norms AS (SELECT label, SQRT(SUM(c * c)) AS centroid_norm FROM cent GROUP BY 1),
+    sq AS (
+      SELECT v.label, COUNT(DISTINCT v.vec_id) AS n_vecs,
+             SUM((v.val - c.c) * (v.val - c.c)) / COUNT(DISTINCT v.vec_id)
+               AS inertia
+      FROM v JOIN cent c ON v.label = c.label AND v.pos = c.pos
+      GROUP BY 1
+    )
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           ROUND(centroid_norm + 1e-9, 6) AS centroid_norm,
+           ROUND(inertia + 1e-9, 6) AS inertia
+    FROM sq JOIN norms USING (label)
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster diagnostics per label (operators/similarity.py::
+    label_centroid_stats): member count, centroid L2 norm, inertia
+    (mean squared distance to centroid).  Shuffles (label, pos) pairs —
+    never whole vectors — and broadcasts the C*dim centroid table for
+    the distance pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = label_centroid_stats(emb)
+    return out.select(
+        "label",
+        "n_vecs",
+        stable_round("centroid_norm", 6).alias("centroid_norm"),
+        stable_round("inertia", 6).alias("inertia"),
+    )
