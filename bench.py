@@ -97,6 +97,9 @@ HEADLINE = [
     "user_retention_cohorts",
     "events_value_anomalies",
     "embedding_label_centroids",
+    "big_quantity_orders",
+    "idle_rich_customers",
+    "user_trailing_week_avg",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

@@ -836,3 +836,141 @@ def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
     )
+
+
+@query(
+    "big_quantity_orders",
+    # TPC-H Q18 shape: HAVING-subquery feeding a 3-way join
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice + 1e-9, 2) AS o_totalprice,
+           ROUND(b.sum_qty + 1e-9, 2) AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): the lineitem HAVING
+    aggregate collapses to one row per qualifying order BEFORE joining
+    orders/customer, so the expensive table is reduced first and the
+    join input is ~1% of orders.  Catalyst turns the qualifying-key
+    join into a broadcast under AQE at this selectivity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            stable_round("o_totalprice", 2).alias("o_totalprice"),
+            stable_round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "idle_rich_customers",
+    # TPC-H Q22 shape: scalar-subquery threshold + anti join + rollup
+    oracle="""
+    WITH threshold AS (
+      SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal) + 1e-9, 2) AS totacctbal
+    FROM customer, threshold
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+    GROUP BY 1
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-customer-counting): customers with
+    above-average positive balance and no TOP-DECILE order (every
+    customer here has *some* order, so the pristine "no orders at all"
+    predicate selects nothing — the filtered NOT EXISTS keeps the
+    anti-join shape with a non-trivial result), rolled up by market
+    segment.  The scalar threshold is a broadcast 1-row frame (no
+    driver-side collect); the anti join shuffles only the key column
+    of the pre-filtered orders side."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_totalprice") > 450000.0).select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            stable_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "user_trailing_week_avg",
+    # true RANGE frame over integer day offsets: gap-aware (a user idle
+    # for 5 days still averages over the calendar week, not the last 7
+    # rows — the rows-frame twin user_moving_avg gets that wrong by
+    # design)
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, SUM(value) AS daily_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, d, ROUND(daily_value + 1e-9, 2) AS daily_value,
+           ROUND(AVG(daily_value) OVER (
+             PARTITION BY user_id ORDER BY (d - DATE '1970-01-01')
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 2)
+             AS trailing_week_avg
+    FROM daily
+    """,
+)
+def user_trailing_week_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware trailing average: per-user daily totals, then a
+    RANGE window over integer day offsets (6 preceding + current = a
+    7-day calendar window that handles gaps correctly).  One shuffle on
+    user_id serves both the daily rollup and the window sort."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("d"), "value")
+        .groupBy("user_id", "d")
+        .agg(F.sum("value").alias("daily_value"))
+    )
+    day_no = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(day_no)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "d",
+        stable_round("daily_value", 2).alias("daily_value"),
+        stable_round(F.avg("daily_value").over(w), 2).alias("trailing_week_avg"),
+    )
