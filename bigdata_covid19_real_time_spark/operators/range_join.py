@@ -33,6 +33,18 @@ from pyspark.sql import functions as F
 _US = 1_000_000
 
 
+def _micros(col: str):
+    """Microseconds since epoch for TIMESTAMP or TIMESTAMP_NTZ columns.
+
+    ``unix_micros`` only accepts TIMESTAMP_LTZ; parquet written by other
+    engines (isAdjustedToUTC=false) loads as TIMESTAMP_NTZ.  The cast is
+    a no-op for LTZ and interprets NTZ in the session timezone (pinned
+    UTC at the table-load chokepoint), so bucket ids stay consistent
+    across both encodings.
+    """
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def bucketed_interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -50,15 +62,13 @@ def bucketed_interval_join(
     if bucket_seconds <= 0:
         raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
     width = F.lit(int(bucket_seconds) * _US)
-    p = points.withColumn(
-        "__bucket", F.floor(F.unix_micros(F.col(ts_col)) / width)
-    )
+    p = points.withColumn("__bucket", F.floor(_micros(ts_col) / width))
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / width),
-                F.floor((F.unix_micros(F.col(end_col)) - 1) / width),
+                F.floor(_micros(start_col) / width),
+                F.floor((_micros(end_col) - 1) / width),
             )
         ),
     )
