@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (78 queries covering SURVEY.md §2 plus
+engine's registered query surface (86 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
-Spark results against DuckDB oracles at sf0.01.  All 75 carry oracles —
+Spark results against DuckDB oracles at sf0.01.  All carry oracles —
 including the approximate operators, each gated by the strongest
 expressible contract: MinHash-LSH and hyperplane-LSH ANN against the
 exact baselines they provably equal at these SFs (candidate recall 1.0

@@ -100,6 +100,14 @@ HEADLINE = [
     "big_quantity_orders",
     "idle_rich_customers",
     "user_trailing_week_avg",
+    "order_priority_pipeline",
+    "nation_pair_trade",
+    "regional_market_share",
+    "nation_profit_by_year",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "part_supplier_diversity",
+    "waiting_sole_late_supplier",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

@@ -14,6 +14,7 @@ from bigdata_covid19_real_time_spark.plans import (  # noqa: F401  (registration
     extensions,
     relational,
     relational_ext,
+    tpch_shapes,
 )
 from bigdata_covid19_real_time_spark.plans.registry import ORACLES, QUERIES
 

@@ -115,3 +115,41 @@ def test_shipping_priority_pushes_all_three_filters(spark):
     assert "LessThan(o_orderdate" in plan
     assert "GreaterThan(l_shipdate" in plan
     assert "TakeOrderedAndProject" in plan  # top-10, no global sort
+
+
+def test_order_priority_pipeline_semi_join_pushes_date_range(spark):
+    plan = plan_of(spark, "order_priority_pipeline")
+    assert "LeftSemi" in plan
+    # the one-year filter reaches the orders parquet scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+    # lineitem reads only (orderkey, shipdate)
+    assert "struct<l_orderkey:bigint,l_shipdate" in plan
+
+
+def test_nation_pair_trade_filters_lineitem_before_fact_join(spark):
+    plan = plan_of(spark, "nation_pair_trade")
+    # supplier-nation pre-filter joins lineitem via broadcast, ahead of
+    # the l_orderkey exchange (no sort-merge of unfiltered lineitem)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_revenue_suppliers_avoids_single_partition_window(spark):
+    plan = plan_of(spark, "top_revenue_suppliers")
+    # global max joins back as a broadcast, not Window over one partition
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_part_supplier_diversity_anti_join_and_two_phase_distinct(spark):
+    plan = plan_of(spark, "part_supplier_diversity")
+    assert "LeftAnti" in plan
+    # count_distinct plans as two-phase hash aggregate, no Expand-free shortcut needed
+    assert "HashAggregate" in plan
+
+
+def test_waiting_sole_late_supplier_single_self_pass(spark):
+    plan = plan_of(spark, "waiting_sole_late_supplier")
+    # triple correlation collapsed to one aggregate: lineitem scanned once
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
