@@ -108,6 +108,8 @@ HEADLINE = [
     "top_revenue_suppliers",
     "part_supplier_diversity",
     "waiting_sole_late_supplier",
+    "embedding_semantic_dedup",
+    "docs_unigram_lm_score",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

@@ -104,3 +104,46 @@ def unigram_entropy(
         "distinct_terms",
         F.round(F.log(n) - F.col("__s") / n + F.lit(1e-9), 6).alias("entropy"),
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document cross entropy (nats/token) against an add-one-
+    smoothed unigram LM trained on the same corpus:
+    ``p(w) = (c(w) + 1) / (N + V)``, ``H = -sum(tf_w ln p(w)) / n``.
+
+    The CCNet/Gopher perplexity-filter shape with the n-gram LM reduced
+    to its unigram case — high ``cross_entropy`` documents are
+    out-of-distribution for the corpus (gibberish, wrong language);
+    anomalously low ones are boilerplate.
+
+    Scale: training is one term-keyed aggregate over the exploded TF
+    table (map-side partials collapse each partition to its distinct
+    terms); (N, V) is a broadcast single-row frame; scoring re-joins TF
+    to the count table on the term — at 100 TB key that join on
+    ``xxhash64(term)`` to shuffle 8-byte keys.  Two shuffles total on
+    top of the TF table, no driver-side state.
+
+    Output: ``(id_col, token_total, cross_entropy)`` (entropy rounded
+    to 6 decimals, cross-engine stable).
+    """
+    tf = _term_freq(df, id_col, text_col)
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    log_p = F.log(
+        (F.col("c") + F.lit(1.0)) / (F.col("n_tokens") + F.col("vocab"))
+    )
+    return (
+        tf.join(counts, "term")
+        .join(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("token_total"),
+            F.round(
+                -F.sum(F.col("tf") * log_p) / F.sum("tf") + F.lit(1e-9), 6
+            ).alias("cross_entropy"),
+        )
+    )

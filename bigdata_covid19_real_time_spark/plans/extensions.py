@@ -609,8 +609,10 @@ def docs_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql(n_clusters: int, n_iters: int, nprobe: int, k: int) -> str:
-    """Generate a full independent SQL replication of the IVF pipeline.
+def kmeans_assign_ctes(n_clusters: int, n_iters: int) -> str:
+    """SQL CTE chain replicating operators/ivf.py's deterministic k-means
+    training + final assignment in DuckDB — shared by every oracle that
+    builds on the coarse quantizer (IVF ANN, semantic dedup).
 
     The k-means training is deterministic (init = the ``n_clusters``
     lowest-id vectors, fixed Lloyd iteration count, explicit tie-breaks),
@@ -618,12 +620,8 @@ def _ivf_oracle_sql(n_clusters: int, n_iters: int, nprobe: int, k: int) -> str:
     makes it oracle-expressible: unroll the iterations as chained CTEs.
     Assignment score is ``dot(v, c) - |c|^2/2`` argmax with ties to the
     LOWER cluster id (mirrors operators/ivf.py::_assignment_expr's struct
-    max over (s, -id)); probe ranking breaks ties to the HIGHER cluster
-    id (mirrors ``reverse(array_sort(...))`` over (s, c) structs).
-    Float-noise risk is confined to argmin/probe flips on near-ties;
-    Voronoi margins on this corpus are ~13 orders of magnitude above
-    cross-engine accumulation noise, and final cosines go through the
-    same ROUND(+1e-9, 6) as every other gated float.
+    max over (s, -id)).  Returns the chain ``v .. cscore, cassign``
+    (no leading WITH); append further CTEs after it.
     """
     iters = []
     for t in range(1, n_iters + 1):
@@ -651,7 +649,7 @@ def _ivf_oracle_sql(n_clusters: int, n_iters: int, nprobe: int, k: int) -> str:
     ),""")
     n = n_iters
     return f"""
-    WITH v AS (
+    v AS (
       SELECT vec_id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS val
       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
     ),
@@ -673,7 +671,21 @@ def _ivf_oracle_sql(n_clusters: int, n_iters: int, nprobe: int, k: int) -> str:
         SELECT vec_id, cluster,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster ASC) AS rn
         FROM cscore) WHERE rn = 1
-    ),
+    )"""
+
+
+def _ivf_oracle_sql(n_clusters: int, n_iters: int, nprobe: int, k: int) -> str:
+    """Full independent SQL replication of the IVF ANN pipeline: the
+    shared k-means chain (``kmeans_assign_ctes``) plus probe ranking
+    (ties to the HIGHER cluster id, mirroring ``reverse(array_sort(...))``
+    over (s, c) structs), candidate scoring, and top-k.  Float-noise risk
+    is confined to argmin/probe flips on near-ties; Voronoi margins on
+    this corpus are ~13 orders of magnitude above cross-engine
+    accumulation noise, and final cosines go through the same
+    ROUND(+1e-9, 6) as every other gated float.
+    """
+    return f"""
+    WITH {kmeans_assign_ctes(n_clusters, n_iters)},
     probes AS (
       SELECT vec_id AS query_id, cluster FROM (
         SELECT vec_id, cluster,
@@ -1230,3 +1242,80 @@ def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, bpe_token_count("text"), budget=2048)
+
+
+_SEMDEDUP_TAU = 0.28
+
+
+@query(
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH {kmeans_assign_ctes(16, 3)},
+    norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS norm FROM v GROUP BY 1),
+    cos AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(va.val * vb.val) AS dp,
+             MAX(na.norm) AS norm_a, MAX(nb.norm) AS norm_b
+      FROM cassign a
+      JOIN cassign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id AND vb.pos = va.pos
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT id_b FROM cos
+      WHERE CASE WHEN norm_a > 0 AND norm_b > 0
+                 THEN dp / (norm_a * norm_b) ELSE 0.0 END >= {_SEMDEDUP_TAU}
+    )
+    SELECT c.vec_id, CAST(c.cluster AS INTEGER) AS cluster,
+           (d.id_b IS NULL) AS keep
+    FROM cassign c LEFT JOIN dups d ON c.vec_id = d.id_b
+    """,
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup: k-means cells (the deterministic
+    IVF quantizer, 16 cells x 3 Lloyd iterations) bound the pairwise
+    cosine comparison; a vector is dropped iff a lower-id vector in its
+    cell is >= 0.28 cosine-similar (operators/semdedup.py).  Oracle: the
+    shared k-means CTE chain + an independent all-within-cell-pairs
+    cosine replication in DuckDB."""
+    from bigdata_covid19_real_time_spark.operators.ivf import train_centroids
+    from bigdata_covid19_real_time_spark.operators.semdedup import (
+        semantic_dedup_flags,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, n_clusters=16, n_iters=3)
+    return semantic_dedup_flags(emb, centroids, threshold=_SEMDEDUP_TAU)
+
+
+@query(
+    "docs_unigram_lm_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    tf AS (
+      SELECT doc_id, u.x AS term, COUNT(*) AS tf
+      FROM toks, unnest(t) AS u(x)
+      GROUP BY 1, 2
+    ),
+    cnt AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS token_total,
+           ROUND(-SUM(tf.tf * ln((cnt.c + 1.0) / (tot.n + tot.v)))
+                 / SUM(tf.tf) + 1e-9, 6) AS cross_entropy
+    FROM tf JOIN cnt USING (term) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def docs_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score: per-document cross
+    entropy against an add-one-smoothed unigram model of the whole
+    corpus — the CCNet-style perplexity filter's distribution shape
+    (operators/tfidf.py::unigram_lm_scores).  Oracle: full SQL
+    replication of training + scoring."""
+    from bigdata_covid19_real_time_spark.operators.tfidf import unigram_lm_scores
+
+    return unigram_lm_scores(load_table(spark, sf_dir, "documents"))

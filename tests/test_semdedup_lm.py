@@ -1,0 +1,83 @@
+"""Unit tests for semantic dedup (SemDeDup shape) and the unigram-LM
+cross-entropy scorer on tiny hand-computable inputs."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from bigdata_covid19_real_time_spark.operators.semdedup import semantic_dedup_flags
+from bigdata_covid19_real_time_spark.operators.tfidf import unigram_lm_scores
+
+
+def emb(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows]
+    )
+
+
+class TestSemanticDedup:
+    def test_lower_id_survives_within_cell(self, spark):
+        # ids 1 and 2 identical; id 3 orthogonal.  Centroids force 1 and
+        # 2 into cell 0, 3 into cell 1.
+        corpus = emb(
+            spark, [(1, [1, 0]), (2, [1, 0]), (3, [0, 1])]
+        )
+        flags = {
+            r["vec_id"]: (r["cluster"], r["keep"])
+            for r in semantic_dedup_flags(
+                corpus, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9
+            ).collect()
+        }
+        assert flags[1] == (0, True)
+        assert flags[2] == (0, False)  # duplicate of the lower id
+        assert flags[3] == (1, True)
+
+    def test_cross_cell_duplicates_are_kept_by_design(self, spark):
+        # identical vectors forced into different cells survive both —
+        # SemDeDup's locality contract
+        corpus = emb(spark, [(1, [1, 0.1]), (2, [0.1, 1])])
+        flags = semantic_dedup_flags(
+            corpus, [[1.0, 0.0], [0.0, 1.0]], threshold=0.0
+        ).collect()
+        # threshold 0 dedups everything sharing a cell; these two don't
+        assert all(r["keep"] for r in flags)
+
+    def test_transitive_chain_drops_all_but_minimum(self, spark):
+        # 3 near-identical vectors in one cell: only the lowest id kept
+        corpus = emb(spark, [(5, [1, 0]), (6, [1, 0.01]), (7, [1, 0.02])])
+        flags = {
+            r["vec_id"]: r["keep"]
+            for r in semantic_dedup_flags(
+                corpus, [[1.0, 0.0]], threshold=0.99
+            ).collect()
+        }
+        assert flags == {5: True, 6: False, 7: False}
+
+
+class TestUnigramLm:
+    def test_hand_computed_cross_entropy(self, spark):
+        # corpus: doc1 = "a a b", doc2 = "b c"
+        # counts: a=2, b=2, c=1; N=5, V=3; p(w) = (c+1)/8
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: (r["token_total"], r["cross_entropy"])
+            for r in unigram_lm_scores(docs).collect()
+        }
+        p = {"a": 3 / 8, "b": 3 / 8, "c": 2 / 8}
+        h1 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
+        h2 = -(math.log(p["b"]) + math.log(p["c"])) / 2
+        assert out[1][0] == 3 and abs(out[1][1] - h1) < 1e-5
+        assert out[2][0] == 2 and abs(out[2][1] - h2) < 1e-5
+
+    def test_out_of_distribution_doc_scores_higher(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox") for i in range(10)]
+            + [(99, "zzz qqq xxx yyy")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["cross_entropy"] for r in unigram_lm_scores(docs).collect()}
+        assert out[99] > out[0]
