@@ -1,0 +1,61 @@
+"""Stream-stream joins with watermark-bounded state.
+
+Not in the reference (its streaming graph is single-input;
+covid_streaming.py joins nothing) — this is engine extension surface: a
+training-data ingest frequently correlates two live feeds (impressions
+↔ labels, clicks ↔ purchases, raw docs ↔ moderation verdicts).
+
+Structured Streaming only admits a stream-stream inner/outer join when
+the engine can bound its buffered state: both sides carry a watermark
+and the join condition constrains event time (equality on a window
+column, or a time-range predicate).  Without the range bound every past
+row must be buffered forever — the unbounded-state analysis rejects the
+query at plan time, which is the correct 100 TB behavior.
+
+Scale: state is partitioned by the equi-join key across executors; each
+side buffers only rows younger than (watermark + max_delay).  Late rows
+beyond the watermark are dropped from the join, never block it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Join two streams on ``key`` where the right event lands within
+    ``[left_time, left_time + max_delay]`` — attribution semantics
+    (e.g. a purchase attributed to the click that preceded it).
+
+    Both inputs must be streaming frames with event-time columns
+    ``left_time`` / ``right_time``; each gets ``watermark`` applied
+    here (callers pass raw parsed streams).  ``how`` supports
+    ``inner``/``leftOuter``/``rightOuter``/``fullOuter`` — the outer
+    variants emit their null-padded rows only once the watermark
+    passes, exactly Structured Streaming's contract.
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark).withColumnRenamed(
+        key, f"__r_{key}"
+    )
+    cond = (
+        (lw[key] == rw[f"__r_{key}"])
+        & (rw[right_time] >= lw[left_time])
+        & (rw[right_time] <= F.expr(f"{left_time} + interval {max_delay}"))
+    )
+    joined = lw.join(rw, cond, how)
+    # one key column out, populated from whichever side matched (outer
+    # variants null-pad one side)
+    return joined.withColumn(
+        key, F.coalesce(F.col(key), F.col(f"__r_{key}"))
+    ).drop(f"__r_{key}")

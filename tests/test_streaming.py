@@ -347,3 +347,58 @@ def test_rate_stream_through_pipeline(spark, tmp_path):
     rt = sink.rows(REALTIME_TABLE)
     if rt:
         assert {"location", "date", "total_cases"} <= set(rt[0].asDict())
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Watermarked stream-stream join: purchases attribute to the click
+    that preceded them within the delay bound; out-of-bound and
+    unmatched rows drop (inner)."""
+    import json as _json
+
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    clicks = [
+        {"user": "u1", "click_ts": "2024-01-01T10:00:00", "page": "p1"},
+        {"user": "u2", "click_ts": "2024-01-01T10:05:00", "page": "p2"},
+        {"user": "u3", "click_ts": "2024-01-01T10:00:00", "page": "p3"},
+    ]
+    purchases = [
+        {"user": "u1", "buy_ts": "2024-01-01T10:04:00", "amount": 5.0},   # in bound
+        {"user": "u2", "buy_ts": "2024-01-01T10:30:00", "amount": 7.0},   # > max_delay
+        {"user": "u4", "buy_ts": "2024-01-01T10:01:00", "amount": 9.0},   # no click
+    ]
+    (tmp_path / "clicks").mkdir()
+    (tmp_path / "buys").mkdir()
+    (tmp_path / "clicks" / "c.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in clicks)
+    )
+    (tmp_path / "buys" / "b.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in purchases)
+    )
+    click_schema = "user string, click_ts string, page string"
+    buy_schema = "user string, buy_ts string, amount double"
+    cs = (
+        spark.readStream.schema(click_schema).json(str(tmp_path / "clicks"))
+        .withColumn("click_ts", F.to_timestamp("click_ts"))
+    )
+    bs = (
+        spark.readStream.schema(buy_schema).json(str(tmp_path / "buys"))
+        .withColumn("buy_ts", F.to_timestamp("buy_ts"))
+    )
+    joined = interval_join_streams(
+        cs, bs, key="user", left_time="click_ts", right_time="buy_ts",
+        max_delay="10 minutes", watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain([q])
+    rows = spark.sql("SELECT user, page, amount FROM ssjoin").collect()
+    assert [(r["user"], r["page"], r["amount"]) for r in rows] == [("u1", "p1", 5.0)]
