@@ -61,10 +61,19 @@ def connected_components(
     def _truncate(df: DataFrame) -> DataFrame:
         return df.checkpoint() if has_reliable_ckpt else df.localCheckpoint()
 
-    src = F.col(id_a).cast("long").alias("src")
-    dst = F.col(id_b).cast("long").alias("dst")
-    fwd = pairs.select(src, dst)
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    src = F.col(id_a).cast("long")
+    dst = F.col(id_b).cast("long")
+    # Symmetrize with ONE evaluation of the (possibly expensive) pair
+    # pipeline: explode each pair into both directions instead of
+    # union-ing two scans of the input plan.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(src.alias("src"), dst.alias("dst")),
+                F.struct(dst.alias("src"), src.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges = _truncate(edges.distinct())
 
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
