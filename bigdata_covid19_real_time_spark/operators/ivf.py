@@ -8,18 +8,17 @@ see more corpus); candidate count ~= nprobe/C of the corpus, vs
 L/2^bits for LSH.
 
 Spark-first shape:
-- centroids live on the driver (C x dim floats — KBs) and enter the
-  plan as a **broadcast C-row DataFrame**, so assignment is a broadcast
-  cross-join + ``zip_with`` dot product followed by a per-vector argmax
-  — one shuffle on the vector id.  Centroids-as-DataFrame, NOT as
-  literal arrays baked into aggregate expressions: literals make every
-  Lloyd iteration a brand-new plan whose generated code (C aggregates x
-  dim-element arrays) Janino recompiles from scratch — measured ~5 s of
-  compile per iteration at C=16, dim=64, vs a single reusable compiled
-  plan when the centroid values arrive as broadcast data.
-- Lloyd iterations are DataFrame aggregations: assignment as above,
-  then posexplode(vec) -> groupBy (cluster, position) -> avg -> collect
-  C x dim means.  Only C x dim floats ever reach the driver.
+- centroids live on the driver (C x dim floats — KBs).  Corpus
+  ASSIGNMENT bakes them into a literal-array expression
+  (``_cluster_expr``): a NARROW per-row argmax with zero shuffle —
+  the broadcast-cross-join + groupBy alternative pushes C x N rows
+  through an exchange, which is the difference between a map-only
+  pass and a 16x-corpus shuffle at 100 TB.  The literal expression
+  costs one Janino compile per distinct centroid set (~1 s at C=16,
+  dim=64), a per-query constant amortized over the scan.  Query-side
+  PROBING (``_probes``) keeps the C-row broadcast-DataFrame form:
+  the query set is small, and top-nprobe needs the per-centroid rows
+  anyway.
 - training is deterministic: seeded centroid init from a fixed-id
   sample, fixed iteration count — rerunning reproduces the same index.
 
@@ -74,18 +73,37 @@ def _scored(vecs: DataFrame, id_name: str, centroids: list[list[float]]) -> Data
     )
 
 
+def _cluster_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id as a NARROW per-row expression: the centroid
+    table is a literal array of (chalf, cvec, cid) structs, scored with
+    ``array_max`` over (s, -cid) structs — same argmax + lower-id
+    tie-break as the join formulation, but zero shuffles: no broadcast
+    cross-join, no groupBy, no join back to the corpus."""
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+                F.lit(float(sum(x * x for x in c)) / 2.0).alias("chalf"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    scored = F.transform(
+        cent,
+        lambda c: F.struct(
+            (_dot(vec, c["cvec"]) - c["chalf"]).alias("s"),
+            (-c["cid"]).alias("nc"),
+        ),
+    )
+    return (-F.array_max(scored)["nc"]).cast("int")
+
+
 def _assign(vecs: DataFrame, id_name: str, centroids: list[list[float]]) -> DataFrame:
     """(id, cluster): nearest centroid per vector; exact score ties break
-    toward the lower centroid id (max of (s, -cid) structs)."""
-    return (
-        _scored(vecs, id_name, centroids)
-        .groupBy(id_name)
-        .agg(
-            F.max(F.struct(F.col("__s").alias("s"), (-F.col("cid")).alias("nc"))).alias(
-                "m"
-            )
-        )
-        .select(id_name, (-F.col("m.nc")).cast("int").alias("cluster"))
+    toward the lower centroid id.  Narrow map (see ``_cluster_expr``)."""
+    return vecs.select(
+        id_name, _cluster_expr(F.col("__vec"), centroids).alias("cluster")
     )
 
 
@@ -175,18 +193,16 @@ def assign_clusters(
 ) -> DataFrame:
     """Corpus + a ``cluster`` column: nearest-centroid id per vector.
 
-    One shuffle on the id for the per-vector argmax, then a join back to
-    the original rows (broadcast-eligible when the corpus is small;
-    co-partitioned on the id otherwise).
+    A narrow map — the centroid table rides along as a literal array
+    expression (``_cluster_expr``), so assignment adds NO shuffle at any
+    corpus size.
     """
-    vecs = corpus.select(
-        F.col(id_col).alias("__aid"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
+    return corpus.withColumn(
+        "cluster",
+        _cluster_expr(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), centroids
+        ),
     )
-    assigned = _assign(vecs, "__aid", centroids)
-    return corpus.join(
-        assigned, corpus[id_col] == assigned["__aid"]
-    ).drop("__aid")
 
 
 def write_ivf_index(
@@ -325,9 +341,10 @@ def ivf_topk(
         q_vecs.select("query_id", F.posexplode("__vec").alias("__p", "__qv"))
     )
 
-    c_assign = _assign(c_vecs, "neighbor_id", centroids).join(
-        c_vecs.select("neighbor_id", _norm(F.col("__vec")).alias("c_norm")),
+    c_assign = c_vecs.select(
         "neighbor_id",
+        _cluster_expr(F.col("__vec"), centroids).alias("cluster"),
+        _norm(F.col("__vec")).alias("c_norm"),
     )
     q_probes = _probes(q_vecs, "query_id", centroids, nprobe).join(
         q_vecs.select("query_id", _norm(F.col("__vec")).alias("q_norm")), "query_id"

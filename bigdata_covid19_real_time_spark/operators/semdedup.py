@@ -71,7 +71,7 @@ def semantic_dedup_flags(
     )
     right = prepped.select(
         F.col("__id").alias("__id_b"),
-        "cluster",
+        F.col("cluster").alias("__cluster_b"),
         F.col("__vec").alias("__vec_b"),
         F.col("__norm").alias("__norm_b"),
     )
@@ -83,7 +83,8 @@ def semantic_dedup_flags(
     dup_ids = (
         left.join(
             right,
-            (left.cluster == right.cluster) & (F.col("__id_a") < F.col("__id_b")),
+            (F.col("cluster") == F.col("__cluster_b"))
+            & (F.col("__id_a") < F.col("__id_b")),
         )
         .filter(cosine >= F.lit(threshold))
         .select(F.col("__id_b").alias("__dup_id"))
