@@ -110,6 +110,8 @@ HEADLINE = [
     "waiting_sole_late_supplier",
     "embedding_semantic_dedup",
     "docs_unigram_lm_score",
+    "events_grouping_sets",
+    "events_zorder_keys",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

@@ -1319,3 +1319,52 @@ def docs_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_covid19_real_time_spark.operators.tfidf import unigram_lm_scores
 
     return unigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _zorder_oracle_sql(bits: int) -> str:
+    """SQL replication of operators/zorder.py: equal-width buckets over
+    the global (min, max), Morton interleave via shift/and/or chains."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((zx >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((zy >> {i}) & 1) << {2 * i})")
+    interleave = " | ".join(terms)
+    n = (1 << bits) - 1
+    return f"""
+    WITH stats AS (
+      SELECT MIN(value) AS xmin, MAX(value) AS xmax,
+             MIN(CAST(user_id AS DOUBLE)) AS ymin, MAX(CAST(user_id AS DOUBLE)) AS ymax
+      FROM events
+    ),
+    b AS (
+      SELECT event_id,
+        CASE WHEN xmax - xmin <= 0 THEN 0
+             ELSE LEAST(CAST(FLOOR((value - xmin) / (xmax - xmin) * {1 << bits}) AS BIGINT), {n})
+        END AS zx,
+        CASE WHEN ymax - ymin <= 0 THEN 0
+             ELSE LEAST(CAST(FLOOR((CAST(user_id AS DOUBLE) - ymin) / (ymax - ymin) * {1 << bits}) AS BIGINT), {n})
+        END AS zy
+      FROM events CROSS JOIN stats
+    )
+    SELECT event_id, CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
+           CAST({interleave} AS BIGINT) AS zkey
+    FROM b
+    """
+
+
+@query("events_zorder_keys", oracle=_zorder_oracle_sql(8))
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys on (value, user_id) — the Morton layout
+    key the lakehouse OPTIMIZE-ZORDER maintenance op sorts by
+    (operators/zorder.py; ``zorder_write`` materializes the layout and
+    the layout test pins per-file 2-D tile narrowness).  Oracle: full
+    SQL replication of bucketing + bit interleave."""
+    from bigdata_covid19_real_time_spark.operators.zorder import zorder_keys
+
+    events = load_table(spark, sf_dir, "events")
+    return zorder_keys(events, "value", "user_id", bits=8).select(
+        "event_id",
+        F.col("__zx").alias("zx"),
+        F.col("__zy").alias("zy"),
+        "zkey",
+    )

@@ -496,3 +496,48 @@ def waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
+
+
+@query(
+    "events_grouping_sets",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS events_count,
+           ROUND(SUM(value) + 1e-9, 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)))
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a rollup nor a cube lattice):
+    (type, day), (type), (day) — three aggregation grains in ONE
+    Expand + hash-agg pass, with ``grouping_id`` disambiguating rows
+    where a grouping column is NULL-because-aggregated vs NULL-in-data.
+
+    Scale: one Expand (3x map-side rows) + one shuffle with partial
+    aggregation — vs three separate scans+shuffles if the grains ran as
+    separate queries; exactly the Catalyst feature a reporting layer
+    should lean on.
+    """
+    from bigdata_covid19_real_time_spark.sources.batch import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events")
+    typed = events.select(
+        "event_type", F.col("ts").cast("date").alias("event_date"), "value"
+    )
+    return (
+        typed.groupingSets(
+            [["event_type", "event_date"], ["event_type"], ["event_date"]],
+            "event_type",
+            "event_date",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("events_count"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type", "event_date", "gid", "events_count", "total_value"
+        )
+    )

@@ -402,3 +402,54 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
     drain([q])
     rows = spark.sql("SELECT user, page, amount FROM ssjoin").collect()
     assert [(r["user"], r["page"], r["amount"]) for r in rows] == [("u1", "p1", 5.0)]
+
+
+def test_streaming_session_window_merges_across_batches(spark, tmp_path):
+    """Native session_window under Structured Streaming: events within
+    the gap merge into one session (stateful merge across micro-batches);
+    the closed session emits once in append mode after the watermark."""
+    import json as _json
+
+    rows_b1 = [
+        {"user": "u1", "ts": "2024-01-01T10:00:00", "v": 1.0},
+        {"user": "u1", "ts": "2024-01-01T10:10:00", "v": 2.0},
+    ]
+    rows_b2 = [
+        {"user": "u1", "ts": "2024-01-01T10:20:00", "v": 3.0},  # merges (gap 30m)
+        {"user": "u1", "ts": "2024-01-01T14:00:00", "v": 9.0},  # advances watermark
+    ]
+    src = tmp_path / "sess"
+    src.mkdir()
+    (src / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows_b1))
+    (src / "b2.jsonl").write_text("\n".join(_json.dumps(r) for r in rows_b2))
+    stream = (
+        spark.readStream.schema("user string, ts string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "1 minute")
+    )
+    sessions = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), "user")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .select(
+            "user", F.col("session_window.start").cast("string").alias("start"),
+            "n", "total",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessagg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain([q])
+    rows = {
+        (r["user"], r["start"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM sessagg").collect()
+    }
+    # the three morning events merged into ONE session despite arriving
+    # across two micro-batches
+    assert rows[("u1", "2024-01-01 10:00:00")] == (3, 6.0)
