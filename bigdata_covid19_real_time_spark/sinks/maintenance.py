@@ -76,3 +76,87 @@ def compact_epoch_table(
         "files_after": len(data_files(table_dir)),
         "rows": int(rows),
     }
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> dict[str, int]:
+    """Keyed last-wins upsert into a parquet table (the MERGE INTO /
+    Delta-upsert twin, at partition granularity): target rows whose key
+    appears in ``updates`` are replaced, new keys are appended.
+
+    With ``partition_col`` (the table must be ``partitionBy`` that
+    column), only the partitions that *contain an updated key* — on
+    either their old or new partition value — are rewritten; every
+    other partition's files are untouched.  That is the property that
+    makes an upsert affordable on a 100 TB table: cost scales with the
+    touched partitions, not the table.  Without ``partition_col`` the
+    whole table rewrites (documented, for small dimension tables).
+
+    Each rewritten partition swaps in via the same copy-then-swap dance
+    as ``compact_epoch_table``; the pre-merge state of every touched
+    partition is kept at ``<dir>.pre-merge`` until the caller deletes
+    it.  ``updates`` must be unique per key (checked — duplicate update
+    keys would make last-wins nondeterministic).
+    """
+    dup = (
+        updates.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).count()
+    )
+    if dup:
+        raise ValueError(f"merge_upsert: {dup} duplicate key groups in updates")
+
+    target = spark.read.parquet(table_dir)
+    keys = F.broadcast(updates.select(*key_cols).distinct())
+
+    if partition_col is None:
+        merged = target.join(keys, key_cols, "left_anti").unionByName(updates)
+        tmp = table_dir.rstrip("/") + ".merge-tmp"
+        old = table_dir.rstrip("/") + ".pre-merge"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)
+        rows = spark.read.parquet(tmp).count()
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(table_dir.rstrip("/"), old)
+        os.rename(tmp, table_dir.rstrip("/"))
+        return {"partitions_rewritten": 1, "rows_after": int(rows)}
+
+    # partitions needing a rewrite: where updated keys live now (stale
+    # rows to drop) plus where the update rows land (new values)
+    old_parts = (
+        target.join(keys, key_cols, "left_semi")
+        .select(partition_col).distinct().collect()
+    )
+    new_parts = updates.select(partition_col).distinct().collect()
+    affected = sorted({r[partition_col] for r in old_parts}
+                      | {r[partition_col] for r in new_parts})
+
+    merged = (
+        target.filter(F.col(partition_col).isin(affected))
+        .join(keys, key_cols, "left_anti")
+        .unionByName(updates.filter(F.col(partition_col).isin(affected)))
+    )
+    tmp = table_dir.rstrip("/") + ".merge-tmp"
+    old = table_dir.rstrip("/") + ".pre-merge"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(old)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+
+    base = table_dir.rstrip("/")
+    for val in affected:
+        sub = f"{partition_col}={val}"
+        live, fresh, backup = (
+            os.path.join(base, sub), os.path.join(tmp, sub), os.path.join(old, sub)
+        )
+        if os.path.exists(live):
+            os.rename(live, backup)
+        if os.path.exists(fresh):
+            os.rename(fresh, live)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"partitions_rewritten": len(affected), "rows_after": int(rows)}

@@ -101,3 +101,71 @@ def test_file_sink_formats_round_trip(spark, tmp_path):
     csv_sink.write(cleaned, 0, "t")
     back = spark.read.option("header", True).csv(str(tmp_path / "csv" / "t"))
     assert sorted(r["location"] for r in back.collect()) == ["Egypt", "France"]
+
+
+class TestMergeUpsert:
+    def _seed(self, spark, path):
+        spark.createDataFrame(
+            [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p3")],
+            "id long, val string, part string",
+        ).write.partitionBy("part").parquet(path)
+
+    def test_upsert_replaces_and_appends_touching_only_affected_partitions(
+        self, spark, tmp_path
+    ):
+        import glob as _glob
+        import os as _os
+
+        from bigdata_covid19_real_time_spark.sinks.maintenance import merge_upsert
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        untouched_files = sorted(_glob.glob(f"{path}/part=p3/*.parquet"))
+        before_mtimes = [_os.path.getmtime(f) for f in untouched_files]
+
+        updates = spark.createDataFrame(
+            [(2, "B2", "p1"), (5, "e", "p2")], "id long, val string, part string"
+        )
+        stats = merge_upsert(spark, path, updates, ["id"], partition_col="part")
+        assert stats["partitions_rewritten"] == 2  # p1 (id=2), p2 (id=5)
+
+        got = {
+            (r["id"], r["val"], r["part"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            (1, "a", "p1"), (2, "B2", "p1"), (3, "c", "p2"),
+            (4, "d", "p3"), (5, "e", "p2"),
+        }
+        # p3 files untouched byte-for-byte (same paths, same mtimes)
+        after = sorted(_glob.glob(f"{path}/part=p3/*.parquet"))
+        assert after == untouched_files
+        assert [_os.path.getmtime(f) for f in after] == before_mtimes
+
+    def test_upsert_moves_key_across_partitions(self, spark, tmp_path):
+        from bigdata_covid19_real_time_spark.sinks.maintenance import merge_upsert
+
+        path = str(tmp_path / "t2")
+        self._seed(spark, path)
+        # id=3 moves p2 -> p3: stale p2 row must disappear
+        updates = spark.createDataFrame(
+            [(3, "c3", "p3")], "id long, val string, part string"
+        )
+        merge_upsert(spark, path, updates, ["id"], partition_col="part")
+        got = {
+            (r["id"], r["part"]) for r in spark.read.parquet(path).collect()
+        }
+        assert got == {(1, "p1"), (2, "p1"), (3, "p3"), (4, "p3")}
+
+    def test_duplicate_update_keys_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from bigdata_covid19_real_time_spark.sinks.maintenance import merge_upsert
+
+        path = str(tmp_path / "t3")
+        self._seed(spark, path)
+        updates = spark.createDataFrame(
+            [(2, "x", "p1"), (2, "y", "p1")], "id long, val string, part string"
+        )
+        with _pytest.raises(ValueError, match="duplicate key"):
+            merge_upsert(spark, path, updates, ["id"], partition_col="part")
