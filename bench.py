@@ -112,6 +112,7 @@ HEADLINE = [
     "docs_unigram_lm_score",
     "events_grouping_sets",
     "events_zorder_keys",
+    "docs_bigram_lm_score",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's
@@ -126,6 +127,8 @@ SCALE_QUERIES = [
     "covid_continent_5min",
     "covid_predict",
     "daily_event_summary_sketch",
+    "docs_dedup_clusters",
+    "embedding_semantic_dedup",
 ]
 SCALE_SMALL_DIR = "/root/testdata/sf0.01"
 

@@ -147,3 +147,70 @@ def unigram_lm_scores(
             ).alias("cross_entropy"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross entropy against an interpolated bigram LM
+    trained on the same corpus:
+    ``p(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * (c(w2)+1)/(N+V)``
+    (bigram MLE backed off to the add-one unigram; ``c`` are corpus
+    counts).  Documents shorter than 2 tokens emit no row.
+
+    The production perplexity-filter shape (CCNet uses a 5-gram KenLM;
+    the bigram case carries the same join structure): a lower entropy
+    than the unigram scorer's on fluent text, a sharper spike on
+    shuffled/garbled text where unigram stats look normal.
+
+    Scale: corpus bigram counts are one partial-agg groupBy over the
+    exploded pair table; scoring joins per-doc pair counts to the
+    corpus tables on (w1, w2) / w1 / w2 — three term-keyed shuffles
+    (hash the terms at 100 TB for 8-byte keys); (N, V) broadcasts.
+
+    Output: ``(id_col, bigram_total, cross_entropy)``.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    pair_rows = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at("__t", i).alias("w1"),
+                    F.element_at("__t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    tf12 = pair_rows.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    c12 = tf12.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+
+    uni = _term_freq(df, id_col, text_col).groupBy("term").agg(
+        F.sum("tf").alias("c1")
+    )
+    totals = uni.agg(F.sum("c1").alias("n_tokens"), F.count(F.lit(1)).alias("vocab"))
+
+    p = F.lit(lam) * F.col("c12") / F.col("__cw1") + F.lit(1.0 - lam) * (
+        (F.col("__cw2") + F.lit(1.0)) / (F.col("n_tokens") + F.col("vocab"))
+    )
+    return (
+        tf12.join(c12, ["w1", "w2"])
+        .join(uni.select(F.col("term").alias("w1"), F.col("c1").alias("__cw1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c1").alias("__cw2")), "w2")
+        .join(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("bigram_total"),
+            F.round(
+                -F.sum(F.col("tf") * F.log(p)) / F.sum("tf") + F.lit(1e-9), 6
+            ).alias("cross_entropy"),
+        )
+    )

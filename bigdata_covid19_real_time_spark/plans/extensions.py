@@ -1368,3 +1368,41 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__zy").alias("zy"),
         "zkey",
     )
+
+
+@query(
+    "docs_bigram_lm_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    pairs AS (
+      SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    tf12 AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, SUM(tf) AS c12 FROM tf12 GROUP BY 1, 2),
+    alltoks AS (SELECT u.x AS term FROM toks, unnest(t) AS u(x)),
+    uni AS (SELECT term, COUNT(*) AS c1 FROM alltoks GROUP BY 1),
+    tot AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM uni)
+    SELECT tf12.doc_id,
+           CAST(SUM(tf12.tf) AS BIGINT) AS bigram_total,
+           ROUND(-SUM(tf12.tf * ln(
+                 0.7 * c12.c12 / u1.c1
+                 + 0.3 * (u2.c1 + 1.0) / (tot.n + tot.v)))
+                 / SUM(tf12.tf) + 1e-9, 6) AS cross_entropy
+    FROM tf12
+    JOIN c12 USING (w1, w2)
+    JOIN uni u1 ON u1.term = tf12.w1
+    JOIN uni u2 ON u2.term = tf12.w2
+    CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score (lam=0.7 bigram MLE +
+    0.3 add-one unigram backoff) — the KenLM-style perplexity filter's
+    join structure at n=2 (operators/tfidf.py::bigram_lm_scores).
+    Oracle: full SQL replication of training + scoring."""
+    from bigdata_covid19_real_time_spark.operators.tfidf import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"), lam=0.7)

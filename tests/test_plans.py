@@ -153,3 +153,25 @@ def test_waiting_sole_late_supplier_single_self_pass(spark):
     # triple correlation collapsed to one aggregate: lineitem scanned once
     assert plan.count("lineitem.parquet") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_regional_market_share_semi_join_prunes_both_facts(spark):
+    plan = plan_of(spark, "regional_market_share")
+    # region-filtered customers and PROMO parts prune via LeftSemi before
+    # the fact-fact join; dims broadcast
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nation_profit_filters_part_dim_side(spark):
+    plan = plan_of(spark, "nation_profit_by_year")
+    # the %red% contains-filter runs on the part dim scan, not lineitem
+    assert "Contains(p_name, red)" in plan or "contains(p_name" in plan.lower()
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_customer_order_distribution_keeps_partial_aggs(spark):
+    plan = plan_of(spark, "customer_order_distribution")
+    # both grouping passes keep map-side partial phases
+    assert plan.lower().count("partial_count") >= 1
+    assert "CartesianProduct" not in plan

@@ -81,3 +81,40 @@ class TestUnigramLm:
         )
         out = {r["doc_id"]: r["cross_entropy"] for r in unigram_lm_scores(docs).collect()}
         assert out[99] > out[0]
+
+
+class TestBigramLm:
+    def test_hand_computed_bigram_entropy(self, spark):
+        from bigdata_covid19_real_time_spark.operators.tfidf import bigram_lm_scores
+
+        # corpus: doc1 = "a b a b", doc2 = "b a"
+        # bigrams: d1: (a,b)x2, (b,a)x1; d2: (b,a)x1
+        # c12: (a,b)=2, (b,a)=2; uni: a=3, b=3; N=6, V=2
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "b a")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: (r["bigram_total"], r["cross_entropy"])
+            for r in bigram_lm_scores(docs, lam=0.7).collect()
+        }
+        import math
+
+        def p(c12, cw1, cw2):
+            return 0.7 * c12 / cw1 + 0.3 * (cw2 + 1.0) / (6 + 2)
+
+        h1 = -(2 * math.log(p(2, 3, 3)) + 1 * math.log(p(2, 3, 3))) / 3
+        h2 = -math.log(p(2, 3, 3)) / 1
+        assert out[1][0] == 3 and abs(out[1][1] - h1) < 1e-5
+        assert out[2][0] == 1 and abs(out[2][1] - h2) < 1e-5
+
+    def test_shuffled_text_scores_higher_than_fluent(self, spark):
+        from bigdata_covid19_real_time_spark.operators.tfidf import bigram_lm_scores
+
+        fluent = "the cat sat on the mat"
+        docs = spark.createDataFrame(
+            [(i, fluent) for i in range(10)] + [(99, "mat the on cat the sat")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["cross_entropy"] for r in bigram_lm_scores(docs).collect()}
+        # same unigram profile, broken bigrams -> higher cross entropy
+        assert out[99] > out[0]
