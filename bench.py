@@ -113,6 +113,7 @@ HEADLINE = [
     "events_grouping_sets",
     "events_zorder_keys",
     "docs_bigram_lm_score",
+    "embedding_pq_topk",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

@@ -1,0 +1,183 @@
+"""Product quantization (PQ) for compressed-domain similarity search.
+
+At 100 TB of float32 embeddings, even the *storage* of the corpus
+dominates ANN cost.  PQ (Jégou et al. 2011, the FAISS workhorse) splits
+each vector into ``m`` subvectors, k-means-quantizes each subspace to
+``k`` codes, and stores ``m`` small ints per vector — a 16-32x
+compression — then scores queries against the CODES with asymmetric
+distance computation (ADC): the query stays full-precision, each
+candidate's score is a sum of ``m`` codebook-table lookups.
+
+Spark-first shape:
+- codebook training is driver-side numpy over a bounded sample, per
+  subspace — the same deliberate, bounded driver step (and the same
+  deterministic Lloyd semantics) as ``ivf.train_centroids``;
+- ENCODING is a narrow map: per subspace, ``ivf._cluster_expr`` over
+  the sliced subvector with the subspace codebook as literal arrays —
+  zero shuffle at any corpus size;
+- ADC SCORING is also narrow: the (m x k x dim/m) codebook rides as a
+  literal nested-array expression; each candidate row computes
+  ``sum_m dot(q_sub_m, codebook[m][code_m])`` with ``element_at``
+  lookups — no join against a codebook table, no shuffle of the
+  corpus.  The only wide operation is the final per-query top-k.
+
+The whole pipeline is a pure function of (corpus, m, k, iters), so the
+correctness gate replicates training + encoding + ADC independently in
+DuckDB SQL (plans/extensions.py::_pq_oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_covid19_real_time_spark.operators.ivf import _cluster_expr, _dot, _norm
+
+
+def _normalized(vec: Column) -> Column:
+    """L2-normalized copy of a double-array column (zero vectors pass
+    through) — PQ quantizes and scores on the unit sphere so the ADC
+    inner product approximates cosine."""
+    n = _norm(vec)
+    return F.when(n > 0, F.transform(vec, lambda x: x / n)).otherwise(vec)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int = 262_144,
+) -> list[list[list[float]]]:
+    """Per-subspace deterministic k-means codebooks:
+    ``codebooks[s][j]`` is code ``j``'s centroid in subspace ``s``.
+
+    Same bounded-sample, deterministic-Lloyd policy as
+    ``ivf.train_centroids`` (init = the ``k`` lowest-id subvectors,
+    argmax(dot - |c|^2/2) assignment with ties to the lower code, empty
+    codes keep their previous centroid) — which is what makes the gate's
+    SQL replication possible.  The vector dimension must divide by
+    ``m``.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
+        )
+        .orderBy("__id")
+        .limit(max_train_rows)
+        .collect()
+    )
+    X = np.array([r["__vec"] for r in rows], dtype=np.float64)
+    # cosine metric: L2-normalize before quantizing, so the ADC inner
+    # product approximates cosine (the FAISS METRIC_INNER_PRODUCT-on-
+    # normalized-vectors recipe); zero vectors stay zero
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = np.divide(X, norms, out=X.copy(), where=norms > 0)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        cent = Xs[:k].copy()
+        for _ in range(n_iters):
+            scores = Xs @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            cent = np.vstack(
+                [
+                    Xs[assign == c].mean(axis=0) if (assign == c).any() else cent[c]
+                    for c in range(k)
+                ]
+            )
+        books.append([list(map(float, c)) for c in cent])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}): each vector's per-subspace code ids —
+    the compressed representation.  Narrow map (one ``_cluster_expr``
+    per subspace on the sliced subvector); at scale, write THIS frame
+    instead of the raw vectors."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    vec = _normalized(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    return corpus.select(
+        F.col(id_col),
+        *[
+            _cluster_expr(F.slice(vec, s * sub + 1, sub), codebooks[s]).alias(
+                f"code_{s}"
+            )
+            for s in range(m)
+        ],
+    )
+
+
+def _codebook_literal(book: list[list[float]]) -> Column:
+    """One subspace's codebook as a literal array-of-arrays column."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: full-precision ``queries`` against the PQ ``codes``.
+
+    Output: (query_id, neighbor_id, rank, adc_score) with the score an
+    inner-product approximation ``sum_m dot(q_sub_m, book_m[code_m])``.
+    Ranking uses the 6-decimal-rounded score (cross-engine-stable order,
+    same discipline as tfidf ranking) with neighbor id as tie-break.
+
+    The candidate side carries only (id, m codes) — the compressed
+    corpus never rehydrates; the broadcast query side is the only
+    full-precision operand.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _normalized(
+                F.transform(vec_col, lambda x: x.cast("double"))
+            ).alias("__q"),
+        )
+    )
+    cand = codes.join(q, codes[id_col] != F.col("query_id"))
+    score = None
+    for s in range(m):
+        term = _dot(
+            F.slice(F.col("__q"), s * sub + 1, sub),
+            F.element_at(_codebook_literal(codebooks[s]), F.col(f"code_{s}") + 1),
+        )
+        score = term if score is None else score + term
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(score + F.lit(1e-9), 6).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "rank", "adc_score")
+    )

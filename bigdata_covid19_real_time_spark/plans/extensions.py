@@ -1406,3 +1406,111 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_covid19_real_time_spark.operators.tfidf import bigram_lm_scores
 
     return bigram_lm_scores(load_table(spark, sf_dir, "documents"), lam=0.7)
+
+
+def _pq_oracle_sql(m: int, k: int, n_iters: int, sub: int, k_top: int) -> str:
+    """Full SQL replication of the PQ pipeline (operators/pq.py):
+    per-subspace deterministic k-means (the kmeans chain keyed by a
+    subspace column ``s``), code assignment, and ADC scoring of the
+    sub-10-id queries against the codes.  ``sub`` = dim / m."""
+    iters = []
+    for t in range(1, n_iters + 1):
+        iters.append(f"""
+    score{t} AS (
+      SELECT v.vec_id, v.s, c.code,
+             SUM(v.val * c.val) - SUM(c.val * c.val) / 2 AS sc
+      FROM v JOIN cent{t - 1} c ON v.s = c.s AND v.pos = c.pos
+      GROUP BY 1, 2, 3
+    ),
+    assign{t} AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code ASC) AS rn
+        FROM score{t}) WHERE rn = 1
+    ),
+    means{t} AS (
+      SELECT a.s, a.code, v.pos, AVG(v.val) AS val
+      FROM assign{t} a JOIN v ON v.vec_id = a.vec_id AND v.s = a.s
+      GROUP BY 1, 2, 3
+    ),
+    cent{t} AS (
+      SELECT p.s, p.code, p.pos, COALESCE(mm.val, p.val) AS val
+      FROM cent{t - 1} p
+      LEFT JOIN means{t} mm ON mm.s = p.s AND mm.code = p.code AND mm.pos = p.pos
+    ),""")
+    n = n_iters
+    return f"""
+    WITH raw AS (
+      SELECT vec_id,
+             CAST((u.i - 1) // {sub} AS INTEGER) AS s,
+             CAST((u.i - 1) % {sub} AS INTEGER) AS pos,
+             CAST(embedding[u.i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    nrm AS (SELECT vec_id, sqrt(SUM(val * val)) AS nn FROM raw GROUP BY 1),
+    v AS (
+      SELECT raw.vec_id, raw.s, raw.pos,
+             CASE WHEN nrm.nn > 0 THEN raw.val / nrm.nn ELSE raw.val END AS val
+      FROM raw JOIN nrm ON nrm.vec_id = raw.vec_id
+    ),
+    init_ids AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    cent0 AS (
+      SELECT v.s, i.code, v.pos, v.val FROM init_ids i JOIN v ON v.vec_id = i.vec_id
+    ),{''.join(iters)}
+    fscore AS (
+      SELECT v.vec_id, v.s, c.code,
+             SUM(v.val * c.val) - SUM(c.val * c.val) / 2 AS sc
+      FROM v JOIN cent{n} c ON v.s = c.s AND v.pos = c.pos
+      GROUP BY 1, 2, 3
+    ),
+    fassign AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code ASC) AS rn
+        FROM fscore) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT qv.vec_id AS query_id, a.vec_id AS neighbor_id,
+             SUM(qv.val * c.val) AS sc
+      FROM fassign a
+      JOIN cent{n} c ON c.s = a.s AND c.code = a.code
+      JOIN v qv ON qv.s = c.s AND qv.pos = c.pos
+      WHERE qv.vec_id < 10 AND a.vec_id <> qv.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(sc + 1e-9, 6) DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           ROUND(sc + 1e-9, 6) AS adc_score
+    FROM adc
+    QUALIFY rank <= {k_top}
+    """
+
+
+@query("embedding_pq_topk", oracle=_pq_oracle_sql(4, 16, 2, 16, 5))
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 4 subspaces x 16 codes (a 64-dim
+    float vector compresses to 4 bytes), ADC top-5 for the sub-10-id
+    queries — the compressed-domain path for corpora where even the
+    VECTORS can't be stored raw (operators/pq.py).  Oracle: full SQL
+    replication of per-subspace training + encoding + ADC."""
+    from bigdata_covid19_real_time_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=4, k=16, n_iters=2)
+    codes = pq_encode(emb, books)
+    out = pq_topk(codes, emb.filter(F.col("vec_id") < 10), books, k_top=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        "adc_score",
+    )

@@ -118,3 +118,62 @@ class TestBigramLm:
         out = {r["doc_id"]: r["cross_entropy"] for r in bigram_lm_scores(docs).collect()}
         # same unigram profile, broken bigrams -> higher cross entropy
         assert out[99] > out[0]
+
+
+class TestProductQuantization:
+    def test_pq_codes_bounded_and_recall_reasonable(self, spark):
+        from bigdata_covid19_real_time_spark.operators.pq import (
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+        from bigdata_covid19_real_time_spark.operators.similarity import cosine_topk
+        from bigdata_covid19_real_time_spark.sources.batch import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        books = train_pq_codebooks(emb, m=4, k=16, n_iters=2)
+        assert len(books) == 4 and all(len(b) == 16 for b in books)
+        codes = pq_encode(emb, books)
+        stats = codes.agg(
+            *[F.max(f"code_{s}").alias(f"mx{s}") for s in range(4)],
+            *[F.min(f"code_{s}").alias(f"mn{s}") for s in range(4)],
+        ).collect()[0]
+        assert all(0 <= stats[f"mn{s}"] and stats[f"mx{s}"] < 16 for s in range(4))
+
+    def test_pq_recovers_planted_clusters(self, spark):
+        """On clustered data (the regime PQ exists for) the compressed
+        scorer must recover the true neighbors; unstructured gaussian
+        corpora at 4x16 codes are legitimately near-chance and are NOT
+        the contract."""
+        from pyspark.sql import Row, functions as F
+
+        from bigdata_covid19_real_time_spark.operators.pq import (
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+        from bigdata_covid19_real_time_spark.operators.similarity import cosine_topk
+
+        dim, n_proto = 64, 8
+        rows = []
+        for i in range(64):
+            proto = i % n_proto
+            vec = [0.0] * dim
+            for d in range(dim):
+                if d % n_proto == proto:
+                    vec[d] = 1.0
+            # deterministic per-vector perturbation so members differ
+            vec[(i * 7) % dim] += 0.05 * ((i % 3) + 1)
+            rows.append(Row(vec_id=i, embedding=vec))
+        emb = spark.createDataFrame(rows)
+
+        books = train_pq_codebooks(emb, m=4, k=16, n_iters=2)
+        codes = pq_encode(emb, books)
+        queries = emb.filter(F.col("vec_id") < 8)  # one per prototype
+        approx = pq_topk(codes, queries, books, k_top=5)
+        exact = cosine_topk(emb, queries, k=5)
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        recall = len(a & e) / len(e)
+        assert recall >= 0.8, f"PQ failed on clustered data: {recall}"
