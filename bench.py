@@ -114,6 +114,7 @@ HEADLINE = [
     "events_zorder_keys",
     "docs_bigram_lm_score",
     "embedding_pq_topk",
+    "purchase_graph_pagerank",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

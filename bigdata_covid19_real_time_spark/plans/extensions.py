@@ -1514,3 +1514,76 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         "adc_score",
     )
+
+
+def _pagerank_oracle_sql(n_iters: int, damping: float, k_top: int) -> str:
+    """SQL replication of operators/pagerank.py over the customer ->
+    supplier purchase graph (supplier ids offset by 10^6 into a shared
+    node space), unrolled to ``n_iters`` power iterations."""
+    d = damping
+    iters = []
+    for t in range(1, n_iters + 1):
+        iters.append(f"""
+    c{t} AS (
+      SELECT e.dst AS node, SUM(r.r / dg.outd) AS m
+      FROM edges e
+      JOIN r{t - 1} r ON r.node = e.src
+      JOIN deg dg ON dg.src = e.src
+      GROUP BY 1
+    ),
+    dang{t} AS (
+      SELECT COALESCE(SUM(r.r), 0.0) AS dm
+      FROM r{t - 1} r LEFT JOIN deg dg ON dg.src = r.node
+      WHERE dg.src IS NULL
+    ),
+    r{t} AS (
+      SELECT n.node,
+             {1.0 - d} / (SELECT nn FROM cnt)
+             + {d} * (COALESCE(c.m, 0.0)
+                      + (SELECT dm FROM dang{t}) / (SELECT nn FROM cnt)) AS r
+      FROM nodes n LEFT JOIN c{t} c ON c.node = n.node
+    ),""")
+    n = n_iters
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+    ),
+    cnt AS (SELECT COUNT(*) AS nn FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / (SELECT nn FROM cnt) AS r FROM nodes),{''.join(iters)}
+    final AS (SELECT node, ROUND(r + 1e-9, 8) AS rank FROM r{n})
+    SELECT node, rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS INTEGER) AS pos
+    FROM final
+    QUALIFY pos <= {k_top}
+    """
+
+
+@query("purchase_graph_pagerank", oracle=_pagerank_oracle_sql(3, 0.85, 20))
+def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality: 3-iteration PageRank over the customer ->
+    supplier purchase graph (operators/pagerank.py), top 20 nodes —
+    the web-corpus domain-centrality quality signal's computation
+    shape.  Suppliers (no out-edges) exercise the dangling-mass
+    redistribution each round.  Oracle: unrolled SQL power iteration."""
+    from pyspark.sql.window import Window
+
+    from bigdata_covid19_real_time_spark.operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    ranks = pagerank(edges, n_iters=3, damping=0.85)
+    rounded = ranks.select("node", F.round(F.col("rank") + F.lit(1e-9), 8).alias("rank"))
+    # top-k first (TakeOrderedAndProject — distributed heaps, no global
+    # sort of the node table), then position numbers over the 20-row frame
+    top = rounded.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return top.withColumn("pos", F.row_number().over(w).cast("int"))

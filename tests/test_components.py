@@ -61,3 +61,28 @@ def test_dedup_clusters_survivor_flags(spark):
     # exactly one canonical per cluster
     canon = [r for r in rows.values() if r["is_canonical"]]
     assert sorted(c["cluster_id"] for c in canon) == [1, 8]
+
+
+class TestPageRank:
+    def test_uniform_cycle_stays_uniform(self, spark):
+        from bigdata_covid19_real_time_spark.operators.pagerank import pagerank
+
+        # 3-cycle: symmetric, no dangling -> ranks stay exactly 1/3
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        out = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=4).collect()}
+        for v in out.values():
+            assert abs(v - 1 / 3) < 1e-12
+
+    def test_hub_collects_rank_and_mass_conserved(self, spark):
+        from bigdata_covid19_real_time_spark.operators.pagerank import pagerank
+
+        # stars into node 9 (dangling): 9 should outrank the spokes and
+        # total mass stays 1 (dangling redistribution)
+        edges = spark.createDataFrame(
+            [(1, 9), (2, 9), (3, 9)], "src long, dst long"
+        )
+        out = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=3).collect()}
+        assert out[9] > out[1] == out[2] == out[3]
+        assert abs(sum(out.values()) - 1.0) < 1e-9
