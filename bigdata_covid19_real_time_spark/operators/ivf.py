@@ -9,16 +9,17 @@ L/2^bits for LSH.
 
 Spark-first shape:
 - centroids live on the driver (C x dim floats — KBs).  Corpus
-  ASSIGNMENT bakes them into a literal-array expression
-  (``_cluster_expr``): a NARROW per-row argmax with zero shuffle —
-  the broadcast-cross-join + groupBy alternative pushes C x N rows
-  through an exchange, which is the difference between a map-only
-  pass and a 16x-corpus shuffle at 100 TB.  The literal expression
-  costs one Janino compile per distinct centroid set (~1 s at C=16,
-  dim=64), a per-query constant amortized over the scan.  Query-side
-  PROBING (``_probes``) keeps the C-row broadcast-DataFrame form:
-  the query set is small, and top-nprobe needs the per-centroid rows
-  anyway.
+  ASSIGNMENT joins them on as a broadcast 1-ROW ARRAY COLUMN
+  (``centroid_array_frame``) and computes a NARROW per-row argmax
+  (``_cluster_expr``): zero shuffle — the broadcast-cross-join +
+  groupBy alternative pushes C x N rows through an exchange, which is
+  the difference between a map-only pass and a 16x-corpus shuffle at
+  100 TB.  Centroids as DATA (not expression literals) keeps the
+  generated code value-independent, so Janino compiles once ever —
+  literal centroids forced a fresh multi-second compile per centroid
+  set/SF (measured on the bench).  Query-side PROBING (``_probes``)
+  keeps the C-row broadcast-DataFrame form: the query set is small,
+  and top-nprobe needs the per-centroid rows anyway.
 - training is deterministic: seeded centroid init from a fixed-id
   sample, fixed iteration count — rerunning reproduces the same index.
 
@@ -73,24 +74,16 @@ def _scored(vecs: DataFrame, id_name: str, centroids: list[list[float]]) -> Data
     )
 
 
-def _cluster_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id as a NARROW per-row expression: the centroid
-    table is a literal array of (chalf, cvec, cid) structs, scored with
-    ``array_max`` over (s, -cid) structs — same argmax + lower-id
-    tie-break as the join formulation, but zero shuffles: no broadcast
-    cross-join, no groupBy, no join back to the corpus."""
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
-                F.lit(float(sum(x * x for x in c)) / 2.0).alias("chalf"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+def _cluster_expr(vec: Column, cent_col: Column) -> Column:
+    """Nearest-centroid id as a NARROW per-row expression over a
+    centroid ARRAY COLUMN (see ``centroid_array_frame``): ``array_max``
+    over (s, -cid) structs — same argmax + lower-id tie-break as the
+    join formulation, but zero shuffles (no groupBy, no join back) AND
+    value-independent generated code (literal centroids would force a
+    fresh Janino compile per centroid set; a column keeps the code
+    cached across queries/SFs)."""
     scored = F.transform(
-        cent,
+        cent_col,
         lambda c: F.struct(
             (_dot(vec, c["cvec"]) - c["chalf"]).alias("s"),
             (-c["cid"]).alias("nc"),
@@ -99,11 +92,33 @@ def _cluster_expr(vec: Column, centroids: list[list[float]]) -> Column:
     return (-F.array_max(scored)["nc"]).cast("int")
 
 
+def centroid_struct_rows(
+    centroids: list[list[float]],
+) -> list[tuple[int, list[float], float]]:
+    return [
+        (i, [float(x) for x in c], float(sum(x * x for x in c)) / 2.0)
+        for i, c in enumerate(centroids)
+    ]
+
+
+def centroid_array_frame(
+    spark, centroids: list[list[float]], col_name: str = "__cent"
+) -> DataFrame:
+    """1-row broadcastable frame holding the whole centroid table as one
+    array<struct<cid, cvec, chalf>> column — joins onto any frame as a
+    broadcast with no shuffle, and keeps codegen value-independent."""
+    return spark.createDataFrame(
+        [(centroid_struct_rows(centroids),)],
+        f"{col_name} array<struct<cid:int,cvec:array<double>,chalf:double>>",
+    )
+
+
 def _assign(vecs: DataFrame, id_name: str, centroids: list[list[float]]) -> DataFrame:
     """(id, cluster): nearest centroid per vector; exact score ties break
     toward the lower centroid id.  Narrow map (see ``_cluster_expr``)."""
-    return vecs.select(
-        id_name, _cluster_expr(F.col("__vec"), centroids).alias("cluster")
+    cent = F.broadcast(centroid_array_frame(vecs.sparkSession, centroids))
+    return vecs.join(cent).select(
+        id_name, _cluster_expr(F.col("__vec"), F.col("__cent")).alias("cluster")
     )
 
 
@@ -193,15 +208,22 @@ def assign_clusters(
 ) -> DataFrame:
     """Corpus + a ``cluster`` column: nearest-centroid id per vector.
 
-    A narrow map — the centroid table rides along as a literal array
-    expression (``_cluster_expr``), so assignment adds NO shuffle at any
-    corpus size.
+    A narrow map — the centroid table joins on as a broadcast 1-row
+    array column (``centroid_array_frame``), so assignment adds NO
+    shuffle at any corpus size and the generated code stays cached
+    across centroid sets.
     """
-    return corpus.withColumn(
-        "cluster",
-        _cluster_expr(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")), centroids
-        ),
+    cent = F.broadcast(centroid_array_frame(corpus.sparkSession, centroids))
+    return (
+        corpus.join(cent)
+        .withColumn(
+            "cluster",
+            _cluster_expr(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.col("__cent"),
+            ),
+        )
+        .drop("__cent")
     )
 
 
@@ -341,9 +363,11 @@ def ivf_topk(
         q_vecs.select("query_id", F.posexplode("__vec").alias("__p", "__qv"))
     )
 
-    c_assign = c_vecs.select(
+    c_assign = c_vecs.join(
+        F.broadcast(centroid_array_frame(c_vecs.sparkSession, centroids))
+    ).select(
         "neighbor_id",
-        _cluster_expr(F.col("__vec"), centroids).alias("cluster"),
+        _cluster_expr(F.col("__vec"), F.col("__cent")).alias("cluster"),
         _norm(F.col("__vec")).alias("c_norm"),
     )
     q_probes = _probes(q_vecs, "query_id", centroids, nprobe).join(

@@ -13,13 +13,18 @@ Spark-first shape:
   subspace — the same deliberate, bounded driver step (and the same
   deterministic Lloyd semantics) as ``ivf.train_centroids``;
 - ENCODING is a narrow map: per subspace, ``ivf._cluster_expr`` over
-  the sliced subvector with the subspace codebook as literal arrays —
-  zero shuffle at any corpus size;
-- ADC SCORING is also narrow: the (m x k x dim/m) codebook rides as a
-  literal nested-array expression; each candidate row computes
-  ``sum_m dot(q_sub_m, codebook[m][code_m])`` with ``element_at``
-  lookups — no join against a codebook table, no shuffle of the
-  corpus.  The only wide operation is the final per-query top-k.
+  the sliced subvector, the codebook riding along as a broadcast
+  1-row array column (``_books_frame``) — zero shuffle at any corpus
+  size, value-independent generated code;
+- ADC SCORING precomputes the classic per-query LOOKUP TABLE first
+  (``|queries| x m x k`` partial scores — one tiny job's worth of
+  higher-order-function work), then scores candidates with m broadcast
+  HASH JOINS + a sum: the per-candidate hot path is pure
+  whole-stage-codegen arithmetic, no array expressions per row (a
+  per-row ``element_at``/``aggregate`` formulation measured ~35 s at
+  sf0.1 vs ~2 s for the LUT join — higher-order functions don't
+  codegen and re-copy the codebook per evaluation).  The only wide
+  operation is the final per-query top-k.
 
 The whole pipeline is a pure function of (corpus, m, k, iters), so the
 correctness gate replicates training + encoding + ADC independently in
@@ -32,7 +37,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bigdata_covid19_real_time_spark.operators.ivf import _cluster_expr, _dot, _norm
+from bigdata_covid19_real_time_spark.operators.ivf import (
+    _cluster_expr,
+    _dot,
+    _norm,
+    centroid_struct_rows,
+)
+
+
+def _books_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """1-row broadcastable frame: ``__books`` =
+    array (subspace) of array<struct<cid, cvec, chalf>> — the whole PQ
+    codebook as data, keeping generated code value-independent (same
+    rationale as ``ivf.centroid_array_frame``)."""
+    return spark.createDataFrame(
+        [([centroid_struct_rows(book) for book in codebooks],)],
+        "__books array<array<struct<cid:int,cvec:array<double>,chalf:double>>>",
+    )
 
 
 def _normalized(vec: Column) -> Column:
@@ -107,27 +128,58 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, code_0..code_{m-1}): each vector's per-subspace code ids —
-    the compressed representation.  Narrow map (one ``_cluster_expr``
-    per subspace on the sliced subvector); at scale, write THIS frame
-    instead of the raw vectors."""
+    the compressed representation; at scale, write THIS frame instead
+    of the raw vectors.
+
+    Shape: broadcast cross-join against the (m x k)-row codebook frame,
+    one flat ``dot - chalf`` score per (vector, subspace, code) row,
+    then argmax + pivot via two partial-aggregated groupBys.  A
+    nested-``transform`` per-row argmax is 10x+ slower here — deeply
+    nested higher-order functions stay interpreted and re-copy the
+    codebook array per evaluation (measured 33 s vs 3 s at sf0.1).
+    """
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    vec = _normalized(F.transform(F.col(vec_col), lambda x: x.cast("double")))
-    return corpus.select(
+    book_rows = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [
+                (s, i, [float(x) for x in c], float(sum(x * x for x in c)) / 2.0)
+                for s, book in enumerate(codebooks)
+                for i, c in enumerate(book)
+            ],
+            "__s int, __cid int, __cvec array<double>, __chalf double",
+        )
+    )
+    prepped = corpus.select(
         F.col(id_col),
+        _normalized(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "__vec"
+        ),
+    )
+    scored = prepped.crossJoin(book_rows).select(
+        id_col,
+        "__s",
+        "__cid",
+        (
+            _dot(
+                F.slice(F.col("__vec"), F.col("__s") * sub + 1, F.lit(sub)),
+                F.col("__cvec"),
+            )
+            - F.col("__chalf")
+        ).alias("__sc"),
+    )
+    best = scored.groupBy(id_col, "__s").agg(
+        F.max(F.struct(F.col("__sc").alias("s"), (-F.col("__cid")).alias("nc"))).alias(
+            "__m"
+        )
+    )
+    return best.groupBy(id_col).agg(
         *[
-            _cluster_expr(F.slice(vec, s * sub + 1, sub), codebooks[s]).alias(
+            F.max(F.when(F.col("__s") == s, (-F.col("__m.nc")).cast("int"))).alias(
                 f"code_{s}"
             )
             for s in range(m)
-        ],
-    )
-
-
-def _codebook_literal(book: list[list[float]]) -> Column:
-    """One subspace's codebook as a literal array-of-arrays column."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        ]
     )
 
 
@@ -152,22 +204,53 @@ def pq_topk(
     """
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _normalized(
-                F.transform(vec_col, lambda x: x.cast("double"))
-            ).alias("__q"),
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _normalized(F.transform(vec_col, lambda x: x.cast("double"))).alias("__q"),
+    )
+    # per-query ADC lookup table: (query_id, s, code, term) — all the
+    # higher-order-function work happens here, on |q| x m x k rows
+    lut = (
+        q.join(_books_frame(codes.sparkSession, codebooks))
+        .select(
+            "query_id",
+            "__q",
+            F.posexplode(F.col("__books")).alias("__s", "__book"),
+        )
+        .select(
+            "query_id",
+            "__s",
+            F.explode("__book").alias("__c"),
+            F.col("__q"),
+        )
+        .select(
+            "query_id",
+            "__s",
+            F.col("__c.cid").alias("__code"),
+            _dot(
+                F.slice(F.col("__q"), F.col("__s") * sub + 1, F.lit(sub)),
+                F.col("__c.cvec"),
+            ).alias("__term"),
         )
     )
-    cand = codes.join(q, codes[id_col] != F.col("query_id"))
-    score = None
+    # candidate hot path: m broadcast hash joins + a sum — pure codegen
+    cand = codes.join(
+        F.broadcast(q.select("query_id")), codes[id_col] != F.col("query_id")
+    )
     for s in range(m):
-        term = _dot(
-            F.slice(F.col("__q"), s * sub + 1, sub),
-            F.element_at(_codebook_literal(codebooks[s]), F.col(f"code_{s}") + 1),
+        lut_s = F.broadcast(
+            lut.filter(F.col("__s") == s).select(
+                F.col("query_id").alias(f"__q{s}"),
+                F.col("__code").alias(f"__k{s}"),
+                F.col("__term").alias(f"__t{s}"),
+            )
         )
-        score = term if score is None else score + term
+        cand = cand.join(
+            lut_s,
+            (F.col("query_id") == F.col(f"__q{s}"))
+            & (F.col(f"code_{s}") == F.col(f"__k{s}")),
+        )
+    score = sum((F.col(f"__t{s}") for s in range(1, m)), F.col("__t0"))
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
