@@ -18,7 +18,11 @@ Design for 100 TB:
   degenerate cells the same way the MinHash/SimHash band joins cap
   buckets — dropped cells are logged, never silently truncated;
 - cosines run JVM-side (``aggregate``/``zip_with``); no Python in the
-  hot path.
+  hot path.  The pair scorer is one FLAT higher-order dot per
+  candidate row — acceptable interpreted cost; if profiling ever shows
+  it dominating on huge cells, the exploded-join formulation
+  (``similarity.lsh_bucketed_topk``'s scorer) is the codegen
+  alternative (see SCALE.md expression-layer rule 5).
 """
 
 from __future__ import annotations
