@@ -10,9 +10,10 @@ expressible contract: MinHash-LSH and hyperplane-LSH ANN against the
 exact baselines they provably equal at these SFs (candidate recall 1.0
 with fixed seeds + exact rescoring), SimHash against a full SQL
 replication of its md5-derived fingerprints, IVF against an unrolled SQL
-replication of its deterministic k-means + probe pipeline, and the
-HLL/t-digest sketch rollup via error-bound booleans the oracle expects
-to be TRUE.
+replication of its deterministic k-means + probe pipeline, the PQ/
+PageRank pipelines against unrolled SQL replications of their fixed-
+iteration math, and the HLL/t-digest sketch rollup via error-bound
+booleans the oracle expects to be TRUE.
 """
 
 from __future__ import annotations
