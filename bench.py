@@ -115,6 +115,7 @@ HEADLINE = [
     "docs_bigram_lm_score",
     "embedding_pq_topk",
     "purchase_graph_pagerank",
+    "events_user_skew_report",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

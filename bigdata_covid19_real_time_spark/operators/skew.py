@@ -59,3 +59,40 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
     return f.join(d, on + [_SALT], how).drop(_SALT)
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Top-``k`` heaviest key values with their row share — the
+    diagnostic you run BEFORE picking a skew strategy (broadcast the
+    other side / ``salted_join`` with S ~ share ratio / rely on AQE).
+
+    Output: ``(<key_cols...>, key_rows, total_rows, share, skew_rank)``
+    sorted by weight.  Share compares against the whole frame, so a
+    0.5 share on a join key reads directly as "one task gets half the
+    shuffle" under hash partitioning.
+
+    Scale: one partial-aggregated groupBy on the key; the total joins
+    as a broadcast 1-row frame; top-k is TakeOrderedAndProject.  Never
+    collects per-key counts to the driver.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    total = F.broadcast(counts.agg(F.sum("key_rows").alias("total_rows")))
+    top = (
+        counts.join(total)
+        .select(
+            *key_cols,
+            "key_rows",
+            "total_rows",
+            F.round(F.col("key_rows") / F.col("total_rows") + F.lit(1e-9), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("key_rows"), *[F.asc(c) for c in key_cols])
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("key_rows"), *[F.asc(c) for c in key_cols])
+    return top.withColumn("skew_rank", F.row_number().over(w).cast("int"))

@@ -541,3 +541,29 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "event_date", "gid", "events_count", "total_value"
         )
     )
+
+
+@query(
+    "events_user_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS key_rows FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(key_rows) AS total_rows FROM counts)
+    SELECT user_id, CAST(key_rows AS BIGINT) AS key_rows,
+           CAST(total_rows AS BIGINT) AS total_rows,
+           ROUND(key_rows * 1.0 / total_rows + 1e-9, 6) AS share,
+           CAST(ROW_NUMBER() OVER (ORDER BY key_rows DESC, user_id ASC) AS INTEGER) AS skew_rank
+    FROM counts CROSS JOIN tot
+    QUALIFY skew_rank <= 10
+    """,
+)
+def events_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 10 heaviest user_id values and
+    their row share (operators/skew.py::key_skew_report) — the input
+    to the salting / broadcast / AQE decision the module documents."""
+    from bigdata_covid19_real_time_spark.operators.skew import key_skew_report
+
+    return key_skew_report(
+        load_table(spark, sf_dir, "events"), ["user_id"], k=10
+    )
