@@ -116,6 +116,7 @@ HEADLINE = [
     "embedding_pq_topk",
     "purchase_graph_pagerank",
     "events_user_skew_report",
+    "click_and_purchase_user_days",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

@@ -974,3 +974,27 @@ def user_trailing_week_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round("daily_value", 2).alias("daily_value"),
         stable_round(F.avg("daily_value").over(w), 2).alias("trailing_week_avg"),
     )
+
+
+@query(
+    "click_and_purchase_user_days",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS event_date FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id, event_date
+    """,
+)
+def click_and_purchase_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT DISTINCT via ``intersect``): (user,
+    day) pairs with BOTH a click and a purchase — completes the set-op
+    family next to ``error_only_user_days``'s EXCEPT.  Spark plans a
+    left-semi over distinct keys — one shuffle on the pair."""
+    events = load_table(spark, sf_dir, "events")
+    clk = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.to_date("ts").alias("event_date")
+    )
+    pur = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("event_date")
+    )
+    return clk.intersect(pur).orderBy("user_id", "event_date")
