@@ -169,3 +169,16 @@ class TestMergeUpsert:
         )
         with _pytest.raises(ValueError, match="duplicate key"):
             merge_upsert(spark, path, updates, ["id"], partition_col="part")
+
+    def test_upsert_without_partition_col_rewrites_whole_table(self, spark, tmp_path):
+        from bigdata_covid19_real_time_spark.sinks.maintenance import merge_upsert
+
+        path = str(tmp_path / "flat")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, val string"
+        ).write.parquet(path)
+        updates = spark.createDataFrame([(2, "B"), (9, "z")], "id long, val string")
+        stats = merge_upsert(spark, path, updates, ["id"])
+        assert stats == {"partitions_rewritten": 1, "rows_after": 3}
+        got = {(r["id"], r["val"]) for r in spark.read.parquet(path).collect()}
+        assert got == {(1, "a"), (2, "B"), (9, "z")}
