@@ -12,10 +12,11 @@ Spark-first shape:
 - codebook training is driver-side numpy over a bounded sample, per
   subspace — the same deliberate, bounded driver step (and the same
   deterministic Lloyd semantics) as ``ivf.train_centroids``;
-- ENCODING is a narrow map: per subspace, ``ivf._cluster_expr`` over
-  the sliced subvector, the codebook riding along as a broadcast
-  1-row array column (``_books_frame``) — zero shuffle at any corpus
-  size, value-independent generated code;
+- ENCODING is a broadcast cross-join against the flat (m x k)-row
+  codebook frame with one codegen-friendly score per row, collapsed by
+  partial-aggregated argmax + pivot — no corpus shuffle (map-side
+  partial aggregation collapses the k-way expansion before any
+  exchange), value-independent generated code;
 - ADC SCORING precomputes the classic per-query LOOKUP TABLE first
   (``|queries| x m x k`` partial scores — one tiny job's worth of
   higher-order-function work), then scores candidates with m broadcast
@@ -38,7 +39,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdata_covid19_real_time_spark.operators.ivf import (
-    _cluster_expr,
     _dot,
     _norm,
     centroid_struct_rows,
