@@ -74,3 +74,20 @@ def read_raw_jsonl(spark: SparkSession, path: str) -> DataFrame:
         .select(F.from_json(F.col("value"), RAW_SCHEMA).alias("data"))
         .select("data.*")
     )
+
+
+def read_evolving_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = True
+) -> DataFrame:
+    """Parquet read across files written at different schema versions
+    (a corpus accumulated over months grows columns): ``mergeSchema``
+    unions the per-file schemas, older files surface NULL for columns
+    they predate.
+
+    Scale note: schema merging reads every file FOOTER at planning time
+    — O(files) driver work, no data scan.  On tables with millions of
+    files, pin the schema explicitly (``spark.read.schema(...)``) or
+    maintain it in a catalog and skip the merge; this helper is for the
+    exploratory/ingest path where the union schema is the point.
+    """
+    return spark.read.option("mergeSchema", merge_schema).parquet(path)

@@ -182,3 +182,20 @@ class TestMergeUpsert:
         assert stats == {"partitions_rewritten": 1, "rows_after": 3}
         got = {(r["id"], r["val"]) for r in spark.read.parquet(path).collect()}
         assert got == {(1, "a"), (2, "B"), (9, "z")}
+
+
+def test_evolving_parquet_merges_schemas_null_filling_old_files(spark, tmp_path):
+    from bigdata_covid19_real_time_spark.sources.batch import read_evolving_parquet
+
+    base = str(tmp_path / "corpus")
+    # v1 writer: (doc_id, text); v2 adds quality_score
+    spark.createDataFrame([(1, "a")], "doc_id long, text string").write.parquet(
+        base + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "doc_id long, text string, quality_score double"
+    ).write.parquet(base + "/batch=2")
+    df = read_evolving_parquet(spark, base)
+    assert "quality_score" in df.columns
+    rows = {r["doc_id"]: r["quality_score"] for r in df.collect()}
+    assert rows[1] is None and rows[2] == 0.9
