@@ -117,6 +117,7 @@ HEADLINE = [
     "purchase_graph_pagerank",
     "events_user_skew_report",
     "click_and_purchase_user_days",
+    "docs_leakage_free_split",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

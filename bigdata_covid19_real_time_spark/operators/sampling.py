@@ -113,3 +113,59 @@ def group_sample_topk(
     return df.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= k
     )
+
+
+def leakage_free_splits(
+    corpus: DataFrame,
+    cluster_assignments: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Train/val/test splits where every near-duplicate CLUSTER moves
+    as a unit — the leakage-free split: a doc and its near-copies can
+    never straddle train and eval (the contamination mode a plain
+    per-doc hash split permits by construction).
+
+    ``cluster_assignments`` is ``(id_col, cluster_col)`` from
+    ``dedup.dedup_clusters`` — docs absent from it are singletons and
+    split on their own id.  ``rates`` maps split name -> fraction in
+    declaration order and must sum to 1.  The bucket hash is the same
+    md5 scheme as ``deterministic_sample``: retry-stable and
+    cross-engine reproducible.
+
+    Scale: one left join on the doc id (cluster table is |paired docs|
+    rows — usually a small fraction of the corpus, broadcast-eligible),
+    then a narrow hash + CASE.  No shuffle of the corpus beyond that
+    join.
+
+    Output: corpus + ``cluster_key`` + ``split``.
+    """
+    total = sum(rates.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split rates must sum to 1, got {total}")
+    ca = cluster_assignments.select(
+        F.col(id_col), F.col(cluster_col).alias("__cluster")
+    )
+    keyed = corpus.join(ca, id_col, "left").withColumn(
+        "cluster_key", F.coalesce(F.col("__cluster"), F.col(id_col))
+    ).drop("__cluster")
+    b = hash_bucket(F.col("cluster_key"), seed)
+    split_expr = None
+    upper = 0.0
+    names = list(rates)
+    for name in names[:-1]:
+        upper += rates[name]
+        cond = b < F.lit(int(upper * NUM_BUCKETS))
+        split_expr = (
+            F.when(cond, F.lit(name))
+            if split_expr is None
+            else split_expr.when(cond, F.lit(name))
+        )
+    split_expr = (
+        split_expr.otherwise(F.lit(names[-1]))
+        if split_expr is not None
+        else F.lit(names[-1])
+    )
+    return keyed.withColumn("split", split_expr)

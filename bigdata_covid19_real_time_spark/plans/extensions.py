@@ -1587,3 +1587,84 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rounded.orderBy(F.desc("rank"), F.asc("node")).limit(20)
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     return top.withColumn("pos", F.row_number().over(w).cast("int"))
+
+
+@query(
+    "docs_leakage_free_split",
+    # clusters via the exact-Jaccard recursive CTE (same construction as
+    # docs_dedup_clusters' oracle), then the md5 bucket split on the
+    # cluster key — singletons key on their own doc_id
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS shingle
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_key
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    ),
+    bucketed AS (
+      SELECT doc_id, cluster_key,
+             ('0x' || substr(md5('7:' || CAST(cluster_key AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000 AS b
+      FROM keyed
+    )
+    SELECT doc_id, cluster_key,
+           CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """,
+)
+def docs_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free 80/10/10 split: near-dup clusters (MinHash-LSH ->
+    connected components) move as a unit, so no document and its
+    near-copy can straddle train and eval
+    (operators/sampling.py::leakage_free_splits).  Oracle: exact-Jaccard
+    clusters (recursive CTE) + the same md5 bucket arithmetic."""
+    from bigdata_covid19_real_time_spark.operators.components import (
+        dedup_clusters,
+    )
+    from bigdata_covid19_real_time_spark.operators.minhash import minhash_lsh_pairs
+    from bigdata_covid19_real_time_spark.operators.sampling import (
+        leakage_free_splits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(minhash_lsh_pairs(docs, threshold=0.6)).select(
+        "doc_id", "cluster_id"
+    )
+    out = leakage_free_splits(
+        docs,
+        clusters,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7,
+    )
+    return out.select("doc_id", "cluster_key", "split")

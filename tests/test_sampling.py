@@ -72,3 +72,41 @@ def test_invalid_rates_raise(spark, docs):
         deterministic_sample(docs, 1.5, "doc_id")
     with pytest.raises(ValueError):
         stratified_sample(docs, {"en": -0.1}, "lang", "doc_id")
+
+
+class TestLeakageFreeSplits:
+    def test_clusters_never_straddle_splits(self, spark):
+        from bigdata_covid19_real_time_spark.operators.sampling import (
+            leakage_free_splits,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id long"
+        )
+        # 50 clusters of 3 docs each (0-2 -> 0, 3-5 -> 3, ...)
+        clusters = spark.createDataFrame(
+            [(i, (i // 3) * 3) for i in range(150)], "doc_id long, cluster_id long"
+        )
+        out = leakage_free_splits(
+            corpus, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3
+        )
+        per_cluster = (
+            out.groupBy("cluster_key")
+            .agg(F.count_distinct("split").alias("n_splits"))
+            .collect()
+        )
+        assert all(r["n_splits"] == 1 for r in per_cluster)
+        splits = {r["split"] for r in out.select("split").distinct().collect()}
+        assert splits == {"train", "val", "test"}
+
+    def test_rates_must_sum_to_one(self, spark):
+        import pytest as _pytest
+
+        from bigdata_covid19_real_time_spark.operators.sampling import (
+            leakage_free_splits,
+        )
+
+        corpus = spark.createDataFrame([(1,)], "doc_id long")
+        empty = spark.createDataFrame([], "doc_id long, cluster_id long")
+        with _pytest.raises(ValueError, match="sum to 1"):
+            leakage_free_splits(corpus, empty, {"train": 0.5, "val": 0.1})
