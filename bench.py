@@ -118,6 +118,7 @@ HEADLINE = [
     "events_user_skew_report",
     "click_and_purchase_user_days",
     "docs_leakage_free_split",
+    "embedding_rrf_topk",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

@@ -327,3 +327,46 @@ def label_centroid_stats(
     return sq.join(norms, label_col).select(
         label_col, "n_vecs", "centroid_norm", "inertia"
     )
+
+
+def reciprocal_rank_fusion(
+    ranked_lists: list[DataFrame],
+    k_top: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of (query_id, neighbor_id, rank) lists:
+    ``score = sum_lists 1 / (rrf_k + rank)`` — the standard way to
+    ensemble retrievers with incomparable score scales (here: the exact
+    baseline, IVF, and PQ neighbor lists; in a corpus pipeline, lexical
+    + dense retrieval).
+
+    Deterministic: fused ranking orders by the 6-decimal-rounded score
+    (the 1/(k+r) terms are tiny rationals; rounding absorbs cross-engine
+    summation-order noise) with neighbor id as tie-break.
+
+    Scale: a union of the (already tiny) per-query top-k lists, one
+    groupBy on (query, neighbor), one per-query window over ≤ sum-of-k
+    rows — the inputs were the expensive part.
+    """
+    from functools import reduce
+
+    tagged = [
+        df.select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("__w"),
+        )
+        for df in ranked_lists
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), tagged)
+    fused = unioned.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.sum("__w") + F.lit(1e-9), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "rank", "rrf_score")
+    )

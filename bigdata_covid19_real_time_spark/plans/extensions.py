@@ -1668,3 +1668,63 @@ def docs_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=7,
     )
     return out.select("doc_id", "cluster_key", "split")
+
+
+def _rrf_oracle_sql(rrf_k: int, k_top: int) -> str:
+    """Compose the three list oracles (exact cosine, IVF, PQ — each a
+    self-contained WITH-query, nested as CTE subqueries in their own
+    scope) and fuse with the same reciprocal-rank arithmetic."""
+    return f"""
+    WITH exact_list AS ({_EXACT_COSINE_TOPK_ORACLE}),
+    ivf_list AS ({_ivf_oracle_sql(16, 3, 6, 5)}),
+    pq_list AS ({_pq_oracle_sql(4, 16, 2, 16, 5)}),
+    unioned AS (
+      SELECT query_id, neighbor_id, 1.0 / ({rrf_k} + rank) AS w FROM exact_list
+      UNION ALL
+      SELECT query_id, neighbor_id, 1.0 / ({rrf_k} + rank) AS w FROM ivf_list
+      UNION ALL
+      SELECT query_id, neighbor_id, 1.0 / ({rrf_k} + rank) AS w FROM pq_list
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id, ROUND(SUM(w) + 1e-9, 6) AS rrf_score
+      FROM unioned GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY rrf_score DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           rrf_score
+    FROM fused
+    QUALIFY rank <= {k_top}
+    """
+
+
+@query("embedding_rrf_topk", oracle=_rrf_oracle_sql(60, 5))
+def embedding_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever ensemble: reciprocal-rank fusion of the exact-cosine,
+    IVF, and PQ neighbor lists (operators/similarity.py::
+    reciprocal_rank_fusion) — the standard fusion for retrievers with
+    incomparable score scales.  Oracle: the three lists' own SQL
+    replications composed and fused with the same arithmetic."""
+    from bigdata_covid19_real_time_spark.operators.ivf import (
+        ivf_topk,
+        train_centroids,
+    )
+    from bigdata_covid19_real_time_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from bigdata_covid19_real_time_spark.operators.similarity import (
+        cosine_topk,
+        reciprocal_rank_fusion,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries_df, k=5)
+    centroids = train_centroids(emb, n_clusters=16, n_iters=3)
+    ivf = ivf_topk(emb, queries_df, centroids, k=5, nprobe=6)
+    books = train_pq_codebooks(emb, m=4, k=16, n_iters=2)
+    pq = pq_topk(pq_encode(emb, books), queries_df, books, k_top=5)
+    return reciprocal_rank_fusion([exact, ivf, pq], k_top=5, rrf_k=60)
