@@ -119,6 +119,7 @@ HEADLINE = [
     "click_and_purchase_user_days",
     "docs_leakage_free_split",
     "embedding_rrf_topk",
+    "embedding_negative_samples",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

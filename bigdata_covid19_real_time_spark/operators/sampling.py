@@ -169,3 +169,82 @@ def leakage_free_splits(
         else F.lit(names[-1])
     )
     return keyed.withColumn("split", split_expr)
+
+
+def hash_negative_samples(
+    pool: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    n_probes: int = 10,
+    n_buckets: int = 64,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor gets ~``k`` pool items with a DIFFERENT label, chosen by
+    hash probing — no ``rand()`` (retry-stable, resumable, identical
+    across engines and reruns).
+
+    Mechanics: the pool hashes into ``n_buckets``; each anchor derives
+    ``n_probes`` bucket addresses from (seed, anchor, j) and takes the
+    md5-minimal different-label item from each probed bucket; the first
+    ``k`` distinct items (by probe order, then id) are the negatives.
+    Collisions across probes are why ``n_probes > k``.
+
+    Scale: one explode (anchors x probes), one equi-join on the bucket
+    id (pool side shuffles once on an int key), two partial-aggregated
+    groupBys.  No all-pairs product, no global sort, no per-row RNG.
+
+    Output: ``(anchor_id, negative_id, probe_j, neg_rank)``.
+    """
+    pool_b = pool.select(
+        F.col(id_col).alias("__cand"),
+        F.col(label_col).alias("__cand_label"),
+        F.pmod(hash_bucket(F.col(id_col), seed), F.lit(n_buckets)).alias("__b"),
+    )
+    probes = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__a_label"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_probes - 1))).alias("__j"),
+    ).withColumn(
+        "__b",
+        F.pmod(
+            hash_bucket(
+                F.concat_ws("#", F.col("anchor_id"), F.col("__j")), seed
+            ),
+            F.lit(n_buckets),
+        ),
+    )
+    pick_key = F.md5(
+        F.concat_ws(
+            "#",
+            F.lit(str(seed)),
+            F.col("anchor_id"),
+            F.col("__j"),
+            F.col("__cand"),
+        )
+    )
+    picked = (
+        probes.join(pool_b, "__b")
+        .filter(
+            (F.col("__cand_label") != F.col("__a_label"))
+            & (F.col("__cand") != F.col("anchor_id"))
+        )
+        .groupBy("anchor_id", "__j")
+        .agg(F.min(F.struct(pick_key.alias("m"), F.col("__cand").alias("c"))).alias("__p"))
+        .select("anchor_id", "__j", F.col("__p.c").alias("negative_id"))
+    )
+    first_probe = picked.groupBy("anchor_id", "negative_id").agg(
+        F.min("__j").alias("probe_j")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.asc("probe_j"), F.asc("negative_id")
+    )
+    return (
+        first_probe.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "negative_id", "probe_j", "neg_rank")
+    )

@@ -1728,3 +1728,66 @@ def embedding_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq_codebooks(emb, m=4, k=16, n_iters=2)
     pq = pq_topk(pq_encode(emb, books), queries_df, books, k_top=5)
     return reciprocal_rank_fusion([exact, ivf, pq], k_top=5, rrf_k=60)
+
+
+@query(
+    "embedding_negative_samples",
+    oracle="""
+    WITH pool AS (
+      SELECT vec_id AS cand, label AS cand_label,
+             (('0x' || substr(md5('9:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000) % 64 AS b
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT a.vec_id AS anchor_id, a.label AS a_label, u.j,
+             (('0x' || substr(md5('9:' || CAST(a.vec_id AS VARCHAR) || '#' || CAST(u.j AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000) % 64 AS b
+      FROM embeddings a, unnest(range(0, 10)) AS u(j)
+      WHERE a.vec_id < 10
+    ),
+    cand AS (
+      SELECT p.anchor_id, p.j, pl.cand,
+             md5('9#' || CAST(p.anchor_id AS VARCHAR) || '#' || CAST(p.j AS VARCHAR)
+                 || '#' || CAST(pl.cand AS VARCHAR)) AS m
+      FROM probes p JOIN pool pl USING (b)
+      WHERE pl.cand_label <> p.a_label AND pl.cand <> p.anchor_id
+    ),
+    picked AS (
+      SELECT anchor_id, j, cand FROM (
+        SELECT anchor_id, j, cand,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id, j ORDER BY m ASC, cand ASC) AS rn
+        FROM cand) WHERE rn = 1
+    ),
+    fp AS (
+      SELECT anchor_id, cand AS negative_id, MIN(j) AS probe_j
+      FROM picked GROUP BY 1, 2
+    )
+    SELECT anchor_id, negative_id, CAST(probe_j AS BIGINT) AS probe_j,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY anchor_id
+             ORDER BY probe_j ASC, negative_id ASC) AS INTEGER) AS neg_rank
+    FROM fp
+    QUALIFY neg_rank <= 5
+    """,
+)
+def embedding_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negatives: ~5 different-label items per
+    anchor via deterministic hash probing — no rand(), retry-stable
+    (operators/sampling.py::hash_negative_samples).  Oracle: full SQL
+    replication of the bucket/probe/pick arithmetic."""
+    from bigdata_covid19_real_time_spark.operators.sampling import (
+        hash_negative_samples,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hash_negative_samples(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_probes=10,
+        n_buckets=64, seed=9,
+    )
+    return out.select(
+        "anchor_id",
+        "negative_id",
+        F.col("probe_j").cast("long").alias("probe_j"),
+        "neg_rank",
+    )

@@ -110,3 +110,42 @@ class TestLeakageFreeSplits:
         empty = spark.createDataFrame([], "doc_id long, cluster_id long")
         with _pytest.raises(ValueError, match="sum to 1"):
             leakage_free_splits(corpus, empty, {"train": 0.5, "val": 0.1})
+
+
+class TestNegativeSamples:
+    def test_negatives_have_different_labels_and_are_stable(self, spark):
+        from bigdata_covid19_real_time_spark.operators.sampling import (
+            hash_negative_samples,
+        )
+
+        pool = spark.createDataFrame(
+            [(i, i % 4) for i in range(100)], "vec_id long, label int"
+        )
+        anchors = pool.filter(F.col("vec_id") < 5)
+        out1 = hash_negative_samples(pool, anchors, k=3, seed=1).collect()
+        out2 = hash_negative_samples(pool, anchors, k=3, seed=1).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+        labels = {r["vec_id"]: r["label"] for r in pool.collect()}
+        for r in out1:
+            assert labels[r["negative_id"]] != labels[r["anchor_id"]]
+            assert r["negative_id"] != r["anchor_id"]
+        per_anchor = {}
+        for r in out1:
+            per_anchor.setdefault(r["anchor_id"], []).append(r["negative_id"])
+        for negs in per_anchor.values():
+            assert len(negs) == len(set(negs)) == 3
+
+    def test_different_seed_changes_the_draw(self, spark):
+        from bigdata_covid19_real_time_spark.operators.sampling import (
+            hash_negative_samples,
+        )
+
+        pool = spark.createDataFrame(
+            [(i, i % 4) for i in range(100)], "vec_id long, label int"
+        )
+        anchors = pool.filter(F.col("vec_id") < 5)
+        a = {(r["anchor_id"], r["negative_id"])
+             for r in hash_negative_samples(pool, anchors, k=3, seed=1).collect()}
+        b = {(r["anchor_id"], r["negative_id"])
+             for r in hash_negative_samples(pool, anchors, k=3, seed=2).collect()}
+        assert a != b
