@@ -120,6 +120,8 @@ HEADLINE = [
     "docs_leakage_free_split",
     "embedding_rrf_topk",
     "embedding_negative_samples",
+    "customer_revenue_pareto",
+    "docs_cdc_chunks",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

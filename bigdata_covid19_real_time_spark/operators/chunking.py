@@ -63,3 +63,75 @@ def chunk_documents(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("chunk_n_tokens"),
     )
+
+
+def cdc_chunks(
+    df,
+    k: int = 8,
+    mask: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Content-defined chunking: split each document where the
+    md5-derived hash of the char ``k``-gram ending at a position is
+    ``0 mod mask`` — boundaries follow CONTENT, not offsets, so an
+    insertion shifts only its own chunk while fixed-size chunking
+    shifts every later chunk (the storage-dedup / incremental-sync
+    recipe; avg chunk length ~``mask`` chars).
+
+    Spark shape: all boundary math is one narrow expression chain per
+    row (sequence -> gram hash -> filter -> bounds array), staged as
+    named columns before the explode (the documented re-inline trap);
+    the gram hash is the same cross-engine md5/conv trick as
+    ``text.winnow_fingerprints`` so a SQL oracle replicates chunks
+    bit-for-bit.
+
+    Output: ``(id_col, chunk_index, chunk_start, chunk_len,
+    chunk_hash)`` — 1-based char offsets; ``chunk_hash`` is the 60-bit
+    md5 prefix of the chunk text (the dedup key at scale).
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(F.col(id_col), F.col(text_col).alias("__t")).filter(
+        F.length("__t") > 0
+    )
+    n = F.length("__t")
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.col("__t").substr(i - k + 1, F.lit(k))), 1, 15), 16, 10
+    ).cast("long")
+    positions = F.when(n - 1 >= k, F.sequence(F.lit(k), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bpos = F.filter(
+        F.transform(positions, lambda i: F.when(gram_hash(i) % mask == 0, i)),
+        lambda x: x.isNotNull(),
+    )
+    with_bounds = base.select(
+        id_col,
+        "__t",
+        F.concat(
+            F.array(F.lit(0)), bpos.cast("array<int>"), F.array(n)
+        ).alias("__bd"),
+    )
+    j = F.col("__j")
+    start = F.element_at("__bd", j) + 1
+    clen = F.element_at("__bd", j + 1) - F.element_at("__bd", j)
+    return (
+        with_bounds.select(
+            id_col,
+            "__t",
+            "__bd",
+            F.explode(F.sequence(F.lit(1), F.size("__bd") - 1)).alias("__j"),
+        )
+        .select(
+            F.col(id_col),
+            (j - 1).cast("int").alias("chunk_index"),
+            start.cast("long").alias("chunk_start"),
+            clen.cast("long").alias("chunk_len"),
+            F.conv(
+                F.substring(F.md5(F.col("__t").substr(start, clen)), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("chunk_hash"),
+        )
+    )

@@ -1791,3 +1791,40 @@ def embedding_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("probe_j").cast("long").alias("probe_j"),
         "neg_rank",
     )
+
+
+@query(
+    "docs_cdc_chunks",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+    ),
+    bl AS (
+      SELECT doc_id, list_sort(list(u.i)) AS bp
+      FROM d, unnest(range(8, n)) AS u(i)
+      WHERE ('0x' || substr(md5(substr(text, CAST(u.i - 7 AS INTEGER), 8)), 1, 15))::BIGINT % 64 = 0
+      GROUP BY doc_id
+    ),
+    bounds AS (
+      SELECT d.doc_id, d.text,
+             list_prepend(0, list_append(COALESCE(bl.bp, []), d.n)) AS bd
+      FROM d LEFT JOIN bl USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(u.j - 1 AS INTEGER) AS chunk_index,
+           CAST(bd[u.j] + 1 AS BIGINT) AS chunk_start,
+           CAST(bd[u.j + 1] - bd[u.j] AS BIGINT) AS chunk_len,
+           ('0x' || substr(md5(substr(text, CAST(bd[u.j] + 1 AS INTEGER),
+                                      CAST(bd[u.j + 1] - bd[u.j] AS INTEGER))), 1, 15))::BIGINT AS chunk_hash
+    FROM bounds, unnest(range(1, len(bd))) AS u(j)
+    """,
+)
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rolling 8-gram hash, mask 64 -> ~64
+    char chunks): boundaries follow content so edits shift only their
+    own chunk — the storage-dedup complement to the fixed token-window
+    ``docs_chunked`` (operators/chunking.py::cdc_chunks).  Oracle: full
+    SQL replication of the boundary + chunk-hash arithmetic."""
+    from bigdata_covid19_real_time_spark.operators.chunking import cdc_chunks
+
+    return cdc_chunks(load_table(spark, sf_dir, "documents"), k=8, mask=64)

@@ -567,3 +567,65 @@ def events_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(
         load_table(spark, sf_dir, "events"), ["user_id"], k=10
     )
+
+
+@query(
+    "customer_revenue_pareto",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(revenue) AS total FROM per_cust)
+    SELECT o_custkey,
+           ROUND(revenue + 1e-9, 2) AS revenue,
+           CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey ASC) AS INTEGER) AS revenue_rank,
+           ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / total + 1e-9, 6) AS cum_share
+    FROM per_cust CROSS JOIN tot
+    ORDER BY revenue_rank
+    LIMIT 100
+    """,
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / concentration curve: top-100 customers by revenue with
+    their cumulative revenue share — the "top x% produce y%" analysis.
+
+    Scale: revenue collapses per customer first (one partial-agg
+    shuffle); the total is a broadcast 1-row frame; the cumulative
+    window runs over the top-100 frame ONLY (TakeOrderedAndProject
+    first, then the 100-row running sum) — never a single-partition
+    window over all customers.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    total = F.broadcast(per_cust.agg(F.sum("revenue").alias("__total")))
+    top = (
+        per_cust.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .limit(100)
+        .join(total)
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return (
+        top.withColumn("revenue_rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "cum_share",
+            stable_round(
+                F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("__total"),
+                6,
+            ),
+        )
+        .select(
+            "o_custkey",
+            stable_round("revenue", 2).alias("revenue"),
+            "revenue_rank",
+            "cum_share",
+        )
+        .orderBy("revenue_rank")
+    )

@@ -74,3 +74,40 @@ def test_quality_filter_reasons(spark):
     for r in out.values():
         parts = r.reasons.split(",") if r.reasons else []
         assert parts == sorted(parts)
+
+
+class TestCdcChunks:
+    def test_chunks_tile_the_document(self, spark):
+        from bigdata_covid19_real_time_spark.operators.chunking import cdc_chunks
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog " * 20)],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            cdc_chunks(docs).collect(), key=lambda r: r["chunk_index"]
+        )
+        # contiguous tiling: starts chain and lengths sum to the doc
+        pos = 1
+        for r in rows:
+            assert r["chunk_start"] == pos
+            pos += r["chunk_len"]
+        assert pos - 1 == len(docs.collect()[0]["text"])
+
+    def test_insertion_shifts_only_local_chunks(self, spark):
+        from bigdata_covid19_real_time_spark.operators.chunking import cdc_chunks
+
+        base = "the quick brown fox jumps over the lazy dog " * 30
+        edited = base[:500] + "INSERTED TEXT HERE " + base[500:]
+        docs = spark.createDataFrame(
+            [(1, base), (2, edited)], "doc_id long, text string"
+        )
+        out = cdc_chunks(docs).collect()
+        h1 = {r["chunk_hash"] for r in out if r["doc_id"] == 1}
+        h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+        # most chunks survive the edit unchanged (content-defined
+        # boundaries localize the damage); fixed-size chunking would
+        # invalidate every chunk after the insertion point
+        shared = len(h1 & h2) / len(h1)
+        assert shared >= 0.5, f"edit invalidated too many chunks: {shared}"
