@@ -194,9 +194,13 @@ def cosine_neardup_pairs(
             ).otherwise(F.lit(0.0)),
         )
     )
-    return scored.filter(F.col("cosine") >= threshold).select(
-        "vec_a", "vec_b", "cosine"
-    )
+    # threshold on the 6-decimal-rounded cosine: raw comparison lets
+    # accumulation-order noise (~1e-16) flip pairs sitting exactly at
+    # the threshold between engines/runs (observed: 2 of 23.5k pairs at
+    # sf0.1); rounding first makes the cut deterministic everywhere
+    return scored.filter(
+        F.round(F.col("cosine") + F.lit(1e-9), 6) >= threshold
+    ).select("vec_a", "vec_b", "cosine")
 
 
 def lsh_bucketed_topk(

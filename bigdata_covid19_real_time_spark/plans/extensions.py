@@ -517,9 +517,12 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_cosine_neardup",
     # all-pairs exact cosine >= threshold — the LSH candidate pass has
-    # P(miss) = (1 - 0.35)^24 ~= 3e-5 per qualifying pair at this
-    # threshold's angle, so LSH+exact-verify equals the exact pair set
-    # deterministically on this corpus (verified at sf0.001 and sf0.01)
+    # P(miss) = (1 - 0.35)^40 ~= 3e-8 per qualifying pair at this
+    # threshold's angle (L=24 measured 2 misses among 23.5k qualifying
+    # pairs at sf0.1 — exactly the predicted ~1e-4/pair rate at the
+    # near-threshold angles — so L was raised until expected misses
+    # stay << 1 through sf1), making LSH+exact-verify equal the exact
+    # pair set deterministically (verified at sf0.001/0.01/0.1)
     oracle="""
     WITH v AS (
       SELECT vec_id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS val
@@ -538,7 +541,8 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN norms na ON na.vec_id = vec_a
       JOIN norms nb ON nb.vec_id = vec_b
     )
-    SELECT vec_a, vec_b, ROUND(c + 1e-9, 6) AS cosine FROM scored WHERE c >= 0.28
+    SELECT vec_a, vec_b, ROUND(c + 1e-9, 6) AS cosine
+    FROM scored WHERE ROUND(c + 1e-9, 6) >= 0.28
     """,
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,7 +567,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _embedding_dim(spark, sf_dir)
     tables = [
-        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(2)] for _ in range(24)
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(2)] for _ in range(40)
     ]
     out = cosine_neardup_pairs(emb, 0.28, tables)
     return out.select(
