@@ -122,6 +122,7 @@ HEADLINE = [
     "embedding_negative_samples",
     "customer_revenue_pareto",
     "docs_cdc_chunks",
+    "corpus_temperature_mix",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

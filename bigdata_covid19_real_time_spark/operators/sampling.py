@@ -248,3 +248,58 @@ def hash_negative_samples(
         .filter(F.col("neg_rank") <= k)
         .select("anchor_id", "negative_id", "probe_j", "neg_rank")
     )
+
+
+def temperature_mixing_rates(
+    df: DataFrame,
+    source_col: str,
+    temperature: float = 2.0,
+    target_fraction: float = 0.5,
+) -> DataFrame:
+    """Per-source sampling rates for temperature-scaled mixing:
+    ``weight_i ∝ n_i^(1/T)`` — the standard recipe for rebalancing a
+    skewed source/language distribution (T=1 keeps natural proportions,
+    T→∞ approaches uniform) when drawing ``target_fraction`` of the
+    corpus.  Rates cap at 1 (a source cannot over-sample without
+    replacement; the residual mass is NOT redistributed — by design the
+    draw then lands under target, which is the conservative choice).
+
+    Feed the resulting rates into ``stratified_sample`` for the actual
+    deterministic draw.
+
+    Scale: one partial-agg groupBy on the source plus a broadcast 1-row
+    total — the rate table is |sources| rows on the driver side of
+    nothing (it stays a frame).
+
+    Output: ``(source_col, n_rows, weight, sample_rate)``.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    powered = counts.withColumn(
+        "__w", F.pow(F.col("n_rows").cast("double"), F.lit(1.0 / temperature))
+    )
+    totals = F.broadcast(
+        powered.agg(
+            F.sum("__w").alias("__wsum"), F.sum("n_rows").alias("__total")
+        )
+    )
+    return (
+        powered.join(totals)
+        .select(
+            source_col,
+            "n_rows",
+            F.round(F.col("__w") / F.col("__wsum") + F.lit(1e-9), 6).alias("weight"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("__w") / F.col("__wsum"))
+                    * F.lit(target_fraction)
+                    * F.col("__total")
+                    / F.col("n_rows"),
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("sample_rate"),
+        )
+    )

@@ -1832,3 +1832,33 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_covid19_real_time_spark.operators.chunking import cdc_chunks
 
     return cdc_chunks(load_table(spark, sf_dir, "documents"), k=8, mask=64)
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH counts AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY 1),
+    powered AS (SELECT source, n_rows, POW(n_rows, 1.0 / 2.0) AS w FROM counts),
+    tot AS (SELECT SUM(w) AS wsum, SUM(n_rows) AS total FROM powered)
+    SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(w / wsum + 1e-9, 6) AS weight,
+           ROUND(LEAST(1.0, (w / wsum) * 0.5 * total / n_rows) + 1e-9, 6) AS sample_rate
+    FROM powered CROSS JOIN tot
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (T=2, drawing half the corpus):
+    per-source weights ``∝ n^(1/T)`` and capped sampling rates — the
+    source/language rebalancing pass ahead of the deterministic
+    stratified draw (operators/sampling.py::temperature_mixing_rates).
+    Oracle: full SQL replication."""
+    from bigdata_covid19_real_time_spark.operators.sampling import (
+        temperature_mixing_rates,
+    )
+
+    return temperature_mixing_rates(
+        load_table(spark, sf_dir, "documents"),
+        "source",
+        temperature=2.0,
+        target_fraction=0.5,
+    )

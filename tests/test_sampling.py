@@ -149,3 +149,40 @@ class TestNegativeSamples:
         b = {(r["anchor_id"], r["negative_id"])
              for r in hash_negative_samples(pool, anchors, k=3, seed=2).collect()}
         assert a != b
+
+
+class TestTemperatureMixing:
+    def test_high_temperature_flattens_toward_uniform(self, spark):
+        from bigdata_covid19_real_time_spark.operators.sampling import (
+            temperature_mixing_rates,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "big" if i < 900 else "small") for i in range(1000)],
+            "doc_id long, source string",
+        )
+        w1 = {r["source"]: r["weight"]
+              for r in temperature_mixing_rates(docs, "source", temperature=1.0).collect()}
+        w8 = {r["source"]: r["weight"]
+              for r in temperature_mixing_rates(docs, "source", temperature=8.0).collect()}
+        # T=1 keeps natural proportions; higher T pulls toward uniform
+        assert abs(w1["big"] - 0.9) < 1e-6
+        assert w8["big"] < w1["big"] and w8["small"] > w1["small"]
+        assert abs(w8["big"] + w8["small"] - 1.0) < 1e-5
+
+    def test_rates_cap_at_one(self, spark):
+        from bigdata_covid19_real_time_spark.operators.sampling import (
+            temperature_mixing_rates,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "big" if i < 990 else "tiny") for i in range(1000)],
+            "doc_id long, source string",
+        )
+        rates = {r["source"]: r["sample_rate"]
+                 for r in temperature_mixing_rates(
+                     docs, "source", temperature=100.0, target_fraction=0.9
+                 ).collect()}
+        # near-uniform weights push the tiny source far over its size
+        assert rates["tiny"] == 1.0
+        assert rates["big"] < 1.0
