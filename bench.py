@@ -123,6 +123,9 @@ HEADLINE = [
     "customer_revenue_pareto",
     "docs_cdc_chunks",
     "corpus_temperature_mix",
+    "returned_item_customers",
+    "priority_shipping_punctuality",
+    "small_quantity_brand_revenue",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

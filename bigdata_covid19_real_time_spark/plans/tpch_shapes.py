@@ -629,3 +629,139 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("revenue_rank")
     )
+
+
+@query(
+    "returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue,
+           ROUND(c.c_acctbal + 1e-9, 2) AS c_acctbal
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1, 2, 3, 5
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: customers who returned the most merchandise in a
+    half-year window — the "lost revenue" report.
+
+    Scale: the returnflag + date filters push to the lineitem/orders
+    scans before the l_orderkey shuffle; customer/nation dims broadcast
+    at test SF (AQE decides at 100 TB); top-20 is
+    TakeOrderedAndProject on the collapsed per-customer frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            stable_round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "priority_shipping_punctuality",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL {_LATE_DAYS} DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {_LATE_DAYS} DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def priority_shipping_punctuality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: on-time vs late lineitem counts per order priority —
+    two conditional counts folding into ONE partial-aggregated pass
+    over the joined fact (no separate scans per condition).
+
+    Scale: one l_orderkey shuffle pair; both CASE sums collapse
+    map-side; output is 5 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = _late_cond()
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(~late, 1).otherwise(0)).alias("ontime_count"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_count"),
+        )
+    )
+
+
+@query(
+    "small_quantity_brand_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_quantity_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue lost if small-quantity orders (below 20% of
+    the part's average) stopped — the per-part correlated-average
+    subquery.
+
+    Scale: the correlated subquery plans as ONE per-part aggregate of
+    the brand-filtered lineitem joined back on l_partkey — the brand
+    filter (broadcast part dim) prunes the fact BEFORE both the
+    aggregate and the join, so the threshold table is |brand parts|
+    rows and broadcast-eligible; never a per-row subquery.
+    """
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("__qty_cut")
+    )
+    return (
+        li.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__qty_cut"))
+        .agg(stable_round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
