@@ -175,3 +175,12 @@ def test_customer_order_distribution_keeps_partial_aggs(spark):
     # both grouping passes keep map-side partial phases
     assert plan.lower().count("partial_count") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_small_quantity_brand_prunes_before_threshold_join(spark):
+    plan = plan_of(spark, "small_quantity_brand_revenue")
+    # brand filter applies via LeftSemi against the broadcast part dim
+    # BEFORE the per-part threshold aggregate and join-back
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
