@@ -126,6 +126,7 @@ HEADLINE = [
     "returned_item_customers",
     "priority_shipping_punctuality",
     "small_quantity_brand_revenue",
+    "docs_repeated_span_removal",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

@@ -399,3 +399,112 @@ def duplicate_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document dedup: drop every LATER occurrence of a repeated
+    word ``n``-gram (the within-doc complement of the cross-doc span
+    mining in ``duplicate_spans`` — repeated boilerplate inside one
+    document inflates token counts and skews LMs the same way corpus
+    dups do).  A token survives unless some repeated-span occurrence
+    (any occurrence after the gram's first) covers its position.
+
+    Shape: explode to (doc, pos, gram-hash) rows, per-(doc, gram)
+    min-pos aggregate, explode the removed spans to covered positions,
+    anti-join the token rows, rebuild per-doc counts + a cleaned-text
+    fingerprint.  Shuffles key on (doc, 8-byte gram hash) and (doc,
+    pos) — never the text.
+
+    Output: ``(id_col, tokens_before, tokens_removed, tokens_after,
+    cleaned_hash)`` with ``cleaned_hash`` the 60-bit md5 prefix of the
+    surviving tokens joined by one space (cross-engine reproducible).
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
+        F.size("__t") > 0
+    )
+    tok_rows = base.select(
+        id_col, F.posexplode("__t").alias("__pos", "__tok")
+    )
+    gram_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(" ", *[F.col(f"__g{j}") for j in range(n)])), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.size("__t") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - n),
+                    lambda i: F.slice(F.col("__t"), i + 1, n),
+                ),
+            ).otherwise(F.array().cast("array<array<string>>"))
+        ).alias("__start", "__gram"),
+    ).select(
+        id_col,
+        "__start",
+        *[F.col("__gram")[j].alias(f"__g{j}") for j in range(n)],
+    ).select(id_col, "__start", gram_hash.alias("__gh"))
+    firsts = grams.groupBy(id_col, "__gh").agg(F.min("__start").alias("__first"))
+    removed = (
+        grams.join(firsts, [id_col, "__gh"])
+        .filter(F.col("__start") > F.col("__first"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__start") + (n - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(removed, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("tokens_after"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("__pos").alias("p"),
+                                        F.col("__tok").alias("t"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["t"],
+                        ),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("cleaned_hash"),
+    )
+    before = base.select(id_col, F.size("__t").alias("tokens_before"))
+    return (
+        before.join(rebuilt, id_col)
+        .select(
+            id_col,
+            F.col("tokens_before").cast("long").alias("tokens_before"),
+            (F.col("tokens_before") - F.col("tokens_after"))
+            .cast("long")
+            .alias("tokens_removed"),
+            F.col("tokens_after").cast("long").alias("tokens_after"),
+            "cleaned_hash",
+        )
+    )

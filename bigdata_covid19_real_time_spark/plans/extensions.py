@@ -1862,3 +1862,58 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature=2.0,
         target_fraction=0.5,
     )
+
+
+@query(
+    "docs_repeated_span_removal",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t
+      FROM documents WHERE len(string_split(trim(text), ' ')) > 0
+    ),
+    tok AS (
+      SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+      FROM base, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    grams AS (
+      SELECT doc_id, u.i - 1 AS start,
+             ('0x' || substr(md5(t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2]), 1, 15))::BIGINT AS gh
+      FROM base, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    firsts AS (SELECT doc_id, gh, MIN(start) AS first FROM grams GROUP BY 1, 2),
+    removed AS (
+      SELECT DISTINCT g.doc_id, g.start + u.o AS pos
+      FROM grams g
+      JOIN firsts f ON f.doc_id = g.doc_id AND f.gh = g.gh,
+      unnest(range(0, 3)) AS u(o)
+      WHERE g.start > f.first
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+      LEFT JOIN removed r ON r.doc_id = tk.doc_id AND r.pos = tk.pos
+      WHERE r.pos IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS tokens_after,
+             ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15))::BIGINT AS cleaned_hash
+      FROM kept GROUP BY 1
+    ),
+    bef AS (SELECT doc_id, len(t) AS tokens_before FROM base)
+    SELECT b.doc_id, CAST(b.tokens_before AS BIGINT) AS tokens_before,
+           CAST(b.tokens_before - r.tokens_after AS BIGINT) AS tokens_removed,
+           CAST(r.tokens_after AS BIGINT) AS tokens_after, r.cleaned_hash
+    FROM bef b JOIN reb r USING (doc_id)
+    """,
+)
+def docs_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document dedup: every later occurrence of a repeated
+    3-gram is dropped; per-doc before/removed/after token counts plus
+    the cleaned-text fingerprint
+    (operators/text.py::remove_repeated_spans).  Oracle: full SQL
+    replication of span detection, coverage, and rebuild."""
+    from bigdata_covid19_real_time_spark.operators.text import (
+        remove_repeated_spans,
+    )
+
+    return remove_repeated_spans(load_table(spark, sf_dir, "documents"), n=3)

@@ -156,3 +156,44 @@ def test_redact_pii_custom_out_col_preserves_original(spark):
     df = spark.createDataFrame([(1, "mail a@b.io")], ["doc_id", "text"])
     r = redact_pii(df, out_col="clean_text").first()
     assert r.text == "mail a@b.io" and "[PII:email]" in r.clean_text
+
+
+class TestRepeatedSpanRemoval:
+    def test_later_occurrence_dropped_first_kept(self, spark):
+        from bigdata_covid19_real_time_spark.operators.text import (
+            remove_repeated_spans,
+        )
+
+        # "a b c" repeats: second occurrence (positions 3-5) removed
+        docs = spark.createDataFrame(
+            [(1, "a b c x a b c y")], "doc_id long, text string"
+        )
+        r = remove_repeated_spans(docs, n=3).collect()[0]
+        assert r["tokens_before"] == 8
+        assert r["tokens_removed"] == 3
+        assert r["tokens_after"] == 5  # a b c x ... y
+
+    def test_clean_document_untouched(self, spark):
+        from bigdata_covid19_real_time_spark.operators.text import (
+            remove_repeated_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "all tokens here are unique words")], "doc_id long, text string"
+        )
+        r = remove_repeated_spans(docs, n=3).collect()[0]
+        assert r["tokens_removed"] == 0
+        assert r["tokens_after"] == r["tokens_before"]
+
+    def test_overlapping_repeats_remove_union_of_spans(self, spark):
+        from bigdata_covid19_real_time_spark.operators.text import (
+            remove_repeated_spans,
+        )
+
+        # "a a a a a": 3-gram "a a a" repeats at starts 1 and 2 ->
+        # covered positions 1..4; only position 0 survives
+        docs = spark.createDataFrame(
+            [(1, "a a a a a")], "doc_id long, text string"
+        )
+        r = remove_repeated_spans(docs, n=3).collect()[0]
+        assert (r["tokens_before"], r["tokens_after"]) == (5, 1)
