@@ -127,6 +127,7 @@ HEADLINE = [
     "priority_shipping_punctuality",
     "small_quantity_brand_revenue",
     "docs_repeated_span_removal",
+    "docs_bm25_topk",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

@@ -508,3 +508,76 @@ def remove_repeated_spans(
             "cleaned_hash",
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: dict[str, list[str]],
+    k_top: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 lexical retrieval: top-``k_top`` documents per named query —
+    the sparse complement to the dense ANN stack (fuse both lists with
+    ``similarity.reciprocal_rank_fusion`` for hybrid retrieval).
+
+    ``score(d, q) = sum_t idf(t) * tf / (tf + k1*(1 - b + b*dl/avgdl))``
+    with ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the Robertson
+    formulation; non-negative).
+
+    Scale: one exploded TF pass feeds term frequencies, document
+    frequencies (filtered to QUERY terms before aggregating — the df
+    table is |query vocab| rows, broadcast), and doc lengths; (N,
+    avgdl) ride as a broadcast 1-row frame; per-query scoring shuffles
+    once on (query, doc).  Ranking is per-query over candidate docs
+    only (docs sharing >= 1 term).
+
+    Output: ``(query_id, doc_id, rank, bm25)`` with the
+    6-decimal-rounded score ordering (cross-engine-stable).
+    """
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    q_rows = [
+        (qid, term) for qid, terms in query_terms.items() for term in terms
+    ]
+    q = F.broadcast(
+        spark.createDataFrame(q_rows, "query_id string, term string")
+    )
+    tok_rows = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+    )
+    dfreq = F.broadcast(
+        tf.join(q.select("term").distinct(), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_tf = F.col("tf") / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(q, "term")
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .join(stats)
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(idf * norm_tf) + F.lit(1e-9), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", id_col, "rank", "bm25")
+    )

@@ -1917,3 +1917,59 @@ def docs_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return remove_repeated_spans(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@query(
+    "docs_bm25_topk",
+    oracle="""
+    WITH q(query_id, term) AS (
+      VALUES ('q_join_hash', 'join'), ('q_join_hash', 'hash'),
+             ('q_scan', 'scan'), ('q_scan', 'filter'), ('q_scan', 'column')
+    ),
+    tok AS (
+      SELECT doc_id, u.x AS term
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           unnest(t) AS u(x)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    dfreq AS (
+      SELECT tf.term, COUNT(*) AS df FROM tf
+      WHERE tf.term IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(SUM(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+             ) + 1e-9, 6) AS bm25
+      FROM tf
+      JOIN q ON q.term = tf.term
+      JOIN dfreq d ON d.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank,
+           bm25
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75): top-10 docs for two
+    fixed term queries — the sparse-retrieval complement to the dense
+    ANN stack; fuse with ``reciprocal_rank_fusion`` for hybrid search
+    (operators/text.py::bm25_topk).  Oracle: full SQL replication of
+    the Robertson BM25 formula."""
+    from bigdata_covid19_real_time_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        {"q_join_hash": ["join", "hash"], "q_scan": ["scan", "filter", "column"]},
+        k_top=10,
+    )

@@ -197,3 +197,35 @@ class TestRepeatedSpanRemoval:
         )
         r = remove_repeated_spans(docs, n=3).collect()[0]
         assert (r["tokens_before"], r["tokens_after"]) == (5, 1)
+
+
+class TestBm25:
+    def test_term_frequency_and_rarity_drive_ranking(self, spark):
+        from bigdata_covid19_real_time_spark.operators.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple apple banana"),
+                (2, "apple banana cherry date"),
+                (3, "banana cherry date fig"),
+                (4, "cherry date fig grape"),
+            ],
+            "doc_id long, text string",
+        )
+        out = bm25_topk(docs, {"q": ["apple"]}, k_top=3).collect()
+        ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        # doc1 has 3x the tf of doc2; docs without the term never appear
+        assert ranked[0] == 1 and ranked[1] == 2 and len(ranked) == 2
+
+    def test_rare_term_outweighs_common_term(self, spark):
+        from bigdata_covid19_real_time_spark.operators.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(i, "common filler words here") for i in range(1, 9)]
+            + [(9, "common rare")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["bm25"]
+               for r in bm25_topk(docs, {"q": ["common", "rare"]}, k_top=9).collect()}
+        # the rare-term doc beats any common-only doc
+        assert out[9] > max(v for k, v in out.items() if k != 9)
