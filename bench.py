@@ -128,6 +128,7 @@ HEADLINE = [
     "small_quantity_brand_revenue",
     "docs_repeated_span_removal",
     "docs_bm25_topk",
+    "events_value_psi",
 ]
 
 #: Heaviest queries, re-run at a second scale factor so the driver's

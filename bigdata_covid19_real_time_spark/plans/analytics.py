@@ -269,3 +269,85 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round("centroid_norm", 6).alias("centroid_norm"),
         stable_round("inertia", 6).alias("inertia"),
     )
+
+
+@query(
+    "events_value_psi",
+    oracle="""
+    WITH stats AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    binned AS (
+      SELECT CAST(ts AS DATE) AS event_date,
+             LEAST(CAST(FLOOR((value - lo) / NULLIF(hi - lo, 0) * 10) AS INTEGER), 9) AS bin
+      FROM events CROSS JOIN stats
+    ),
+    base AS (
+      SELECT bin, (COUNT(*) + 1.0) / ((SELECT COUNT(*) FROM binned) + 10.0) AS p
+      FROM binned GROUP BY 1
+    ),
+    daily AS (
+      SELECT event_date, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2
+    ),
+    day_tot AS (SELECT event_date, SUM(n) AS dn FROM daily GROUP BY 1),
+    grid AS (
+      SELECT dt.event_date, b.bin, b.p,
+             (COALESCE(d.n, 0) + 1.0) / (dt.dn + 10.0) AS q
+      FROM day_tot dt CROSS JOIN base b
+      LEFT JOIN daily d ON d.event_date = dt.event_date AND d.bin = b.bin
+    )
+    SELECT event_date,
+           ROUND(SUM((q - p) * ln(q / p)) + 1e-9, 6) AS psi
+    FROM grid GROUP BY 1
+    """,
+)
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-day PSI of the value column
+    against the whole-corpus baseline (10 equal-width bins over the
+    broadcast global min/max, add-one smoothing) — the ingest-pipeline
+    data-quality gauge; PSI > 0.2 conventionally flags a shifted feed.
+
+    Scale: binning is a narrow map over a broadcast 2-value frame; the
+    baseline is 10 rows; the per-(day, bin) aggregate partial-collapses
+    map-side; the day × bin grid join is broadcast.  Oracle: full SQL
+    replication.
+    """
+    events = load_table(spark, sf_dir, "events")
+    stats = F.broadcast(
+        events.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
+    )
+    binned = events.join(stats).select(
+        F.to_date("ts").alias("event_date"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("__lo"))
+                / F.nullif(F.col("__hi") - F.col("__lo"), F.lit(0.0))
+                * 10
+            ).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    total = F.broadcast(binned.agg(F.count(F.lit(1)).alias("__n")))
+    base = F.broadcast(
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .join(total)
+        .select("bin", ((F.col("__c") + 1.0) / (F.col("__n") + 10.0)).alias("__p"))
+    )
+    daily = binned.groupBy("event_date", "bin").agg(F.count(F.lit(1)).alias("__dn"))
+    day_tot = binned.groupBy("event_date").agg(F.count(F.lit(1)).alias("__dt"))
+    grid = (
+        day_tot.join(base)
+        .join(daily, ["event_date", "bin"], "left")
+        .select(
+            "event_date",
+            "__p",
+            ((F.coalesce(F.col("__dn"), F.lit(0)) + 1.0) / (F.col("__dt") + 10.0)).alias(
+                "__q"
+            ),
+        )
+    )
+    return grid.groupBy("event_date").agg(
+        stable_round(
+            F.sum((F.col("__q") - F.col("__p")) * F.log(F.col("__q") / F.col("__p"))),
+            6,
+        ).alias("psi")
+    )
