@@ -1,13 +1,28 @@
-"""Bucket-size guard for LSH band joins (MinHash, SimHash).
+"""Bucket-size guard for LSH band joins (MinHash, SimHash, SemDeDup).
 
 A band bucket with B members emits ~B^2/2 candidate pairs in the
 self-join; one boilerplate-heavy bucket (licence headers, templated
 pages — every doc sharing a band) turns the whole job quadratic.  The
-guard drops over-cap buckets LOUDLY: the drop count is computed eagerly
-(one small aggregate over the already-persisted bucket table) and
-logged, never silent — a capped run tells you exactly how many buckets
-and member rows it skipped so you can raise the cap or pre-dedup the
-boilerplate instead.
+guard drops over-cap buckets and keeps the drop AUDITABLE: a capped run
+can report exactly how many buckets and member rows it skipped so you
+can raise the cap or pre-dedup the boilerplate instead.
+
+Plan shape — everything is lazy, nothing runs before the caller's own
+action (the round-2 version ran an eager groupBy + collect per call,
+a measured 0.6 s regression on ``docs_minhash_lsh`` at sf0.1):
+
+- bucket member counts come from a map-side-combined ``groupBy`` over
+  the persisted bucket table — the shuffle carries one row per DISTINCT
+  bucket per input partition, not per member row;
+- the over-cap bucket list (tiny by construction — it only exists under
+  extreme skew) anti-joins the bucket table as a BROADCAST, so the
+  whole guard executes inside the caller's first job, as a broadcast
+  build subquery — zero extra actions;
+- the drop stats are registered as a pending post-hoc report;
+  :func:`report_bucket_caps` drains them AFTER the caller's action,
+  when the bucket table is still cached, and logs any drops.  The
+  streaming corpus builder and the dedup tests call it; ad-hoc callers
+  can too.
 
 Dropping (not splitting) is the honest semantics for near-dup pairing:
 a randomly split oversized bucket loses cross-split pairs anyway, while
@@ -19,11 +34,18 @@ SimHash), so only pairs whose EVERY matching band is over-cap are lost.
 from __future__ import annotations
 
 import logging
+from collections import deque
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
+
+_N = "__bucket_n"
+
+#: Pending (label, cap, over-cap-counts frame) reports; bounded so an
+#: operator-heavy session that never drains cannot leak unboundedly.
+_PENDING: deque = deque(maxlen=32)
 
 
 def cap_bucket_size(
@@ -34,30 +56,64 @@ def cap_bucket_size(
 ) -> DataFrame:
     """Filter out buckets with more than ``max_bucket_size`` member rows.
 
-    ``buckets`` should be persisted by the caller (both the count and
-    the anti-join read it).  ``None`` disables the guard.  The over-cap
-    bucket list is tiny by construction (it only exists under extreme
-    skew), so the anti-join broadcasts.
+    Returns a lazily capped frame; the over-cap list is built inside the
+    caller's own job (broadcast anti-join), never as a separate action.
+    ``buckets`` is persisted here — both self-join sides and the cap
+    subquery read it, so callers must not re-persist.  ``None`` disables
+    the guard (the input is still persisted for the self-join's two
+    scans).  Call :func:`report_bucket_caps` after an action to log what
+    was dropped.
     """
+    buckets = buckets.persist()
     if max_bucket_size is None:
         return buckets
-    counts = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bucket_n"))
-    over = counts.filter(F.col("__bucket_n") > max_bucket_size)
-    stats = over.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.sum("__bucket_n").alias("n_members"),
-    ).collect()[0]
-    if not stats["n_buckets"]:
-        return buckets
-    log.warning(
-        "%s: dropping %d over-cap band buckets (>%d members, %d member rows "
-        "total); pairs whose every shared band is over-cap are lost — raise "
-        "max_bucket_size or pre-dedup boilerplate content",
-        label,
-        stats["n_buckets"],
-        max_bucket_size,
-        stats["n_members"],
+    over = (
+        buckets.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias(_N))
+        .filter(F.col(_N) > max_bucket_size)
     )
+    _PENDING.append((label, max_bucket_size, over))
     return buckets.join(
         F.broadcast(over.select(*key_cols)), list(key_cols), "left_anti"
     )
+
+
+def report_bucket_caps() -> list[dict]:
+    """Drain pending cap registrations, log any drops, return the stats.
+
+    Cheap when called right after the operator's action (the bucket
+    table is still cached — the stats aggregate is a combine-heavy scan
+    of a few distinct keys); recomputes from lineage if the cache was
+    already evicted.  Logs one WARNING per operator call that actually
+    dropped buckets, nothing for clean runs.
+    """
+    reports = []
+    while _PENDING:
+        label, cap, over = _PENDING.popleft()
+        stats = over.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(_N).alias("n_members"),
+            F.max(_N).alias("max_n"),
+        ).first()
+        if not stats["n_buckets"]:
+            continue
+        log.warning(
+            "%s: dropped %d over-cap band buckets (>%d members, %d member rows "
+            "total, largest %d); pairs whose every shared band is over-cap are "
+            "lost — raise max_bucket_size or pre-dedup boilerplate content",
+            label,
+            stats["n_buckets"],
+            cap,
+            stats["n_members"],
+            stats["max_n"],
+        )
+        reports.append(
+            {
+                "label": label,
+                "cap": cap,
+                "n_buckets": stats["n_buckets"],
+                "n_members": stats["n_members"],
+                "max_bucket": stats["max_n"],
+            }
+        )
+    return reports

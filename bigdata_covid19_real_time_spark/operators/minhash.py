@@ -125,8 +125,8 @@ def minhash_lsh_candidates(
     Plan: signature -> explode B band hashes -> groupBy band bucket ->
     pairs within bucket -> distinct.  The shuffle carries (band_hash,
     id) — 16 bytes/row/band — never document content.  Buckets over
-    ``max_bucket_size`` members are dropped with a logged count
-    (operators/bucketing.py) — the quadratic-bucket guard.
+    ``max_bucket_size`` members are dropped lazily in-job, auditable via
+    ``bucketing.report_bucket_caps()`` — the quadratic-bucket guard.
     """
     if num_perm % bands != 0:
         raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
@@ -140,11 +140,12 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    # persist the bucket table: both sides of the self-join read it, and
-    # without the cache each side re-runs the whole signature computation
+    # cap_bucket_size persists the flagged bucket table (both sides of
+    # the self-join read it) and leaves it hash-partitioned on band_hash,
+    # so the join below needs no further exchange
     buckets = sigs.select(
         F.col(id_col), F.explode(band_hashes).alias("band_hash")
-    ).persist()
+    )
     buckets = cap_bucket_size(
         buckets, ["band_hash"], max_bucket_size, "minhash_lsh_candidates"
     )
@@ -176,7 +177,8 @@ def minhash_lsh_pairs(
     the defaults).  The verification join touches only candidates, so
     the exact-Jaccard machinery runs on |candidates| docs, not |corpus|.
     Band buckets over ``max_bucket_size`` members are dropped with a
-    logged count (operators/bucketing.py) — the quadratic-bucket guard.
+    post-hoc auditable count (``bucketing.report_bucket_caps()``) — the
+    quadratic-bucket guard.
     """
     salts = _permutation_salts(num_perm, seed)
     if num_perm % bands != 0:
@@ -205,9 +207,11 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # cap_bucket_size persists the flagged bucket table, partitioned on
+    # band_hash — the candidate self-join reuses that partitioning
     buckets = stats.select(
         F.col(id_col), F.col("__n"), F.explode(band_hashes).alias("band_hash")
-    ).persist()
+    )
     buckets = cap_bucket_size(
         buckets, ["band_hash"], max_bucket_size, "minhash_lsh_pairs"
     )

@@ -63,10 +63,12 @@ def semantic_dedup_flags(
         "cluster",
         _as_double(F.col(vec_col)).alias("__vec"),
     ).withColumn("__norm", l2_norm(F.col("__vec")))
-    if max_cluster_size is not None:
-        prepped = cap_bucket_size(
-            prepped, ["cluster"], max_cluster_size, "semantic_dedup"
-        )
+    # always routed through the guard: with a cap it drops (loudly)
+    # quadratic cells; either way it persists prepped, which both sides
+    # of the within-cell self-join read
+    prepped = cap_bucket_size(
+        prepped, ["cluster"], max_cluster_size, "semantic_dedup"
+    )
     left = prepped.select(
         F.col("__id").alias("__id_a"),
         "cluster",
@@ -90,7 +92,11 @@ def semantic_dedup_flags(
             (F.col("cluster") == F.col("__cluster_b"))
             & (F.col("__id_a") < F.col("__id_b")),
         )
-        .filter(cosine >= F.lit(threshold))
+        # threshold on the 6-decimal-rounded cosine (same convention as
+        # similarity.cosine_neardup_pairs): raw float comparison lets a
+        # last-ulp summation difference flip keep/drop between
+        # engines/runs for pairs sitting exactly at the threshold
+        .filter(F.round(cosine + F.lit(1e-9), 6) >= F.lit(threshold))
         .select(F.col("__id_b").alias("__dup_id"))
         .distinct()
     )

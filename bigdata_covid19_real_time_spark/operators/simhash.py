@@ -128,13 +128,13 @@ def simhash_pairs(
 
     A 16-bit band bucket holding B docs (boilerplate corpora put
     millions in one chunk value) makes the join quadratic in B;
-    ``max_bucket_size`` drops over-cap buckets with a logged count
-    (operators/bucketing.py).  A dropped pair still surfaces if any of
-    its other 3 bands stays under cap.
+    ``max_bucket_size`` drops over-cap buckets lazily in-job, auditable
+    via ``bucketing.report_bucket_caps()``.  A dropped pair still
+    surfaces if any of its other 3 bands stays under cap.
     """
-    # persist: both sides of the band self-join read the fingerprints,
-    # and the bucket-cap count scans the banded table once more
-    fp = simhash_fingerprints(df, id_col, text_col).persist()
+    # no persist here: cap_bucket_size persists the banded table (which
+    # carries the fingerprints), partitioned on the band-join keys
+    fp = simhash_fingerprints(df, id_col, text_col)
     band_width = _BITS // _BANDS
     chunks = F.array(
         *[

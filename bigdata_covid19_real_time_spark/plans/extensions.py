@@ -1270,8 +1270,9 @@ _SEMDEDUP_TAU = 0.28
     ),
     dups AS (
       SELECT DISTINCT id_b FROM cos
-      WHERE CASE WHEN norm_a > 0 AND norm_b > 0
-                 THEN dp / (norm_a * norm_b) ELSE 0.0 END >= {_SEMDEDUP_TAU}
+      WHERE ROUND(CASE WHEN norm_a > 0 AND norm_b > 0
+                       THEN dp / (norm_a * norm_b) ELSE 0.0 END + 1e-9, 6)
+            >= {_SEMDEDUP_TAU}
     )
     SELECT c.vec_id, CAST(c.cluster AS INTEGER) AS cluster,
            (d.id_b IS NULL) AS keep

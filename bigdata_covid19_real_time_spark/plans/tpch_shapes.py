@@ -339,7 +339,8 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.s_suppkey, s.s_name,
            ROUND(r.total_revenue + 1e-9, 2) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    WHERE ROUND(r.total_revenue + 1e-9, 2) =
+          (SELECT MAX(ROUND(total_revenue + 1e-9, 2)) FROM revenue)
     """,
 )
 def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,17 +351,19 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pushed-down 3-month scan.  The global max is NOT a single-
     partition window: the per-supplier frame aggregates to a 1-row max
     that broadcast-joins back (two tiny jobs instead of sorting all
-    suppliers into one task).  The raw (unrounded) revenue is compared
-    so ties are exact, matching the subquery semantics.
+    suppliers into one task).  The argmax compares cent-rounded revenue
+    on BOTH engines: raw-float comparison lets two mathematically-tied
+    suppliers (sums accumulated in different orders) differ in the last
+    ulp and flip which rows the oracle keeps.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+        stable_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
     )
     best = F.broadcast(revenue.agg(F.max("total_revenue").alias("__max_rev")))
     supplier = F.broadcast(
@@ -369,11 +372,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(best, F.col("total_revenue") == F.col("__max_rev"))
         .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
-        .select(
-            "s_suppkey",
-            "s_name",
-            stable_round("total_revenue", 2).alias("total_revenue"),
-        )
+        .select("s_suppkey", "s_name", "total_revenue")
     )
 
 

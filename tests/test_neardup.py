@@ -130,22 +130,33 @@ def test_bpe_token_count_splits_punctuation(spark):
 
 def test_bucket_cap_bounds_degenerate_corpus(spark, caplog):
     """A boilerplate corpus (many identical docs) must not go quadratic:
-    over-cap band buckets are dropped and the drop is logged."""
+    over-cap band buckets are dropped, and the post-hoc report logs the
+    drop (the cap itself is lazy — a broadcast anti-join inside the
+    operator's own job, never a separate pre-join action)."""
     import logging
+
+    from bigdata_covid19_real_time_spark.operators.bucketing import (
+        report_bucket_caps,
+    )
 
     n = 200
     degenerate = spark.createDataFrame(
         [(i, BASE) for i in range(n)], "doc_id long, text string"
     )
+    report_bucket_caps()  # drain anything earlier tests registered
     with caplog.at_level(logging.WARNING, logger="bigdata_covid19_real_time_spark"):
         sim = simhash_pairs(degenerate, max_hamming=3, max_bucket_size=50).count()
         mh = minhash_lsh_pairs(degenerate, threshold=0.5, max_bucket_size=50).count()
+        reports = report_bucket_caps()
     # every bucket holds all 200 identical docs -> all over cap -> dropped
     assert sim == 0 and mh == 0
     cap_events = [
         r for r in caplog.records if "over-cap band buckets" in r.getMessage()
     ]
     assert len(cap_events) >= 2  # one logged drop per operator
+    by_label = {r["label"]: r for r in reports}
+    assert by_label["simhash_pairs"]["max_bucket"] == n
+    assert by_label["minhash_lsh_pairs"]["max_bucket"] == n
     # and with the cap disabled the same corpus pairs everything
     assert simhash_pairs(
         degenerate.limit(20), max_hamming=3, max_bucket_size=None
