@@ -102,6 +102,16 @@ def merge_upsert(
     partition is kept at ``<dir>.pre-merge`` until the caller deletes
     it.  ``updates`` must be unique per key (checked — duplicate update
     keys would make last-wins nondeterministic).
+
+    Partition DIRECTORY names are never reconstructed from Python
+    values (Spark's dir encoding of dates/floats/URL-escaped strings
+    differs from ``str(val)``): the fresh side is listed from the tmp
+    write, and the stale side is taken from ``input_file_name()`` of
+    the actual rows being replaced — both are Spark's own encodings.
+
+    Returns ``{"partitions_rewritten", "rows_written"}`` where
+    ``rows_written`` counts the rows this merge wrote (the whole table
+    in the unpartitioned branch, the rewritten partitions otherwise).
     """
     dup = (
         updates.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
@@ -123,16 +133,30 @@ def merge_upsert(
         shutil.rmtree(old, ignore_errors=True)
         os.rename(table_dir.rstrip("/"), old)
         os.rename(tmp, table_dir.rstrip("/"))
-        return {"partitions_rewritten": 1, "rows_after": int(rows)}
+        return {"partitions_rewritten": 1, "rows_written": int(rows)}
 
     # partitions needing a rewrite: where updated keys live now (stale
-    # rows to drop) plus where the update rows land (new values)
-    old_parts = (
-        target.join(keys, key_cols, "left_semi")
-        .select(partition_col).distinct().collect()
+    # rows to drop) plus where the update rows land (new values).  The
+    # VALUES drive the pruned re-read filter; the stale DIRECTORY names
+    # come from the replaced rows' own file paths, so Spark's partition
+    # encoding round-trips exactly
+    part_dir = F.regexp_extract(
+        F.input_file_name(), f"/({partition_col}=[^/]+)/", 1
     )
+    stale = (
+        target.join(keys, key_cols, "left_semi")
+        .select(F.col(partition_col), part_dir.alias("__dir"))
+        .distinct().collect()
+    )
+    # input_file_name() yields the file URI, which percent-escapes the
+    # on-disk name once more (a dir literally named `zone=eu%3Awest`
+    # arrives as `zone=eu%253Awest`) — decode exactly once to recover
+    # the real directory name
+    from urllib.parse import unquote
+
+    stale_dirs = sorted({unquote(r["__dir"]) for r in stale if r["__dir"]})
     new_parts = updates.select(partition_col).distinct().collect()
-    affected = sorted({r[partition_col] for r in old_parts}
+    affected = sorted({r[partition_col] for r in stale}
                       | {r[partition_col] for r in new_parts})
 
     merged = (
@@ -149,8 +173,13 @@ def merge_upsert(
     rows = spark.read.parquet(tmp).count()
 
     base = table_dir.rstrip("/")
-    for val in affected:
-        sub = f"{partition_col}={val}"
+    fresh_dirs = sorted(
+        d for d in os.listdir(tmp)
+        if d.startswith(f"{partition_col}=")
+        and os.path.isdir(os.path.join(tmp, d))
+    )
+    swap_dirs = sorted(set(stale_dirs) | set(fresh_dirs))
+    for sub in swap_dirs:
         live, fresh, backup = (
             os.path.join(base, sub), os.path.join(tmp, sub), os.path.join(old, sub)
         )
@@ -159,4 +188,4 @@ def merge_upsert(
         if os.path.exists(fresh):
             os.rename(fresh, live)
     shutil.rmtree(tmp, ignore_errors=True)
-    return {"partitions_rewritten": len(affected), "rows_after": int(rows)}
+    return {"partitions_rewritten": len(swap_dirs), "rows_written": int(rows)}

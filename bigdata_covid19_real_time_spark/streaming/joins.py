@@ -43,19 +43,39 @@ def interval_join_streams(
     ``inner``/``leftOuter``/``rightOuter``/``fullOuter`` — the outer
     variants emit their null-padded rows only once the watermark
     passes, exactly Structured Streaming's contract.
+
+    EVERY right-side column is prefix-renamed before the join (two live
+    feeds routinely share ``ts``/payload names; a bare-name resolution
+    in the join condition would silently bind the wrong side).  Output
+    columns keep their original right-side names where that does not
+    collide with a left column; colliding ones come back as
+    ``right_<name>``.  The join key comes back as one column, populated
+    from whichever side matched.
     """
     lw = left.withWatermark(left_time, watermark)
-    rw = right.withWatermark(right_time, watermark).withColumnRenamed(
-        key, f"__r_{key}"
-    )
+    # prefix FIRST, then watermark the renamed event-time column, so the
+    # watermark tag survives on exactly the column the condition uses
+    rw = right.select(
+        [F.col(c).alias(f"__r_{c}") for c in right.columns]
+    ).withWatermark(f"__r_{right_time}", watermark)
     cond = (
         (lw[key] == rw[f"__r_{key}"])
-        & (rw[right_time] >= lw[left_time])
-        & (rw[right_time] <= F.expr(f"{left_time} + interval {max_delay}"))
+        & (rw[f"__r_{right_time}"] >= lw[left_time])
+        & (rw[f"__r_{right_time}"] <= lw[left_time] + F.expr(f"interval {max_delay}"))
     )
     joined = lw.join(rw, cond, how)
     # one key column out, populated from whichever side matched (outer
     # variants null-pad one side)
-    return joined.withColumn(
+    joined = joined.withColumn(
         key, F.coalesce(F.col(key), F.col(f"__r_{key}"))
     ).drop(f"__r_{key}")
+    taken = set(left.columns)
+    for c in right.columns:
+        if c == key:
+            continue
+        out = c if c not in taken else f"right_{c}"
+        while out in taken and out != f"__r_{c}":
+            out = f"right_{out}"
+        joined = joined.withColumnRenamed(f"__r_{c}", out)
+        taken.add(out)
+    return joined

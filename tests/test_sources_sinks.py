@@ -179,9 +179,48 @@ class TestMergeUpsert:
         ).write.parquet(path)
         updates = spark.createDataFrame([(2, "B"), (9, "z")], "id long, val string")
         stats = merge_upsert(spark, path, updates, ["id"])
-        assert stats == {"partitions_rewritten": 1, "rows_after": 3}
+        assert stats == {"partitions_rewritten": 1, "rows_written": 3}
         got = {(r["id"], r["val"]) for r in spark.read.parquet(path).collect()}
         assert got == {(1, "a"), (2, "B"), (9, "z")}
+
+    def test_upsert_on_date_partitions_and_escaped_strings(self, spark, tmp_path):
+        """Partition values whose directory encoding differs from
+        str(val) — DATE columns and strings Spark URL-escapes — must
+        still swap the right directories (the dir names are taken from
+        Spark's own paths, never reformatted from Python values)."""
+        import datetime
+
+        from bigdata_covid19_real_time_spark.sinks.maintenance import merge_upsert
+
+        path = str(tmp_path / "dated")
+        d1, d2 = datetime.date(2021, 3, 1), datetime.date(2021, 3, 2)
+        spark.createDataFrame(
+            [(1, "a", d1), (2, "b", d2)], "id long, val string, day date"
+        ).write.partitionBy("day").parquet(path)
+        updates = spark.createDataFrame(
+            [(2, "B2", d2)], "id long, val string, day date"
+        )
+        stats = merge_upsert(spark, path, updates, ["id"], partition_col="day")
+        assert stats["partitions_rewritten"] == 1
+        got = {(r["id"], r["val"], r["day"]) for r in spark.read.parquet(path).collect()}
+        assert got == {(1, "a", d1), (2, "B2", d2)}
+
+        # a partition value needing URL-escaping in the dir name
+        path2 = str(tmp_path / "escaped")
+        spark.createDataFrame(
+            [(1, "a", "us east"), (2, "b", "eu:west")],
+            "id long, val string, zone string",
+        ).write.partitionBy("zone").parquet(path2)
+        updates2 = spark.createDataFrame(
+            [(2, "B", "eu:west"), (3, "c", "ap south")],
+            "id long, val string, zone string",
+        )
+        stats2 = merge_upsert(spark, path2, updates2, ["id"], partition_col="zone")
+        assert stats2["partitions_rewritten"] == 2  # eu:west rewritten, ap south new
+        got2 = {(r["id"], r["val"], r["zone"]) for r in spark.read.parquet(path2).collect()}
+        assert got2 == {
+            (1, "a", "us east"), (2, "B", "eu:west"), (3, "c", "ap south"),
+        }
 
 
 def test_evolving_parquet_merges_schemas_null_filling_old_files(spark, tmp_path):

@@ -404,6 +404,56 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
     assert [(r["user"], r["page"], r["amount"]) for r in rows] == [("u1", "p1", 5.0)]
 
 
+def test_stream_stream_interval_join_with_shared_column_names(spark, tmp_path):
+    """Two feeds sharing column names ('ts' on both, a shared payload
+    column) must join unambiguously: every right column is prefix-
+    renamed pre-join, colliding names come back as right_<name>."""
+    import json as _json
+
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    lrows = [{"user": "u1", "ts": "2024-01-01T10:00:00", "site": "L"}]
+    rrows = [
+        {"user": "u1", "ts": "2024-01-01T10:04:00", "site": "R"},  # in bound
+        {"user": "u1", "ts": "2024-01-01T09:00:00", "site": "X"},  # before left
+    ]
+    (tmp_path / "l").mkdir()
+    (tmp_path / "r").mkdir()
+    (tmp_path / "l" / "l.jsonl").write_text("\n".join(map(_json.dumps, lrows)))
+    (tmp_path / "r" / "r.jsonl").write_text("\n".join(map(_json.dumps, rrows)))
+    schema = "user string, ts string, site string"
+    ls = (
+        spark.readStream.schema(schema).json(str(tmp_path / "l"))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    rs = (
+        spark.readStream.schema(schema).json(str(tmp_path / "r"))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    joined = interval_join_streams(
+        ls, rs, key="user", left_time="ts", right_time="ts",
+        max_delay="10 minutes", watermark="10 minutes",
+    )
+    assert sorted(joined.columns) == ["right_site", "right_ts", "site", "ts", "user"]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_shared")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain([q])
+    rows = spark.sql(
+        "SELECT user, site, right_site FROM ssjoin_shared"
+    ).collect()
+    assert [(r["user"], r["site"], r["right_site"]) for r in rows] == [
+        ("u1", "L", "R")
+    ]
+
+
 def test_streaming_session_window_merges_across_batches(spark, tmp_path):
     """Native session_window under Structured Streaming: events within
     the gap merge into one session (stateful merge across micro-batches);
