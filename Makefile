@@ -1,0 +1,16 @@
+# Developer entry points.  Everything runs on the local[32] test session;
+# SPARK_GRAFT_CPUS / SPARK_GRAFT_SF_DIR / SPARK_GRAFT_DRIVER_MEM override.
+
+.PHONY: test bench selfcheck
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+# Full driver-gate replication: every registered query vs its DuckDB
+# oracle at sf0.01 AND sf0.1, artifact written to SELFCHECK.json
+# (per-round copies are committed as SELFCHECK_r{N}.json).
+selfcheck:
+	python tools/selfcheck.py

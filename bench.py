@@ -48,6 +48,7 @@ HEADLINE = [
     "events_rollup",
     "events_cube",
     "purchase_asof_click",
+    "purchase_attribution_join",
     "purchase_window_clicks",
     "user_sessions",
     "purchase_funnel",

@@ -117,23 +117,102 @@ def _pil_decode(payload: bytes) -> tuple[int, int, int]:
         return (img.width, img.height, len(img.getbands()))
 
 
+#: PNG color type -> sample channels (spec: PNG 1.2 §4.1.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: JPEG SOF markers carrying frame dimensions (every C0-CF except the
+#: non-frame C4/C8/CC: DHT, JPG extension, DAC)
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+
+
+def _header_decode(payload: bytes) -> tuple[int, int, int]:
+    """Vendored pure-Python header parse — REAL dimensions, no image lib.
+
+    Reads (width, height, channels) straight from the container bytes:
+    PNG IHDR, JPEG SOFn frame header, GIF logical screen descriptor.
+    Raises ValueError for anything else (use the ``auto`` kernel for a
+    deterministic-fake fallback on unknown payloads).
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # 8-byte signature, 4-byte chunk length, b"IHDR", then
+        # width(4 BE) height(4 BE) bitdepth(1) colortype(1)
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            raise ValueError("truncated or non-IHDR-first PNG")
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        channels = _PNG_CHANNELS.get(payload[25])
+        if channels is None:
+            raise ValueError(f"bad PNG color type {payload[25]}")
+        return (width, height, channels)
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF:
+                # segment: len(2) precision(1) height(2) width(2) ncomp(1)
+                if i + 9 >= len(payload):
+                    raise ValueError("truncated JPEG SOF")
+                height = int.from_bytes(payload[i + 5 : i + 7], "big")
+                width = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return (width, height, payload[i + 9])
+            i += 2 + seg_len
+        raise ValueError("no SOF frame header in JPEG")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF")
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        return (width, height, 3)
+    raise ValueError("unrecognized image container (not PNG/JPEG/GIF)")
+
+
+def _auto_decode(payload: bytes) -> tuple[int, int, int]:
+    """Default in-sandbox kernel: real header parse for recognized
+    containers, the clearly-marked deterministic fake for anything else
+    (tests feed UTF-8 text as payload stand-ins)."""
+    try:
+        return _header_decode(payload)
+    except ValueError:
+        return _fake_decode(payload)
+
+
 def select_decode_kernel(kernel: str = "auto"):
-    """Pick the decode kernel: ``auto`` uses PIL when importable and
-    falls back to the deterministic fake; ``pil``/``fake`` force one
-    (``pil`` raises where the lib is absent rather than silently faking).
+    """Pick the decode kernel.
+
+    - ``auto``: PIL when importable; else the vendored header parser
+      with deterministic-fake fallback for unrecognized payloads.
+    - ``headers``: the vendored PNG/JPEG/GIF header parser, strict
+      (raises on unrecognized bytes) — real dimensions, no image lib.
+    - ``pil``/``fake``: force one (``pil`` raises where the lib is
+      absent rather than silently faking).
     """
     if kernel == "auto":
-        return _pil_decode if _HAS_PIL else _fake_decode
+        return _pil_decode if _HAS_PIL else _auto_decode
+    if kernel == "headers":
+        return _header_decode
     if kernel == "pil":
         if not _HAS_PIL:
             raise ImportError(
                 "decode kernel 'pil' requested but PIL is not installed; "
-                "use kernel='auto' to fall back to the deterministic fake"
+                "use kernel='auto' to fall back to the header parser"
             )
         return _pil_decode
     if kernel == "fake":
         return _fake_decode
-    raise ValueError(f"unknown decode kernel {kernel!r}: use auto|pil|fake")
+    raise ValueError(
+        f"unknown decode kernel {kernel!r}: use auto|headers|pil|fake"
+    )
 
 
 def decode_image_meta(

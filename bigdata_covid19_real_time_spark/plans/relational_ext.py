@@ -581,6 +581,76 @@ def purchase_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "purchase_attribution_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id,
+           strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.purchase_id,
+           strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(date_diff('microsecond', c.click_ts, p.purchase_ts)
+                // 1000000 AS BIGINT) AS delay_sec
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    """,
+)
+def purchase_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join
+    (streaming/joins.py:interval_join_streams — the reference pattern:
+    identical transform, batch frame): every purchase a user makes
+    within 30 minutes of a click is attributed to that click, emitting
+    one (click, purchase) row per attribution with the delay.
+
+    Scale: the transform is an equi-join on user_id with the time range
+    as a residual predicate — one hash-partitioned shuffle per side,
+    per-user row groups are small so the residual scan is bounded.  In
+    streaming mode the same plan bounds its buffered state by
+    watermark + max_delay per side; here Catalyst executes it as a
+    plain shuffled join.  delay_sec is computed in exact integer
+    microseconds then floor-divided, so both engines agree at second
+    boundaries."""
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key="user_id",
+        left_time="click_ts",
+        right_time="purchase_ts",
+        max_delay="30 minutes",
+        watermark="30 minutes",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.expr(
+            "timestampdiff(MICROSECOND, click_ts, purchase_ts) div 1000000"
+        ).alias("delay_sec"),
+    )
+
+
+@query(
     "local_supplier_volume",
     oracle="""
     SELECT n.n_name,

@@ -178,25 +178,122 @@ def test_media_metadata_and_decode(spark, docs):
     assert meta[1]["n_channels"] == 3
 
 
+def _png_bytes(width: int, height: int, color_type: int = 6) -> bytes:
+    """A real (valid) PNG: signature + IHDR + IDAT + IEND."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + b"\x7f" * (width * n_ch) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_bytes(width: int, height: int, n_components: int = 3) -> bytes:
+    """Well-formed JPEG header stream: SOI + APP0 + DQT filler + SOF0."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+    sof0_body = struct.pack(">BHHB", 8, height, width, n_components) + (
+        b"\x01\x11\x00" * n_components
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof0_body)) + sof0_body
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(width: int, height: int) -> bytes:
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00\x00\x00\x3b"
+    )
+
+
 def test_decode_kernel_selection():
-    """Feature gate: auto -> PIL when importable, else the deterministic
-    fake; pil -> hard error where the lib is absent (no silent faking)."""
+    """Feature gate: auto -> PIL when importable, else the vendored
+    header parser with fake fallback; pil -> hard error where the lib is
+    absent (no silent faking); headers -> strict real parser."""
     from bigdata_covid19_real_time_spark.operators.multimodal import (
         _HAS_PIL,
+        _auto_decode,
         _fake_decode,
+        _header_decode,
         select_decode_kernel,
     )
 
     auto = select_decode_kernel("auto")
     if _HAS_PIL:
-        assert auto is not _fake_decode
+        assert auto is not _fake_decode and auto is not _auto_decode
     else:
-        assert auto is _fake_decode
+        assert auto is _auto_decode
         with pytest.raises(ImportError, match="pil"):
             select_decode_kernel("pil")
     assert select_decode_kernel("fake") is _fake_decode
+    assert select_decode_kernel("headers") is _header_decode
     with pytest.raises(ValueError, match="unknown decode kernel"):
         select_decode_kernel("ffmpeg")
+
+
+def test_header_parser_reads_real_dimensions():
+    """The vendored parser returns REAL container dimensions — PNG IHDR,
+    JPEG SOF0, GIF screen descriptor — and the auto kernel routes
+    recognized containers to it, falling back to the fake for text."""
+    from bigdata_covid19_real_time_spark.operators.multimodal import (
+        _auto_decode,
+        _fake_decode,
+        _header_decode,
+    )
+
+    assert _header_decode(_png_bytes(640, 480, color_type=6)) == (640, 480, 4)
+    assert _header_decode(_png_bytes(32, 8, color_type=0)) == (32, 8, 1)
+    assert _header_decode(_jpeg_bytes(1920, 1080)) == (1920, 1080, 3)
+    assert _header_decode(_jpeg_bytes(7, 5, n_components=1)) == (7, 5, 1)
+    assert _header_decode(_gif_bytes(300, 200)) == (300, 200, 3)
+    with pytest.raises(ValueError, match="unrecognized"):
+        _header_decode(b"just some text bytes")
+    # auto: real parse for containers, deterministic fake for text
+    assert _auto_decode(_png_bytes(640, 480)) == (640, 480, 4)
+    text = b"just some text bytes"
+    assert _auto_decode(text) == _fake_decode(text)
+
+    # PIL cross-check when available: same answers from the real lib
+    from bigdata_covid19_real_time_spark.operators.multimodal import _HAS_PIL
+
+    if _HAS_PIL:
+        from bigdata_covid19_real_time_spark.operators.multimodal import (
+            _pil_decode,
+        )
+
+        assert _pil_decode(_png_bytes(640, 480)) == (640, 480, 4)
+
+
+def test_header_kernel_through_spark(spark):
+    """End-to-end mapInPandas decode with the strict header kernel on
+    real fixture media bytes."""
+    rows = [
+        (1, bytearray(_png_bytes(12, 34))),
+        (2, bytearray(_jpeg_bytes(56, 78))),
+        (3, bytearray(_gif_bytes(90, 12))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.width, r.height, r.n_channels)
+        for r in decode_image_meta(df, kernel="headers").collect()
+    }
+    assert got == {1: (12, 34, 4), 2: (56, 78, 3), 3: (90, 12, 3)}
 
 
 def test_decode_drops_null_payloads(spark):
