@@ -1,0 +1,318 @@
+#!/usr/bin/env python3
+"""sf1-scale spot-check of the near-dup family (SCALE.md claim audit).
+
+Generates a 10x-sf0.1 corpus (50k documents, 20k embeddings — the sf1
+shape for the two tables the near-dup family reads), runs the registered
+near-dup queries against it, and verifies each against an independent
+oracle:
+
+- ``docs_minhash_lsh`` / ``docs_ngram_jaccard`` / ``docs_dedup_clusters``:
+  the registered DuckDB oracles VERBATIM (views re-pointed at the sf1
+  parquet).
+- ``docs_simhash_neardup``: the registered all-pairs oracle is O(n^2 * 64)
+  — infeasible at 50k docs — so the oracle here replicates the same
+  md5 bit-vote fingerprints and applies 16-bit-band candidate
+  generation (pigeonhole-exact for Hamming <= 3, engine-independent
+  theorem) before the Hamming check: same result set, bounded cost.
+- ``embedding_semantic_dedup`` / ``embedding_lsh_topk``: numpy
+  brute-force replications (exact cosine; the k-means quantizer is the
+  repo's own deterministic trainer, shared by both sides by design).
+
+Corpus shape mirrors the driver's generator (word-salad docs 10-100
+tokens, 5 langs, 20 sources; planted near-dups at Jaccard ~0.85 plus
+exact dups; unit-Gaussian embeddings with planted high-cosine
+perturbations) with ONE deliberate change: a 310-word vocabulary
+instead of 31.  At 50k docs the 31-word vocab makes every 3-shingle
+collide across ~90 unrelated docs and the EXACT-baseline oracles
+themselves (not the LSH path) go quadratic; the wider vocab keeps the
+planted-pair structure while background collisions stay rare — which is
+also the realistic regime for a real corpus.
+
+Writes SF1CHECK.json next to this script's repo root; run with the repo
+on PYTHONPATH:  python tools/sf1_neardup_check.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT_DIR = os.environ.get("SF1_DIR", "/tmp/sf1_neardup")
+N_BASE, N_NEAR, N_EXACT = 46_500, 2_500, 1_000
+N_VEC, DIM, N_VEC_NEAR = 19_800, 64, 200
+
+BASE_WORDS = (
+    "batch part spark line column order small sort fast value scan hash "
+    "slow group agg filter query big key window row table stream merge "
+    "data join vector customer the a of"
+).split()
+LANGS = ["en", "en", "en", "en", "de", "es", "fr", "zh"]
+
+
+def generate(out_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(420)
+    vocab = [f"{w}{d}" for w in BASE_WORDS for d in range(10)]
+
+    texts: list[str] = []
+    for _ in range(N_BASE):
+        n = rng.randint(10, 100)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    for _ in range(N_NEAR):  # planted near-dups: ~5% token edits
+        base = rng.choice(texts[:N_BASE]).split()
+        k = max(1, round(len(base) * rng.uniform(0.02, 0.08)))
+        for i in rng.sample(range(len(base)), k):
+            base[i] = rng.choice(vocab)
+        texts.append(" ".join(base))
+    for _ in range(N_EXACT):  # exact dups
+        texts.append(rng.choice(texts[:N_BASE]))
+    rng.shuffle(texts)
+
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+                "lang": [rng.choice(LANGS) for _ in texts],
+                "source": [f"src{rng.randrange(20)}" for _ in texts],
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+
+    nrng = np.random.default_rng(420)
+    V = nrng.standard_normal((N_VEC, DIM))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    # planted high-cosine near-dup vectors (cos ~0.995)
+    idx = nrng.choice(N_VEC, N_VEC_NEAR, replace=False)
+    P = V[idx] + 0.05 * nrng.standard_normal((N_VEC_NEAR, DIM))
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    allv = np.vstack([V, P]).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(allv)), pa.int64()),
+                "embedding": pa.array(list(allv), pa.list_(pa.float32())),
+                "label": pa.array(
+                    [int(x) for x in nrng.integers(0, 10, len(allv))],
+                    pa.int32(),
+                ),
+            }
+        ),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+
+
+SIMHASH_BANDED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, u.j AS j,
+         SUM(CASE WHEN ((CASE WHEN u.j < 32 THEN h1 ELSE h2 END) >> (u.j % 32)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM hashed, unnest(range(0, 64)) AS u(j)
+  GROUP BY 1, 2
+),
+chunks AS (
+  SELECT doc_id, CAST(j // 16 AS INTEGER) AS band,
+         CAST(SUM(CASE WHEN v > 0 THEN 1 << (j % 16) ELSE 0 END) AS BIGINT) AS chunk
+  FROM votes GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band = 0 THEN chunk END) AS c0,
+         MAX(CASE WHEN band = 1 THEN chunk END) AS c1,
+         MAX(CASE WHEN band = 2 THEN chunk END) AS c2,
+         MAX(CASE WHEN band = 3 THEN chunk END) AS c3
+  FROM chunks GROUP BY 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa.c0, fb.c0)) + bit_count(xor(fa.c1, fb.c1)) +
+            bit_count(xor(fa.c2, fb.c2)) + bit_count(xor(fa.c3, fb.c3))
+            AS INTEGER) AS hamming
+FROM cands JOIN fp fa ON fa.doc_id = doc_a JOIN fp fb ON fb.doc_id = doc_b
+WHERE bit_count(xor(fa.c0, fb.c0)) + bit_count(xor(fa.c1, fb.c1)) +
+      bit_count(xor(fa.c2, fb.c2)) + bit_count(xor(fa.c3, fb.c3)) <= 3
+"""
+
+
+def normalize(rows, columns):
+    import math
+
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else f"{v:.10g}")
+            else:
+                vals.append("NULL" if v is None else str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entry
+    from bigdata_covid19_real_time_spark.session import get_spark
+
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(OUT_DIR, "documents.parquet")):
+        generate(OUT_DIR)
+    gen_sec = round(time.perf_counter() - t0, 1)
+
+    spark = get_spark(
+        app_name="sf1check",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        extra_conf={"spark.cleaner.periodicGC.interval": "60s"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, oracles = entry.queries(), entry.oracle_sql()
+
+    duck = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{OUT_DIR}/{t}.parquet')"
+        )
+
+    report: dict = {"generator_sec": gen_sec, "dir": OUT_DIR, "checks": {}}
+
+    def spark_run(name: str):
+        t = time.perf_counter()
+        sdf = queries[name](spark, OUT_DIR)
+        cols = sdf.columns
+        rows = [tuple(r) for r in sdf.collect()]
+        sec = round(time.perf_counter() - t, 2)
+        spark.catalog.clearCache()
+        return cols, rows, sec
+
+    def record(name: str, cols, rows, sec, ocols, orows, osec):
+        ok = (
+            sorted(cols) == sorted(ocols)
+            and len(rows) == len(orows)
+            and normalize(rows, cols) == normalize(orows, ocols)
+        )
+        report["checks"][name] = {
+            "match": ok,
+            "spark_rows": len(rows),
+            "oracle_rows": len(orows),
+            "spark_sec": sec,
+            "oracle_sec": osec,
+        }
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} "
+              f"({len(rows)} vs {len(orows)} rows, spark {sec}s, oracle {osec}s)",
+              flush=True)
+
+    # 1-3: registered oracles verbatim
+    for name in ("docs_minhash_lsh", "docs_ngram_jaccard", "docs_dedup_clusters"):
+        cols, rows, sec = spark_run(name)
+        t = time.perf_counter()
+        res = duck.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        record(name, cols, rows, sec, ocols, orows,
+               round(time.perf_counter() - t, 2))
+
+    # 4: simhash with the banded (pigeonhole-exact) oracle
+    cols, rows, sec = spark_run("docs_simhash_neardup")
+    t = time.perf_counter()
+    res = duck.execute(SIMHASH_BANDED_ORACLE)
+    record("docs_simhash_neardup", cols, rows, sec,
+           [d[0] for d in res.description], res.fetchall(),
+           round(time.perf_counter() - t, 2))
+
+    # 5: semantic dedup vs numpy replication (same deterministic trainer)
+    from bigdata_covid19_real_time_spark.operators.ivf import train_centroids
+    from bigdata_covid19_real_time_spark.sources.batch import load_table
+
+    cols, rows, sec = spark_run("embedding_semantic_dedup")
+    t = time.perf_counter()
+    emb = load_table(spark, OUT_DIR, "embeddings")
+    C = np.array(train_centroids(emb, n_clusters=16, n_iters=3))
+    ids, V = zip(*sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    ))
+    V = np.vstack(V)
+    # assignment replicates _cluster_expr: argmax of dot(v,c) - |c|^2/2,
+    # ties toward the lower centroid id (np.argmax returns the first max)
+    s = V @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+    cell = s.argmax(axis=1)
+    norms = np.linalg.norm(V, axis=1)
+    keep = np.ones(len(ids), dtype=bool)
+    for c in range(C.shape[0]):
+        members = np.where(cell == c)[0]
+        Vc, nc = V[members], norms[members]
+        S = Vc @ Vc.T
+        denom = np.outer(nc, nc)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(denom > 0, S / denom, 0.0)
+        S = np.round(S + 1e-9, 6)  # the engines' shared threshold rounding
+        for j in range(1, len(members)):
+            if (S[:j, j] >= 0.28).any():
+                keep[members[j]] = False  # lower-id near neighbor exists
+    orows = [(int(ids[i]), int(cell[i]), bool(keep[i])) for i in range(len(ids))]
+    record("embedding_semantic_dedup", cols, rows, sec,
+           ["vec_id", "cluster", "keep"], orows,
+           round(time.perf_counter() - t, 2))
+
+    # 6: LSH ANN vs numpy exact brute force
+    cols, rows, sec = spark_run("embedding_lsh_topk")
+    t = time.perf_counter()
+    Q = V[:10]
+    S = (Q @ V.T) / np.outer(norms[:10], norms)
+    orows = []
+    for qi in range(10):
+        s = S[qi].copy()
+        s[qi] = -np.inf  # exclude self
+        order = sorted(range(len(s)), key=lambda j: (-s[j], j))[:5]
+        orows += [
+            (int(ids[qi]), int(ids[j]), r + 1, float(np.round(s[j] + 1e-9, 6)))
+            for r, j in enumerate(order)
+        ]
+    record("embedding_lsh_topk", cols, rows, sec,
+           ["query_id", "neighbor_id", "rank", "cosine"], orows,
+           round(time.perf_counter() - t, 2))
+
+    out = os.path.join(REPO, "SF1CHECK.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    fails = sum(not c["match"] for c in report["checks"].values())
+    print(f"wrote {out}: {fails} mismatches / {len(report['checks'])} checks")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
