@@ -90,6 +90,7 @@ HEADLINE = [
     "docs_repetition_stats",
     "docs_chunked",
     "docs_quality_filter",
+    "docs_corpus_ingest_verdict",
     "docs_incremental_dedup",
     "corpus_token_budget",
     "docs_pii_redaction",

@@ -877,10 +877,10 @@ def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
-@query(
-    "docs_quality_filter",
-    oracle="""
-    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+#: Shared quality-filter replication CTE chain (ends at ``flagged`` with
+#: signal columns + the failed-rule list ``r``) — used by
+#: docs_quality_filter AND the corpus-ingest batch twin.
+_QUALITY_FLAGGED_CTES = """toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
     uc AS (
       SELECT doc_id, t[u.i] AS g, COUNT(*) AS c
       FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
@@ -921,7 +921,13 @@ def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN token_count > 100000 THEN 'too_many_tokens' END
              ], x -> x IS NOT NULL) AS r
       FROM sig
-    )
+    )"""
+
+
+@query(
+    "docs_quality_filter",
+    oracle=f"""
+    WITH {_QUALITY_FLAGGED_CTES}
     SELECT doc_id, CAST(token_count AS BIGINT) AS token_count,
            ROUND(ttr + 1e-9, 6) AS ttr,
            ROUND(top_token_frac + 1e-9, 6) AS top_token_frac,
@@ -951,6 +957,78 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         "reasons",
     )
+
+
+@query(
+    "docs_corpus_ingest_verdict",
+    # the streaming corpus builder's per-epoch decision, replicated: the
+    # shared quality CTEs feed the keep/drop verdict, then kept docs
+    # dedup by NORMALIZED text (the oracle's stand-in for the 8-byte
+    # xxhash64 fingerprint — equal hash iff equal normalized text),
+    # min-id canonical
+    oracle=f"""
+    WITH {_QUALITY_FLAGGED_CTES},
+    v AS (
+      SELECT doc_id, len(r) = 0 AS keep,
+             COALESCE(array_to_string(r, ','), '') AS reasons
+      FROM flagged
+    ),
+    kept AS (
+      SELECT d.doc_id,
+             lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) AS fp
+      FROM documents d JOIN v USING (doc_id) WHERE v.keep
+    ),
+    canon AS (SELECT fp, MIN(doc_id) AS min_id FROM kept GROUP BY fp)
+    SELECT doc_id, 'rejected' AS status,
+           'quality:' || reasons AS reason
+    FROM v WHERE NOT keep
+    UNION ALL
+    SELECT k.doc_id,
+           CASE WHEN k.doc_id = c.min_id THEN 'accepted' ELSE 'rejected' END
+             AS status,
+           CASE WHEN k.doc_id = c.min_id THEN ''
+                ELSE 'duplicate_in_batch' END AS reason
+    FROM kept k JOIN canon c USING (fp)
+    """,
+)
+def docs_corpus_ingest_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming corpus builder's per-epoch decision
+    (streaming/corpus.py:CorpusIngest.process_batch, single epoch, no
+    history): quality gate with named reasons, then min-id exact dedup
+    on the normalized-text fingerprint among the keepers.  One row per
+    document: (doc_id, status, reason).
+
+    Scale: identical shapes to the streaming path — the gate is narrow
+    plus two hashed-gram partial aggregates, the dedup window shuffles
+    the 8-byte fingerprint, never text."""
+    from bigdata_covid19_real_time_spark.operators.quality import quality_filter
+    from bigdata_covid19_real_time_spark.operators.text import fingerprint
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    verdict = quality_filter(docs).select("doc_id", "keep", "reasons")
+    scored = docs.join(verdict, "doc_id")
+    quality_rejects = scored.filter(~F.col("keep")).select(
+        "doc_id",
+        F.lit("rejected").alias("status"),
+        F.concat(F.lit("quality:"), F.col("reasons")).alias("reason"),
+    )
+    kept = fingerprint(scored.filter(F.col("keep")).drop("keep", "reasons"))
+    kept = kept.withColumn(
+        "__min_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    decided = kept.select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("__min_id"), F.lit("accepted"))
+        .otherwise(F.lit("rejected"))
+        .alias("status"),
+        F.when(F.col("doc_id") == F.col("__min_id"), F.lit(""))
+        .otherwise(F.lit("duplicate_in_batch"))
+        .alias("reason"),
+    )
+    return quality_rejects.unionByName(decided)
 
 
 @query(
