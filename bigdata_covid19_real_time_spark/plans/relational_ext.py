@@ -1068,3 +1068,44 @@ def click_and_purchase_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("event_date")
     )
     return clk.intersect(pur).orderBy("user_id", "event_date")
+
+
+@query(
+    "bloom_pruned_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey
+        AND o.o_orderpriority = '1-URGENT'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1996-02-01 00:00:00')
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi-join: revenue of lineitems belonging to
+    urgent January-1996 orders (~0.2% of orders), with the fact scan
+    pruned through a relational Bloom filter BEFORE the exact semi-join
+    (operators/bloom.py).  The result is exactly the plain semi-join —
+    the bloom stage only cuts the rows that reach it, which at 100 TB
+    is the difference between shuffling the whole fact table and
+    shuffling ~0.2% of it."""
+    from bigdata_covid19_real_time_spark.operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    kept = bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("items"),
+        stable_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
