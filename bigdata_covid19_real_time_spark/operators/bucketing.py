@@ -64,18 +64,31 @@ def cap_bucket_size(
     scans).  Call :func:`report_bucket_caps` after an action to log what
     was dropped.
     """
-    buckets = buckets.persist()
     if max_bucket_size is None:
-        return buckets
+        return buckets.persist()
+    from pyspark.sql.window import Window
+
+    # In-pipeline cap: a count window PARTITIONED BY the bucket key.
+    # The band self-join that follows joins on the same key, so the
+    # window's exchange+sort IS the join's exchange+sort (SMJ reuse) —
+    # no broadcast-build aggregate, no extra stage.  (The round-2
+    # broadcast-anti-join variant cost a measured ~1.1 s of plan
+    # overhead per call on docs_minhash_lsh at sf0.1.)
+    w = Window.partitionBy(*key_cols)
+    capped = (
+        buckets.withColumn(_N, F.count(F.lit(1)).over(w))
+        .filter(F.col(_N) <= max_bucket_size)
+        .drop(_N)
+        .persist()
+    )
+    # Audit list recomputes from lineage when drained (post-hoc, rare).
     over = (
         buckets.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias(_N))
         .filter(F.col(_N) > max_bucket_size)
     )
     _PENDING.append((label, max_bucket_size, over))
-    return buckets.join(
-        F.broadcast(over.select(*key_cols)), list(key_cols), "left_anti"
-    )
+    return capped
 
 
 def report_bucket_caps() -> list[dict]:
