@@ -374,3 +374,44 @@ def reciprocal_rank_fusion(
         .filter(F.col("rank") <= k_top)
         .select("query_id", "neighbor_id", "rank", "rrf_score")
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label prediction over an embedding corpus.
+
+    For each query vector: find its ``k`` nearest labeled corpus
+    vectors by cosine (exact, via :func:`cosine_topk` — swap in the
+    LSH/IVF candidate path at scale), then vote.  Ties break to the
+    smallest label so the prediction is deterministic.
+
+    Output: (query_id, predicted_label, votes).
+
+    The caller is responsible for holding query ids out of ``corpus``
+    when they overlap (cosine_topk only excludes identical ids).
+
+    Scale: the vote is one groupBy over |queries| * k rows — all the
+    heavy lifting is in the neighbor search, which is whichever search
+    path produced the top-k.
+    """
+    neighbors = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__label")
+    )
+    votes = (
+        neighbors.join(labels, "neighbor_id")
+        .groupBy("query_id", "__label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__label"))
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("query_id", F.col("__label").alias("predicted_label"), "votes")
+    )

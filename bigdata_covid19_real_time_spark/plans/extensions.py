@@ -2052,3 +2052,134 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"q_join_hash": ["join", "hash"], "q_scan": ["scan", "filter", "column"]},
         k_top=10,
     )
+
+
+@query(
+    "embedding_sq8_topk",
+    # Full SQL replication of the SQ8 pipeline: L2-normalize, per-dim
+    # min/max train, fixed-shape quantization arithmetic, ADC candidate
+    # selection (top k*4 by query-float x decoded-code dot, id
+    # tie-break), exact cosine rerank of candidates only — no recall
+    # assumption anywhere.
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(SUM(CAST(embedding[u.i] AS DOUBLE) * CAST(embedding[u.i] AS DOUBLE))) AS nrm
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY 1
+    ),
+    comps AS (
+      SELECT e.vec_id, u.i AS pos,
+             CASE WHEN n.nrm > 0
+                  THEN CAST(embedding[u.i] AS DOUBLE) / n.nrm
+                  ELSE CAST(embedding[u.i] AS DOUBLE) END AS x
+      FROM embeddings e
+      JOIN norms n USING (vec_id),
+      unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    dims AS (
+      SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM comps GROUP BY 1
+    ),
+    codes AS (
+      SELECT c.vec_id, c.pos,
+             CASE WHEN d.mx > d.mn THEN
+               CAST(LEAST(255, GREATEST(0,
+                 FLOOR((c.x - d.mn) / (d.mx - d.mn) * 255 + 0.5))) AS BIGINT)
+             ELSE 0 END AS qc
+      FROM comps c JOIN dims d USING (pos)
+    ),
+    qscores AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             SUM(a.x * (d.mx - d.mn) / 255 * b.qc) AS qscore
+      FROM comps a
+      JOIN dims d USING (pos)
+      JOIN codes b USING (pos)
+      WHERE a.vec_id < 10 AND b.vec_id != a.vec_id
+      GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id
+      FROM qscores
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY qscore DESC, neighbor_id ASC) <= 20
+    ),
+    exact AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             SUM(CAST(av.embedding[u.i] AS DOUBLE) * CAST(bv.embedding[u.i] AS DOUBLE)) AS dp,
+             sqrt(SUM(CAST(av.embedding[u.i] AS DOUBLE) * CAST(av.embedding[u.i] AS DOUBLE))) AS qn,
+             sqrt(SUM(CAST(bv.embedding[u.i] AS DOUBLE) * CAST(bv.embedding[u.i] AS DOUBLE))) AS cn
+      FROM cands cd
+      JOIN embeddings av ON av.vec_id = cd.query_id
+      JOIN embeddings bv ON bv.vec_id = cd.neighbor_id,
+      unnest(range(1, len(av.embedding) + 1)) AS u(i)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             (CASE WHEN qn > 0 AND cn > 0 THEN dp / (qn * cn) ELSE 0.0 END) DESC,
+             neighbor_id ASC) AS INTEGER) AS rank,
+           ROUND((CASE WHEN qn > 0 AND cn > 0 THEN dp / (qn * cn) ELSE 0.0 END) + 1e-9, 6) AS cosine
+    FROM exact
+    QUALIFY rank <= 5
+    """,
+)
+def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-5 for the first 10 vectors as queries:
+    byte codes cut corpus scan bandwidth 4x vs float32, candidates come
+    from the integer code dot product, and only k*4 rows per query are
+    re-scored in full precision (operators/quantization.py)."""
+    from bigdata_covid19_real_time_spark.operators.quantization import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, rerank_factor=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", stable_round("cosine", 6).alias("cosine")
+    )
+
+
+@query(
+    "embedding_knn_label",
+    # Replays the exact top-k (the shared convention of the ANN family)
+    # then the majority vote with (votes DESC, label ASC) tie-break.
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, label, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    flat AS (
+      SELECT q.query_id, c.neighbor_id, c.label,
+             SUM(CAST(qv[u.i] AS DOUBLE) * CAST(cv[u.i] AS DOUBLE)) AS dp,
+             sqrt(SUM(CAST(qv[u.i] AS DOUBLE) * CAST(qv[u.i] AS DOUBLE))) AS qn,
+             sqrt(SUM(CAST(cv[u.i] AS DOUBLE) * CAST(cv[u.i] AS DOUBLE))) AS cn
+      FROM q, c, unnest(range(1, len(qv) + 1)) AS u(i)
+      GROUP BY 1, 2, 3
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id, label
+      FROM flat
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+        (CASE WHEN qn > 0 AND cn > 0 THEN dp / (qn * cn) ELSE 0.0 END) DESC,
+        neighbor_id ASC) <= 10
+    ),
+    votes AS (
+      SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM topk GROUP BY 1, 2
+    )
+    SELECT query_id, label AS predicted_label, votes
+    FROM votes
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY votes DESC, label ASC) = 1
+    """,
+)
+def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction (k=10, cosine): majority vote over the 10
+    nearest labeled vectors for each of the first 10 vectors as queries
+    — the classic semi-supervised labeling pass over an embedded corpus
+    (operators/similarity.py::knn_classify).  Query vectors are held
+    out of the corpus side; vote ties break to the smallest label."""
+    from bigdata_covid19_real_time_spark.operators.similarity import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_classify(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        k=10,
+    )
