@@ -764,3 +764,230 @@ def small_quantity_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("__qty_cut"))
         .agg(stable_round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount) + 1e-9, 2) AS revenue_increase,
+           CAST(COUNT(*) AS BIGINT) AS qualifying_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: revenue forgone to mid-range discounts on small orders
+    in one year — a pure scan-filter-aggregate with zero joins.
+
+    Scale: the fastest shape the engine runs — every predicate pushes
+    to the parquet scan (year range on l_shipdate, discount band,
+    quantity), the projection reads 4 columns, and the aggregate is a
+    map-side partial collapsing to one row per partition before a
+    1-row shuffle.  The plan-quality canary: if this query shuffles
+    anything but 32 partial rows, pushdown broke."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        stable_round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_increase"
+        ),
+        F.count(F.lit(1)).alias("qualifying_items"),
+    )
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             ROUND(AVG(l_extendedprice / l_quantity) + 1e-9, 4) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    regional AS (
+      SELECT c.partkey, c.suppkey, c.unit_cost
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, rg.unit_cost
+    FROM regional rg
+    JOIN part p ON p.p_partkey = rg.partkey AND p.p_size >= 40
+    JOIN supplier s ON s.s_suppkey = rg.suppkey
+    WHERE rg.unit_cost = (
+      SELECT MIN(r2.unit_cost) FROM regional r2 WHERE r2.partkey = rg.partkey)
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each large part, the ASIA supplier(s) offering it
+    at the minimum observed unit price — the correlated-MIN selection.
+    The corpus has no partsupp, so the part-supplier cost relation is
+    recovered as AVG(extendedprice/quantity) over lineitem.
+
+    Scale: the correlated subquery becomes a per-part MIN aggregate
+    joined back on (partkey, cost) — two passes over the small cost
+    table, never a per-row subquery.  supplier/nation/region fold into
+    one broadcast chain applied BEFORE the per-part min, so suppliers
+    outside the region never contribute; the part filter is dim-side.
+    The argmin compares cent-rounded cost on both engines (ties kept,
+    Q15 convention — raw-float equality can flip tie rows cross-engine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        stable_round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_cost"
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = F.broadcast(
+        supplier.join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+    regional = cost.join(
+        asia_supp, cost["suppkey"] == asia_supp["s_suppkey"]
+    ).select("partkey", "suppkey", "unit_cost", "s_suppkey", "s_name")
+    per_part_min = regional.groupBy("partkey").agg(
+        F.min("unit_cost").alias("__min_cost")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 40)
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        regional.join(per_part_min, "partkey")
+        .filter(F.col("unit_cost") == F.col("__min_cost"))
+        .join(part, F.col("partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_cost")
+    )
+
+
+@query(
+    "important_part_stock",
+    oracle="""
+    WITH flows AS (
+      SELECT l.l_partkey, l.l_extendedprice
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7')
+    )
+    SELECT l_partkey AS p_partkey,
+           ROUND(SUM(l_extendedprice) + 1e-9, 2) AS part_value
+    FROM flows
+    GROUP BY 1
+    HAVING SUM(l_extendedprice) >
+           (SELECT SUM(l_extendedprice) * 0.001 FROM flows)
+    """,
+)
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose flow value through two nations' suppliers
+    exceeds a fraction of the TOTAL flow — per-group aggregate gated by
+    a scalar global aggregate.
+
+    Scale: the nation filter is a broadcast semi-chain applied at the
+    scan; the per-part aggregate shuffles once on partkey with partial
+    aggregation; the global total is a 1-row aggregate of the SAME
+    filtered flow (computed in its own reduced pass, not a second fact
+    scan at cluster scale if the per-part table is reused — Catalyst
+    plans the subquery as a broadcast scalar).  The HAVING compares raw
+    sums in both engines; only the projected value is rounded (a
+    boundary-exact group would need sums within 1e-12 of the global
+    fraction — impossible on this corpus by inspection)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    supp = F.broadcast(
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        ).select("s_suppkey")
+    )
+    flows = li.join(supp, li["l_suppkey"] == supp["s_suppkey"]).select(
+        "l_partkey", "l_extendedprice"
+    )
+    per_part = flows.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("__value")
+    )
+    total = flows.agg((F.sum("l_extendedprice") * 0.001).alias("__cut"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("__value") > F.col("__cut"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            stable_round("__value", 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "promo_part_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_5')
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%widget%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 100)
+    ORDER BY s.s_suppkey
+    """,
+)
+def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers in a nation set who moved >100 units of any
+    'widget' part in 1996 — the nested semi-join chain (part subset ->
+    per-(supplier, part) volume threshold -> distinct suppliers ->
+    supplier/nation filter).
+
+    Scale: the part-name filter is dim-side on a broadcast, the volume
+    aggregate shuffles (suppkey, partkey) pairs of the date-pruned
+    scan only, and both membership tests are LEFT SEMI joins — the
+    fact table is never joined wide."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    movers = (
+        li.join(part, li["l_partkey"] == part["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2", "NATION_5")
+        )
+    )
+    return (
+        supplier.join(nation, supplier["s_nationkey"] == nation["n_nationkey"], "left_semi")
+        .join(movers, supplier["s_suppkey"] == movers["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -184,3 +184,35 @@ def test_small_quantity_brand_prunes_before_threshold_join(spark):
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_forecast_revenue_change_pushes_all_predicates(spark):
+    plan = plan_of(spark, "forecast_revenue_change")
+    # every predicate reaches the parquet scan...
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1][:400]
+    # ...and the aggregate is two-phase (map-side partial before the 1-row exchange)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_min_cost_supplier_broadcasts_dims_and_no_subquery_per_row(spark):
+    plan = plan_of(spark, "min_cost_supplier")
+    # supplier/nation/region chain and part dim broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the correlated MIN is an aggregate joined back, not a per-row subquery
+    assert "Subquery" not in plan
+
+
+def test_promo_part_suppliers_stays_semi(spark):
+    plan = plan_of(spark, "promo_part_suppliers")
+    assert "LeftSemi" in plan
+    # fact never joined wide: no non-semi join carries lineitem payload columns
+    assert "l_extendedprice" not in plan
+
+
+def test_bloom_pruned_revenue_probe_is_broadcast_chain(spark):
+    plan = plan_of(spark, "bloom_pruned_revenue")
+    # two bloom probes + exact pass, all LEFT SEMI; probes broadcast
+    assert plan.count("LeftSemi") >= 3
+    assert plan.count("BroadcastHashJoin") >= 2
