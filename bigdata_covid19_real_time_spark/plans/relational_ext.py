@@ -1109,3 +1109,51 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@query(
+    "lineitem_expectations",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS checked,
+        CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v_discount_domain,
+        CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price_positive,
+        CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_quantity_range,
+        CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v_returnflag_domain,
+        CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_shipdate_not_null,
+        CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v_unique_line_key
+      FROM lineitem
+    )
+    SELECT u.rule, u.violations, b.checked, u.violations = 0 AS passed
+    FROM base b, (
+      SELECT 'discount_domain' AS rule, v_discount_domain AS violations FROM base
+      UNION ALL SELECT 'price_positive', v_price_positive FROM base
+      UNION ALL SELECT 'quantity_range', v_quantity_range FROM base
+      UNION ALL SELECT 'returnflag_domain', v_returnflag_domain FROM base
+      UNION ALL SELECT 'shipdate_not_null', v_shipdate_not_null FROM base
+      UNION ALL SELECT 'unique_line_key', v_unique_line_key FROM base
+    ) u
+    ORDER BY u.rule
+    """,
+)
+def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over the fact table: domain,
+    range, null, and key-uniqueness checks evaluated in ONE scan
+    (operators/constraints.py) — the ingest gate a 100 TB pipeline runs
+    before publishing a snapshot."""
+    from bigdata_covid19_real_time_spark.operators.constraints import (
+        expectation_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return expectation_report(
+        li,
+        rules={
+            "quantity_range": F.col("l_quantity").between(1, 50),
+            "discount_domain": F.col("l_discount").between(0.0, 0.1),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+        unique_keys={"unique_line_key": ["l_orderkey", "l_linenumber"]},
+    )
