@@ -1,0 +1,78 @@
+"""Incremental aggregate maintenance (operators/incremental.py):
+refresh-by-merge must equal full recompute, with snapshot semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.operators.incremental import (
+    read_aggregate,
+    refresh_aggregate,
+)
+from bigdata_covid19_real_time_spark.sinks.versioned import rollback
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k STRING, v DOUBLE")
+
+
+def _expect(spark, all_rows):
+    return {
+        r.k: r
+        for r in _batch(spark, all_rows)
+        .groupBy("k")
+        .agg(
+            F.count("v").alias("cnt"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.avg("v").alias("avg"),
+        )
+        .collect()
+    }
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path):
+    d = str(tmp_path / "rollup")
+    b1 = [("a", 1.0), ("a", 3.0), ("b", 10.0)]
+    b2 = [("a", 5.0), ("c", -2.0)]
+    b3 = [("b", 0.0), ("c", -8.0), ("a", 1.0)]
+    assert refresh_aggregate(spark, d, _batch(spark, b1), ["k"], "v") == 1
+    assert refresh_aggregate(spark, d, _batch(spark, b2), ["k"], "v") == 2
+    assert refresh_aggregate(spark, d, _batch(spark, b3), ["k"], "v") == 3
+
+    got = {r.k: r for r in read_aggregate(spark, d).collect()}
+    want = _expect(spark, b1 + b2 + b3)
+    assert set(got) == set(want)
+    for k in want:
+        for f in ("cnt", "total", "mn", "mx"):
+            assert got[k][f] == want[k][f], (k, f)
+        assert math.isclose(got[k].avg, want[k].avg)
+
+
+def test_time_travel_reads_pre_batch_state(spark, tmp_path):
+    d = str(tmp_path / "rollup")
+    refresh_aggregate(spark, d, _batch(spark, [("a", 1.0)]), ["k"], "v")
+    refresh_aggregate(spark, d, _batch(spark, [("a", 9.0)]), ["k"], "v")
+    v1 = {r.k: r for r in read_aggregate(spark, d, version=1).collect()}
+    assert v1["a"].cnt == 1 and v1["a"].total == 1.0
+
+
+def test_rollback_then_refresh_discards_bad_batch(spark, tmp_path):
+    d = str(tmp_path / "rollup")
+    refresh_aggregate(spark, d, _batch(spark, [("a", 1.0)]), ["k"], "v")
+    refresh_aggregate(spark, d, _batch(spark, [("a", 1e9)]), ["k"], "v")  # bad feed
+    rollback(d, 1)
+    refresh_aggregate(spark, d, _batch(spark, [("a", 2.0)]), ["k"], "v")
+    got = {r.k: r for r in read_aggregate(spark, d).collect()}
+    assert got["a"].cnt == 2 and got["a"].total == 3.0  # bad batch gone
+
+
+def test_null_values_dont_count(spark, tmp_path):
+    d = str(tmp_path / "rollup")
+    df = spark.createDataFrame([("a", None), ("a", 4.0)], "k STRING, v DOUBLE")
+    refresh_aggregate(spark, d, df, ["k"], "v")
+    got = read_aggregate(spark, d).first()
+    assert got.cnt == 1 and got.total == 4.0 and got.avg == 4.0
