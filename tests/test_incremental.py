@@ -76,3 +76,56 @@ def test_null_values_dont_count(spark, tmp_path):
     refresh_aggregate(spark, d, df, ["k"], "v")
     got = read_aggregate(spark, d).first()
     assert got.cnt == 1 and got.total == 4.0 and got.avg == 4.0
+
+
+def test_streaming_refresh_via_foreachbatch(spark, tmp_path):
+    """Incremental view maintenance as a streaming sink: each micro-batch
+    folds into the versioned rollup via foreachBatch, and the final
+    snapshot equals a batch recompute over all input — with one
+    published version per non-empty epoch for time travel."""
+    import json
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows1 = [{"k": "a", "v": 1.0}, {"k": "b", "v": 2.0}]
+    rows2 = [{"k": "a", "v": 5.0}, {"k": "c", "v": 7.0}]
+    (in_dir / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    d = str(tmp_path / "rollup")
+    stream = (
+        spark.readStream.schema("k STRING, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+
+    def fold(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        refresh_aggregate(spark, d, batch_df, ["k"], "v")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    (in_dir / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in rows2))
+    q2 = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = {r.k: r for r in read_aggregate(spark, d).collect()}
+    want = _expect(
+        spark, [("a", 1.0), ("b", 2.0), ("a", 5.0), ("c", 7.0)]
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].cnt == want[k].cnt and got[k].total == want[k].total
+    # epoch 1 state is still readable (time travel across epochs)
+    v1 = {r.k: r for r in read_aggregate(spark, d, version=1).collect()}
+    assert set(v1) == {"a", "b"}
