@@ -9,8 +9,12 @@ Design for 100 TB:
   over corpus partitions followed by a per-query top-k
   (TakeOrderedAndProject-style via window + filter on the tiny
   (query x k) result);
-- dot products run JVM-side with ``aggregate``/``zip_with`` higher-order
-  functions — no Python/pandas round-trip in the hot path;
+- dot products in scoring/verification run JVM-side with
+  ``aggregate``/``zip_with`` higher-order functions; the one deliberate
+  Python boundary is ``_signatures`` — an Arrow-batched numpy GEMM,
+  because HOFs evaluate interpreted and a |corpus| x L x b x dim lambda
+  storm measured 20 s where the matmul is milliseconds (see its
+  docstring);
 - ``lsh_bucketed_topk`` is the scale path: random-hyperplane signatures
   prune the corpus to matching buckets before exact scoring, turning the
   all-pairs cross join into a bucket-equi-join.
@@ -86,40 +90,65 @@ def cosine_topk(
     )
 
 
-def _plane_frame(spark, tables: list[list[list[float]]]) -> DataFrame:
-    """(table, weight, plane) — one row per (hash table, bit), with the
-    bit's power-of-two packing weight carried as data."""
-    rows = [
-        (t, float(2**b), [float(x) for x in plane])
-        for t, planes in enumerate(tables)
-        for b, plane in enumerate(planes)
-    ]
-    return spark.createDataFrame(rows, "table INT, weight DOUBLE, plane ARRAY<DOUBLE>")
-
-
 def _signatures(
     vecs: DataFrame, id_name: str, tables: list[list[list[float]]]
 ) -> DataFrame:
     """(id, table, sig) bucket rows: every table's hyperplane signature
     per vector.
 
-    The planes enter as a **broadcast (L x b)-row DataFrame**, not as
-    literal arrays inside aggregate expressions: the literal form makes
-    Janino compile L*b dim-wide sum-aggregates (~seconds of codegen for
-    16x2 tables at dim 64, the dominant cost of the whole query), while
-    this form is one small reusable plan — broadcast cross-join,
-    ``zip_with`` dot per (vector, plane), then a per-(id, table) sum of
-    the set bits' weights.  Bit weights are powers of two carried as
-    doubles (exact to 2^53) and the sum is cast back to long."""
-    planes = _plane_frame(vecs.sparkSession, tables)
-    contrib = F.when(
-        dot(F.col("__vec"), F.col("plane")) >= 0, F.col("weight")
-    ).otherwise(F.lit(0.0))
-    return (
-        vecs.crossJoin(F.broadcast(planes))
-        .select(id_name, "table", contrib.alias("__c"))
-        .groupBy(id_name, "table")
-        .agg(F.sum("__c").cast("long").alias("sig"))
+    This is a **GEMM** — every vector against every plane — and runs as
+    an Arrow-batched ``mapInPandas`` numpy kernel: one ``V @ P.T`` per
+    partition batch, sign bits packed to per-table int64 signatures.
+
+    Why Python here when the dedup docstrings promise JVM hot paths:
+    Spark's higher-order functions (``zip_with``/``aggregate``) are
+    *interpreted* expression evaluation, outside whole-stage codegen —
+    the previous broadcast-plane-frame formulation evaluated
+    |corpus| x L x b x dim per-element lambdas (82M at sf0.1 with
+    L=40, b=16, dim=64: measured 20 s, the whole query's cost), where
+    the batched matmul is milliseconds.  This is exactly the case the
+    Pandas-UDF escape hatch exists for; the corpus still never
+    shuffles (narrow map over partitions, planes shipped as a
+    closure-captured (L*b x dim) array, ~300 KB).
+
+    Bit packing matches the relational formulation exactly: bit b set
+    iff ``dot(vec, plane) >= 0`` (zero vectors set every bit in every
+    formulation), weights are powers of two summed into a long.  The
+    only divergence surface is the sign of dots within ~1e-15 of zero
+    (BLAS vs left-fold accumulation order), which moves a vector
+    between buckets of ONE table — recall-neutral by the multi-table
+    construction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    num_tables = len(tables)
+    bits = len(tables[0])
+    planes = np.asarray(tables, dtype=np.float64).reshape(num_tables * bits, -1)
+    weights = np.power(2.0, np.arange(bits))  # exact to 2^53
+    table_ids = np.arange(num_tables, dtype=np.int32)
+    id_type = vecs.schema[id_name].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_name].to_numpy()
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+            )
+            signs = (mat @ planes.T >= 0).reshape(len(ids), num_tables, bits)
+            sigs = (signs * weights).sum(axis=2).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_name: np.repeat(ids, num_tables),
+                    "table": np.tile(table_ids, len(ids)),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    return vecs.select(id_name, F.col("__vec")).mapInPandas(
+        gen, f"{id_name} {id_type}, table INT, sig LONG"
     )
 
 
@@ -222,10 +251,10 @@ def lsh_bucketed_topk(
     ~L * corpus / 2^b candidates instead of the whole corpus.  Plane
     width must equal the vector width (zip_with null-pads mismatches).
     """
-    # Candidate generation runs on bucket rows from the broadcast-planes
-    # ``_signatures`` pass (no plan literals — see its docstring for the
-    # codegen-compile rationale); candidate scoring stays a codegen'd
-    # sum-aggregate over the exploded (id, position, value) rows.
+    # Candidate generation runs on bucket rows from the ``_signatures``
+    # GEMM kernel (see its docstring); candidate scoring stays a
+    # codegen'd sum-aggregate over the exploded (id, position, value)
+    # rows.
     c_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__vec")
     ).persist()
