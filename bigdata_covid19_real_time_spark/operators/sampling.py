@@ -303,3 +303,43 @@ def temperature_mixing_rates(
             ).alias("sample_rate"),
         )
     )
+
+
+def shuffle_shard_assignment(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the final step
+    of a training-data export: break source/temporal ordering so every
+    shard (and every sequential read of a shard) is an unbiased sample.
+
+    Each id gets a shuffle key — the md5-derived 60-bit integer of
+    ``seed:id`` (the ``hash_bucket`` family's cross-engine trick, so a
+    SQL oracle replays the full assignment bit-exactly); its shard is
+    the key mod ``n_shards`` and its position is the rank of the key
+    within the shard (ties — hash collisions — break by id).  The
+    assignment is a pure function of (id, seed, n_shards): retry-stable,
+    machine-independent, and reproducible for a training run's data
+    order audit.
+
+    Scale: one shuffle on the 8-byte shard key; the within-shard sort is
+    per-partition when the writer partitions by shard (at export time:
+    ``.repartition(n_shards, "shard").sortWithinPartitions("pos")``) —
+    never a global sort.  Shard sizes are balanced to ~|df|/n_shards by
+    hash uniformity, not by an explicit count pass.
+    """
+    digest = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    h = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.select(F.col(id_col), h.alias("__h"))
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

@@ -2183,3 +2183,36 @@ def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         k=10,
     )
+
+
+@query(
+    "docs_shuffle_shards",
+    # full replication: the shuffle key is the md5-derived 60-bit int of
+    # "7:<doc_id>" (bit-identical across engines), shard = key % 8,
+    # pos = dense rank of (key, doc_id) within the shard
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(h % 8 AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + 8-way shard assignment for a
+    training-data export (operators/sampling.py::
+    shuffle_shard_assignment): source/temporal order is destroyed by an
+    md5-derived key, positions are dense per shard, and the whole
+    assignment is a pure function of (doc_id, seed) — retry-stable and
+    auditable.  The oracle replays key, shard, and position exactly."""
+    from bigdata_covid19_real_time_spark.operators.sampling import (
+        shuffle_shard_assignment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shard_assignment(docs, n_shards=8, seed=7)

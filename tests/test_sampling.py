@@ -186,3 +186,35 @@ class TestTemperatureMixing:
         # near-uniform weights push the tiny source far over its size
         assert rates["tiny"] == 1.0
         assert rates["big"] < 1.0
+
+
+def test_shuffle_shard_assignment_contract(spark):
+    from bigdata_covid19_real_time_spark.operators.sampling import (
+        shuffle_shard_assignment,
+    )
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = shuffle_shard_assignment(df, n_shards=4, seed=3).collect()
+    # every doc exactly once, shards in range
+    assert len(a) == 1000 and len({r.doc_id for r in a}) == 1000
+    assert {r.shard for r in a} <= set(range(4))
+    # dense 0..n-1 positions per shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), shard
+    # roughly balanced (hash uniformity: each shard within 25% of mean)
+    sizes = [len(ps) for ps in by_shard.values()]
+    assert min(sizes) > 0.75 * 250 and max(sizes) < 1.25 * 250
+    # pure function of (id, seed): identical on re-run...
+    b = shuffle_shard_assignment(df, n_shards=4, seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # ...and different under another seed (the shuffle actually shuffles)
+    c = shuffle_shard_assignment(df, n_shards=4, seed=4).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    # order destroyed: within a shard, consecutive positions are not
+    # consecutive ids
+    s0 = sorted((r for r in a if r.shard == 0), key=lambda r: r.pos)
+    deltas = [abs(s0[i + 1].doc_id - s0[i].doc_id) for i in range(len(s0) - 1)]
+    assert sum(1 for d in deltas if d == 1) < len(deltas) * 0.1
