@@ -114,3 +114,36 @@ def violations_sample(
         .filter(F.col("__r") <= per_rule)
         .drop("__r")
     )
+
+
+def referential_report(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    rule: str,
+) -> DataFrame:
+    """Referential-integrity expectation: fact rows whose key has no
+    match in ``dim`` (NULL keys count as violations — an unresolvable
+    reference is not met).  Same (rule, violations, checked, passed)
+    row shape as :func:`expectation_report`, so suites union the two.
+
+    Scale: one LEFT ANTI join on the key (broadcast when the dim is a
+    dimension table; NULL-keyed rows are kept violations via the
+    null-rejecting join condition) and two 1-row aggregates.
+    """
+    orphans = fact.join(
+        dim.select(F.col(dim_key).alias("__dim_key")).distinct(),
+        F.col(fact_key) == F.col("__dim_key"),
+        "left_anti",
+    )
+    return (
+        fact.agg(F.count(F.lit(1)).alias("checked"))
+        .crossJoin(orphans.agg(F.count(F.lit(1)).alias("violations")))
+        .select(
+            F.lit(rule).alias("rule"),
+            F.col("violations").cast("long"),
+            F.col("checked").cast("long"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )

@@ -1157,3 +1157,55 @@ def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_keys={"unique_line_key": ["l_orderkey", "l_linenumber"]},
     )
+
+
+@query(
+    "orders_expectations",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS checked,
+        CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_totalprice_positive,
+        CAST(SUM(CASE WHEN o_orderpriority IN
+          ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+          THEN 0 ELSE 1 END) AS BIGINT) AS v_priority_domain,
+        CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique_orderkey,
+        CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer)
+          THEN 0 ELSE 1 END) AS BIGINT) AS v_custkey_resolves
+      FROM orders
+    )
+    SELECT u.rule, u.violations, b.checked, u.violations = 0 AS passed
+    FROM base b, (
+      SELECT 'custkey_resolves' AS rule, v_custkey_resolves AS violations FROM base
+      UNION ALL SELECT 'priority_domain', v_priority_domain FROM base
+      UNION ALL SELECT 'totalprice_positive', v_totalprice_positive FROM base
+      UNION ALL SELECT 'unique_orderkey', v_unique_orderkey FROM base
+    ) u
+    ORDER BY u.rule
+    """,
+)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over orders including the REFERENTIAL rule
+    (every o_custkey resolves in customer — a broadcast anti-join,
+    operators/constraints.py::referential_report) unioned with the
+    one-scan predicate/uniqueness report."""
+    from bigdata_covid19_real_time_spark.operators.constraints import (
+        expectation_report,
+        referential_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = expectation_report(
+        orders,
+        rules={
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "priority_domain": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        },
+        unique_keys={"unique_orderkey": ["o_orderkey"]},
+    )
+    ref = referential_report(
+        orders, F.broadcast(customer), "o_custkey", "c_custkey", "custkey_resolves"
+    )
+    return base.unionByName(ref).orderBy("rule")

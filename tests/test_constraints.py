@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from bigdata_covid19_real_time_spark.operators.constraints import (
     expectation_report,
+    referential_report,
     violations_sample,
 )
 
@@ -81,3 +82,14 @@ def test_violations_sample_tags_and_caps(spark):
     assert len(out) == 3
     assert all(r.rule == "x_positive" and r.x <= 0 for r in out)
     assert [r.id for r in out] == [0, 1, 2]  # deterministic under order_by
+
+
+def test_referential_report_counts_orphans_and_nulls(spark):
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 10)], "id INT, fk INT"
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "dk INT")
+    r = referential_report(fact, dim, "fk", "dk", "fk_resolves").first()
+    assert r.rule == "fk_resolves"
+    assert r.violations == 2  # orphan 99 + NULL key
+    assert r.checked == 4 and not r.passed
