@@ -20,10 +20,10 @@ Design for 100 TB:
 - the stats pass produces ONE row (two dim-length arrays) via a
   partial-aggregated posexplode -> groupBy(pos); it broadcasts to the
   quantize pass as a 2xdim-double literal frame — no driver collect;
-- candidate scoring shuffles nothing: queries broadcast, scores are
-  integer arithmetic (64 * 255^2 fits comfortably in long), and only
-  the per-query top ``k * rerank_factor`` rows (a few hundred) reach
-  the exact rerank;
+- candidate scoring shuffles nothing: queries broadcast as per-query
+  ADC weight arrays, each corpus row costs one multiply-add per dim
+  over its byte codes, and only the per-query top
+  ``k * rerank_factor`` rows (a few hundred) reach the exact rerank;
 - the exact rerank re-scores candidates only, so full-precision floats
   are touched for |queries| * k * rerank_factor rows, not the corpus;
 - at cluster scale the quantized corpus table is what you PERSIST:
@@ -110,7 +110,7 @@ def sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Top-k cosine neighbors via SQ8: quantized-dot-product candidate
+    """Top-k cosine neighbors via SQ8: asymmetric (ADC) candidate
     generation (``k * rerank_factor`` per query), exact cosine rerank.
 
     Output: (query_id, neighbor_id, rank, cosine) — same contract as
