@@ -1209,3 +1209,55 @@ def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, F.broadcast(customer), "o_custkey", "c_custkey", "custkey_resolves"
     )
     return base.unionByName(ref).orderBy("rule")
+
+
+@query(
+    "events_user_daily_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS event_date, SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(event_date) AS mn, MAX(event_date) AS mx
+      FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.user_id,
+             CAST(b.mn + to_days(CAST(u.i AS INTEGER)) AS DATE) AS event_date
+      FROM bounds b, unnest(range(0, CAST(b.mx - b.mn AS INTEGER) + 1)) AS u(i)
+    ),
+    joined AS (
+      SELECT g.user_id, g.event_date, d.v
+      FROM grid g LEFT JOIN daily d USING (user_id, event_date)
+    ),
+    islands AS (
+      SELECT user_id, event_date, v,
+             COUNT(v) OVER (PARTITION BY user_id ORDER BY event_date
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM joined
+    )
+    SELECT user_id, event_date,
+           v IS NOT NULL AS observed,
+           ROUND(COALESCE(v, 0) + 1e-9, 2) AS value_zero,
+           ROUND(MAX(v) OVER (PARTITION BY user_id, isl) + 1e-9, 2) AS value_ffill
+    FROM islands
+    """,
+)
+def events_user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + gap-fill per user (operators/timeseries.py):
+    every day between a user's first and last event exists exactly
+    once, with zero-fill (flow semantics) and forward-fill (state
+    semantics, gaps-and-islands) side by side — the regularization the
+    reference's ROWS-frame forecaster silently assumes."""
+    from bigdata_covid19_real_time_spark.operators.timeseries import daily_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = daily_gapfill(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        "event_date",
+        "observed",
+        stable_round("value_zero", 2).alias("value_zero"),
+        stable_round("value_ffill", 2).alias("value_ffill"),
+    )
