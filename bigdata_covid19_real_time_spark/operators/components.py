@@ -59,7 +59,16 @@ def connected_components(
     has_reliable_ckpt = sc.getCheckpointDir() is not None
 
     def _truncate(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if has_reliable_ckpt else df.localCheckpoint()
+        # LAZY truncation: every round already runs exactly one action
+        # (the convergence sum), which materializes the checkpoint as a
+        # side effect — an eager checkpoint would run a second job per
+        # round purely to write the same rows.  Reliable checkpoint()
+        # has no lazy form, so cluster runs keep the eager variant.
+        return (
+            df.checkpoint()
+            if has_reliable_ckpt
+            else df.localCheckpoint(eager=False)
+        )
 
     src = F.col(id_a).cast("long")
     dst = F.col(id_b).cast("long")
