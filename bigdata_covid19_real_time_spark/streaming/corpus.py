@@ -30,6 +30,8 @@ scans.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -123,6 +125,11 @@ class CorpusIngest:
         try:
             self._sink.write(survivors, int(epoch_id), "accepted")
             self._sink.write(rejected, int(epoch_id), "rejected")
+            # both tables committed: swap the snapshot pointer so readers
+            # (read_corpus_snapshot) can now see this epoch — a crash
+            # BEFORE this line leaves the pointer at the previous epoch
+            # and the replayed epoch overwrites its partitions first
+            publish_epoch_snapshot(self.base_dir, int(epoch_id))
         finally:
             survivors.unpersist()
 
@@ -145,3 +152,58 @@ class CorpusIngest:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Epoch-snapshot isolation over the append-only accept table
+# ---------------------------------------------------------------------------
+#
+# The accepted table is epoch-partitioned and idempotently replayable,
+# but a reader scanning it DURING an epoch write sees a half-written
+# partition.  Snapshot publishing fixes that without copying a byte:
+# after an epoch commits, a pointer file records the highest published
+# epoch (write-temp-then-rename, single-syscall-atomic — the same
+# pointer contract as sinks/versioned.py, here over partitions instead
+# of directory copies, because the table is append-only by
+# construction).  Readers filter `epoch <= pointer`, which prunes to
+# exactly the published partitions; an in-flight epoch is invisible
+# until its pointer swap.  This is the Iceberg snapshot-of-appends
+# shape: data files immutable, commits are metadata.
+
+_SNAPSHOT = "_snapshot.json"
+
+
+def publish_epoch_snapshot(base_dir: str, epoch: int) -> None:
+    """Atomically mark every epoch <= ``epoch`` as published."""
+    import json
+    import uuid
+
+    tmp = os.path.join(base_dir, f".{_SNAPSHOT}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"max_epoch": int(epoch)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(base_dir, _SNAPSHOT))
+
+
+def published_epoch(base_dir: str) -> int | None:
+    """The pointer's epoch, or None before the first publish."""
+    import json
+
+    try:
+        with open(os.path.join(base_dir, _SNAPSHOT)) as f:
+            return int(json.load(f)["max_epoch"])
+    except FileNotFoundError:
+        return None
+
+
+def read_corpus_snapshot(spark: SparkSession, base_dir: str, table: str = "accepted") -> DataFrame:
+    """The published snapshot of an epoch table: partitions up to the
+    pointer only (an epoch filter on the partition column — partition-
+    pruned, in-flight epochs never scanned)."""
+    max_epoch = published_epoch(base_dir)
+    if max_epoch is None:
+        raise FileNotFoundError(f"{base_dir}: no published snapshot")
+    return spark.read.parquet(os.path.join(base_dir, table)).filter(
+        F.col("epoch") <= max_epoch
+    )

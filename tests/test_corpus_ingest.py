@@ -126,3 +126,47 @@ def test_compact_epoch_table_shrinks_files_preserves_rows(spark, tmp_path):
     # rollback copy kept for crash recovery
     import os
     assert os.path.isdir(f"{base}/tbl.pre-compact")
+
+
+def test_snapshot_isolation_hides_in_flight_epoch(spark, tmp_path):
+    """Readers through read_corpus_snapshot see only pointer-published
+    epochs: a half-written (or merely unpublished) epoch partition is
+    invisible until its pointer swap, and a crash between data write
+    and publish leaves the previous snapshot intact."""
+    import os
+
+    from bigdata_covid19_real_time_spark.streaming.corpus import (
+        CorpusIngest,
+        published_epoch,
+        read_corpus_snapshot,
+    )
+
+    base = str(tmp_path / "corpus")
+    ing = CorpusIngest(base, min_tokens=5, max_top_bigram_frac=1.0)
+    docs = spark.createDataFrame(
+        [("1", "the quick brown fox jumps over the lazy dog again and again today", "en", "web")],
+        "doc_id STRING, text STRING, lang STRING, source STRING",
+    )
+    ing.process_batch(docs, 0)
+    assert published_epoch(base) == 0
+    assert read_corpus_snapshot(spark, base).count() == 1
+
+    # simulate a crash AFTER data write, BEFORE publish: write epoch=1
+    # data directly without moving the pointer
+    docs2 = spark.createDataFrame(
+        [("2", "an entirely different sentence with plenty of ordinary words in it", "en", "web")],
+        "doc_id STRING, text STRING, lang STRING, source STRING",
+    )
+    from bigdata_covid19_real_time_spark.operators.text import fingerprint
+    fingerprint(docs2.withColumn("doc_id", F.col("doc_id").cast("long"))).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "accepted", "epoch=1"))
+
+    # raw table sees 2 rows; the snapshot still sees 1
+    assert spark.read.parquet(os.path.join(base, "accepted")).count() == 2
+    assert read_corpus_snapshot(spark, base).count() == 1
+
+    # replaying the epoch through the builder publishes it
+    ing.process_batch(docs2, 1)
+    assert published_epoch(base) == 1
+    assert read_corpus_snapshot(spark, base).count() == 2
