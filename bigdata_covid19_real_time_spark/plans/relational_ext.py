@@ -1261,3 +1261,122 @@ def events_user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round("value_zero", 2).alias("value_zero"),
         stable_round("value_ffill", 2).alias("value_ffill"),
     )
+
+
+#: Deterministic MERGE fixture over orders, shared by the merge and
+#: diff queries: urgent-every-100th rows update (price *1.1, status U),
+#: every-1000th rows are tombstones, every-97th rows insert under a
+#: shifted key.  SQL twin inlined in both oracles.
+def _orders_merge_frames(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_totalprice", stable_round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    source = updates.unionByName(inserts)
+    return orders, source
+
+
+_MERGE_SRC_SQL = """
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             ROUND(o_totalprice * 1.1 + 1e-9, 2) AS o_totalprice,
+             o_orderdate, o_orderpriority,
+             o_orderkey % 1000 = 0 AS del
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, FALSE
+      FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+@query(
+    "orders_merge_preview",
+    oracle=f"""
+    WITH src AS ({_MERGE_SRC_SQL}),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM src WHERE NOT del
+      UNION ALL
+      SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+      FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE s.o_orderkey IS NULL
+    )
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice + 1e-9, 2) AS o_totalprice
+    FROM merged
+    """,
+)
+def orders_merge_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE (operators/merge.py::merge_into): updates replace,
+    tombstones delete their match (and never insert), new keys insert,
+    the rest carries over — one FULL OUTER join, publishable as the next
+    snapshot for an atomic, time-travelable merge."""
+    from bigdata_covid19_real_time_spark.operators.merge import merge_into
+
+    orders, source = _orders_merge_frames(spark, sf_dir)
+    merged = merge_into(
+        orders, source, "o_orderkey",
+        # scope the tombstone test to ORIGINAL keys: the insert branch's
+        # shifted keys (+10M) can satisfy %1000 too, and a tombstone that
+        # never matched must not suppress an insert it wasn't aimed at
+        delete_when=(F.col("o_orderkey") % 1000 == 0)
+        & (F.col("o_orderkey") < 10_000_000),
+    )
+    return merged.select(
+        "o_orderkey", "o_orderstatus", stable_round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@query(
+    "orders_snapshot_diff",
+    oracle=f"""
+    WITH src AS ({_MERGE_SRC_SQL}),
+    new_t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM src WHERE NOT del
+      UNION ALL
+      SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+      FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE s.o_orderkey IS NULL
+    ),
+    old_t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+           ROUND(COALESCE(n.o_totalprice, o.o_totalprice) + 1e-9, 2) AS o_totalprice,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old_t o FULL OUTER JOIN new_t n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus != n.o_orderstatus
+       OR o.o_totalprice != n.o_totalprice
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed by snapshot diff (operators/merge.py::
+    snapshot_diff): the row-level insert/update/delete feed recovered
+    from two immutable snapshots — CDC without write-time capture.
+    The engine compares 8-byte xxhash64 digests; the oracle compares
+    the values themselves (identical result barring 2^-64 collisions)."""
+    from bigdata_covid19_real_time_spark.operators.merge import (
+        merge_into,
+        snapshot_diff,
+    )
+
+    orders, source = _orders_merge_frames(spark, sf_dir)
+    old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = merge_into(
+        orders, source, "o_orderkey",
+        delete_when=(F.col("o_orderkey") % 1000 == 0)
+        & (F.col("o_orderkey") < 10_000_000),
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    out = snapshot_diff(old, new, "o_orderkey")
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round("o_totalprice", 2).alias("o_totalprice"),
+        "change_type",
+    )
