@@ -2216,3 +2216,66 @@ def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shuffle_shard_assignment(docs, n_shards=8, seed=7)
+
+
+@query(
+    "supplier_triangles",
+    oracle="""
+    WITH sel AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    ),
+    pairs AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM sel a
+      JOIN sel b ON a.l_orderkey = b.l_orderkey
+                AND a.l_suppkey < b.l_suppkey
+    ),
+    nodes AS (
+      SELECT COUNT(DISTINCT n) AS nodes FROM (
+        SELECT u AS n FROM pairs UNION SELECT v FROM pairs)
+    ),
+    tri AS (
+      SELECT COUNT(*) AS triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(n.nodes AS BIGINT) AS nodes,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS edges,
+           CAST(t.triangles AS BIGINT) AS triangles
+    FROM nodes n, tri t
+    """,
+)
+def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the supplier co-occurrence graph (suppliers
+    sharing an URGENT first-half-1996 order; per-order fan-out is
+    bounded by lineitems/order, so edge generation never goes quadratic
+    in a hub — and the order subset keeps the graph sparse: unrestricted
+    co-occurrence saturates this corpus's 1000-supplier graph to near-
+    complete, whose Theta(n^3) triangle count is a corpus artifact, not
+    an operator property).  Degree-oriented
+    counting (operators/graph.py) — each triangle counted exactly once
+    at its lowest-(degree, id) corner, wedge work bounded O(m^1.5).
+    Oracle: the canonical three-way self-join over the same edge set."""
+    from bigdata_covid19_real_time_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    ).select("o_orderkey")
+    li = li.join(
+        F.broadcast(urgent), li["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    )
+    co = li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+    return triangle_count(co)
