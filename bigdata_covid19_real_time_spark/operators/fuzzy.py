@@ -1,0 +1,120 @@
+"""Edit-distance similarity self-join (entity resolution / fuzzy
+matching): all string pairs within Levenshtein distance ``k``, WITHOUT
+the all-pairs cross join.
+
+The dedup family (minhash/simhash/cosine) matches near-duplicate
+DOCUMENTS; entity resolution needs near-duplicate SHORT STRINGS
+(names, titles, codes) under edit distance, where shingle-Jaccard is
+too coarse.  The standard scale technique is q-gram COUNT FILTERING
+(the Gravano/PPJoin family): an edit operation destroys at most ``q``
+of a string's q-grams, so
+
+    lev(a, b) <= k   =>   |grams(a) ∩ grams(b)| >= maxgrams - k*q
+
+with ``maxgrams = max(|a|, |b|) - q + 1``.  Candidates come from an
+equi-join on shared q-grams with that count threshold; only survivors
+pay the O(|a|*|b|) exact ``levenshtein`` verify (JVM built-in).
+
+Completeness: for strings shorter than ``q + k*q`` the bound can reach
+zero shared grams, so the gram join may legitimately miss pairs —
+those strings (a fixed-length-bounded set) go through a length-banded
+join instead (lev <= k forces |len(a) - len(b)| <= k).  The union is
+EXACTLY the lev<=k pair set: the operator is oracle-checkable against
+brute force.
+
+Scale: the gram join shuffles (gram, string-id) rows — strings explode
+into O(len) grams, the count filter collapses map-side, and a hot gram
+behaves like a hot LSH bucket (cap or drop stop-gram style upstream if
+a corpus has one).  The short-string branch is bounded by the
+short-string population, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q = 2  # bigrams: the usual q for short-string matching
+
+
+def _grams(col, q: int):
+    # MULTISET of q-grams (no dedup): the count-filter bound is on the
+    # multiset intersection — distinct-gram counting under-counts for
+    # repetitive strings ("aaaaaaaa" has ONE distinct bigram) and would
+    # miss qualifying pairs
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - q + 1, F.lit(1))),
+        lambda i: col.substr(i, F.lit(q)),
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """All distinct-value pairs (a < b) of ``df[col]`` with
+    ``levenshtein(a, b) <= max_dist``.  Output: (name_a, name_b, dist).
+    """
+    strings = (
+        df.select(F.col(col).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+        .withColumn("len", F.length("s"))
+        .persist()
+    )
+    # strings long enough that the count bound stays positive
+    min_long = Q + max_dist * Q
+    long_s = strings.filter(F.col("len") >= min_long)
+    gram_counts = (
+        long_s.select("s", "len", F.explode(_grams(F.col("s"), Q)).alias("g"))
+        .groupBy("s", "len", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = gram_counts.select(
+        F.col("s").alias("name_a"), F.col("len").alias("la"), "g",
+        F.col("c").alias("ca"),
+    )
+    b = gram_counts.select(
+        F.col("s").alias("name_b"), F.col("len").alias("lb"), "g",
+        F.col("c").alias("cb"),
+    )
+    # multiset intersection size: sum over shared grams of min(counts)
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        .groupBy("name_a", "name_b", "la", "lb")
+        .agg(F.sum(F.least(F.col("ca"), F.col("cb"))).alias("__shared"))
+    )
+    threshold = F.greatest(F.col("la"), F.col("lb")) - Q + 1 - max_dist * Q
+    long_cands = shared.filter(F.col("__shared") >= threshold).select(
+        "name_a", "name_b"
+    )
+    # short strings: the bound can hit zero shared grams — length-banded
+    # join instead (complete because lev<=k forces |la-lb|<=k); the
+    # short population is bounded by the alphabet, not the corpus
+    short_s = strings.filter(F.col("len") < min_long)
+    sa = short_s.select(F.col("s").alias("name_a"), F.col("len").alias("la"))
+    # short x (short + long) covers every pair with at least one short side
+    other = strings.select(F.col("s").alias("name_b"), F.col("len").alias("lb"))
+    short_cands = sa.join(
+        other,
+        (F.col("name_a") < F.col("name_b"))
+        & (F.abs(F.col("la") - F.col("lb")) <= max_dist),
+    ).select("name_a", "name_b")
+    # long-short pairs where the LONG side is name_a in lexical order
+    sb = short_s.select(F.col("s").alias("name_b"), F.col("len").alias("lb"))
+    other_a = strings.select(F.col("s").alias("name_a"), F.col("len").alias("la"))
+    short_cands2 = other_a.join(
+        sb,
+        (F.col("name_a") < F.col("name_b"))
+        & (F.abs(F.col("la") - F.col("lb")) <= max_dist),
+    ).select("name_a", "name_b")
+
+    cands = long_cands.unionByName(short_cands).unionByName(short_cands2).distinct()
+    return (
+        cands.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+    )

@@ -2279,3 +2279,26 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
     ).select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
     return triangle_count(co)
+
+
+@query(
+    "part_name_fuzzy_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+    SELECT a.s AS name_a, b.s AS name_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+    FROM names a JOIN names b ON a.s < b.s
+    WHERE levenshtein(a.s, b.s) <= 3
+    """,
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join over distinct part names
+    (operators/fuzzy.py): q-gram count filtering prunes candidates, the
+    exact levenshtein verify runs on survivors only, and the result is
+    EXACTLY the lev<=3 pair set — the oracle brute-forces the (small)
+    distinct domain while the operator's plan is the one that scales."""
+    from bigdata_covid19_real_time_spark.operators.fuzzy import fuzzy_self_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    out = fuzzy_self_pairs(part, "p_name", max_dist=3)
+    return out.select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
