@@ -351,3 +351,68 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi")
     )
+
+
+@query(
+    "events_value_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ANY_VALUE(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           ROUND(m.med + 1e-9, 4) AS median_value,
+           ROUND(m.mad + 1e-9, 4) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS robust_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1, m.med, m.mad
+    """,
+)
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: median absolute deviation and
+    the 3-sigma-equivalent robust outlier count (1.4826 * MAD is the
+    normal-consistent sigma estimate) — the z-score monitor's
+    (events_value_anomalies) heavy-tail-proof sibling.
+
+    Scale: two percentile passes, each one shuffle on event_type with
+    the exact-percentile sort confined to per-group partitions; the
+    deviation join broadcasts the tiny per-type median table.  At
+    100 TB swap ``percentile`` for ``approx_percentile`` and the plan
+    shape is unchanged (the sketch-vs-exact contract is gated by
+    daily_event_summary_sketch)."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("__med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "__adev", F.abs(F.col("value") - F.col("__med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("__med").alias("__med2"),
+        F.expr("percentile(__adev, 0.5)").alias("__mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "__med2", "__mad")
+        .agg(
+            F.sum(
+                F.when(F.col("__adev") > 3 * 1.4826 * F.col("__mad"), 1).otherwise(0)
+            ).alias("robust_outliers")
+        )
+        .select(
+            "event_type",
+            stable_round("__med2", 4).alias("median_value"),
+            stable_round("__mad", 4).alias("mad"),
+            "robust_outliers",
+        )
+    )
