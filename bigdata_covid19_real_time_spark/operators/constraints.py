@@ -147,3 +147,40 @@ def referential_report(
             (F.col("violations") == 0).alias("passed"),
         )
     )
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Deequ-style column profile in ONE scan: per column, row count,
+    null count, exact distinct count, and min/max rendered as strings
+    (type-uniform output rows).
+
+    Output: (column, rows, nulls, distinct, min_value, max_value),
+    one row per requested column, sorted by column name.
+
+    Scale: all measures compile into one aggregate; each
+    ``count_distinct`` adds an Expand branch (one shuffle total,
+    partial-aggregated).  For wide profiles at 100 TB swap in
+    ``approx_count_distinct`` — same plan, sketch state — and gate the
+    accuracy separately (the daily_event_summary_sketch pattern).
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__n_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = None
+    for c in sorted(columns):
+        one = wide.select(
+            F.lit(c).alias("column"),
+            F.col("__rows").cast("long").alias("rows"),
+            F.col(f"__n_{c}").cast("long").alias("nulls"),
+            F.col(f"__d_{c}").cast("long").alias("distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows.orderBy("column")

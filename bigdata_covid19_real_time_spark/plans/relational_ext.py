@@ -1380,3 +1380,40 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round("o_totalprice", 2).alias("o_totalprice"),
         "change_type",
     )
+
+
+@query(
+    "orders_profile",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_custkey,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_custkey,
+        CAST(MIN(o_custkey) AS VARCHAR) AS mn_custkey,
+        CAST(MAX(o_custkey) AS VARCHAR) AS mx_custkey,
+        CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prio,
+        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_prio,
+        MIN(o_orderpriority) AS mn_prio, MAX(o_orderpriority) AS mx_prio,
+        CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_price,
+        CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS d_price,
+        CAST(MIN(o_totalprice) AS VARCHAR) AS mn_price,
+        CAST(MAX(o_totalprice) AS VARCHAR) AS mx_price
+      FROM orders
+    )
+    SELECT u.* FROM base b, (
+      SELECT 'o_custkey' AS column, b.rows_ AS rows, n_custkey AS nulls,
+             d_custkey AS "distinct", mn_custkey AS min_value, mx_custkey AS max_value FROM base
+      UNION ALL SELECT 'o_orderpriority', rows_, n_prio, d_prio, mn_prio, mx_prio FROM base
+      UNION ALL SELECT 'o_totalprice', rows_, n_price, d_price, mn_price, mx_price FROM base
+    ) u
+    ORDER BY u.column
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile (operators/constraints.py::
+    profile_columns): rows / nulls / exact distinct / min / max per
+    column — the discovery pass that feeds expectation thresholds."""
+    from bigdata_covid19_real_time_spark.operators.constraints import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders, ["o_custkey", "o_orderpriority", "o_totalprice"])

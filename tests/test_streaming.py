@@ -503,3 +503,69 @@ def test_streaming_session_window_merges_across_batches(spark, tmp_path):
     # the three morning events merged into ONE session despite arriving
     # across two micro-batches
     assert rows[("u1", "2024-01-01 10:00:00")] == (3, 6.0)
+
+
+def test_stream_stream_interval_left_outer_emits_after_watermark(spark, tmp_path):
+    """leftOuter interval join: unmatched left rows emit null-padded —
+    but only once the watermark provably passes their join window.  A
+    second batch far in the future advances the watermark so the
+    unmatched clicks flush from state."""
+    import json as _json
+
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    (tmp_path / "clicks").mkdir()
+    (tmp_path / "buys").mkdir()
+    (tmp_path / "clicks" / "c1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user": "u1", "click_ts": "2024-01-01T10:00:00", "page": "p1"},
+                {"user": "u2", "click_ts": "2024-01-01T10:05:00", "page": "p2"},
+            ]
+        )
+    )
+    (tmp_path / "buys" / "b1.jsonl").write_text(
+        _json.dumps({"user": "u1", "buy_ts": "2024-01-01T10:04:00", "amount": 5.0})
+    )
+    # watermark pushers: far-future rows on BOTH feeds, non-matching users
+    (tmp_path / "clicks" / "c2.jsonl").write_text(
+        _json.dumps({"user": "w1", "click_ts": "2024-01-01T12:00:00", "page": "px"})
+    )
+    (tmp_path / "buys" / "b2.jsonl").write_text(
+        _json.dumps({"user": "w2", "buy_ts": "2024-01-01T12:00:00", "amount": 0.0})
+    )
+    cs = (
+        spark.readStream.schema("user string, click_ts string, page string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "clicks"))
+        .withColumn("click_ts", F.to_timestamp("click_ts"))
+    )
+    bs = (
+        spark.readStream.schema("user string, buy_ts string, amount double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "buys"))
+        .withColumn("buy_ts", F.to_timestamp("buy_ts"))
+    )
+    joined = interval_join_streams(
+        cs, bs, key="user", left_time="click_ts", right_time="buy_ts",
+        max_delay="10 minutes", watermark="10 minutes", how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_lo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain([q])
+    rows = {
+        (r["user"], r["page"]): r["amount"]
+        for r in spark.sql("SELECT user, page, amount FROM ssjoin_lo").collect()
+    }
+    assert rows[("u1", "p1")] == 5.0          # matched
+    assert rows[("u2", "p2")] is None         # unmatched, watermark passed
+    assert ("w1", "px") not in rows           # still inside its window
