@@ -28,6 +28,85 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+#: Queries surfaced FIRST to the driver's correctness gate this round.
+#: The gate checks the first ~50 entries in dict order; rounds 1-3
+#: re-checked a stable green set while 48 registered queries (all 22
+#: TPC-H shapes, the SQ8/kNN/RRF/BM25 retrieval variants, fuzzy join,
+#: triangles, the merge/snapshot/expectations/profile/gap-fill/bloom
+#: lakehouse family) never received a driver row.  This list puts those
+#: never-checked queries (46 of 48 — `orders_expectations` and
+#: `docs_shuffle_shards` defer one round; each has a driver-green
+#: sibling exercising the same operator) plus the two new lakehouse
+#:twins in the window, with two long-green canaries (`covid_clean`,
+#: `docs_minhash_lsh`) guarding against regressions in the stable set.
+#: Every other query follows in registration order.
+GATE_PRIORITY = [
+    # TPC-H shape family (plans/tpch_shapes.py + relational_ext.py)
+    "shipping_priority",
+    "order_priority_pipeline",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "min_cost_supplier",
+    "promo_revenue_share",
+    "promo_part_suppliers",
+    "disjunctive_brand_revenue",
+    "small_quantity_brand_revenue",
+    "big_quantity_orders",
+    "idle_rich_customers",
+    "important_part_stock",
+    "nation_pair_trade",
+    "regional_market_share",
+    "nation_profit_by_year",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "part_supplier_diversity",
+    "waiting_sole_late_supplier",
+    "returned_item_customers",
+    "priority_shipping_punctuality",
+    "customer_revenue_pareto",
+    "lineitem_corr_stats",
+    # behavioral / event-stream shapes
+    "purchase_funnel",
+    "purchase_window_clicks",
+    "purchase_attribution_join",
+    "user_trailing_week_avg",
+    "click_and_purchase_user_days",
+    "events_grouping_sets",
+    "events_user_skew_report",
+    # retrieval / corpus extensions
+    "embedding_rrf_topk",
+    "embedding_sq8_topk",
+    "embedding_knn_label",
+    "embedding_negative_samples",
+    "docs_bm25_topk",
+    "docs_cdc_chunks",
+    "docs_repeated_span_removal",
+    "corpus_temperature_mix",
+    # fuzzy / graph
+    "part_name_fuzzy_pairs",
+    "supplier_triangles",
+    # lakehouse maintenance family
+    "orders_merge_preview",
+    "orders_snapshot_diff",
+    "orders_profile",
+    "lineitem_expectations",
+    "events_user_daily_gapfill",
+    "bloom_pruned_revenue",
+    # new this round: versioned-snapshot + incremental-rollup twins
+    "orders_time_travel",
+    "events_incremental_rollup",
+    # canaries from the long-green set
+    "covid_clean",
+    "docs_minhash_lsh",
+]
+
+
+def _gate_order(names) -> list[str]:
+    """GATE_PRIORITY first, then everything else in registration order."""
+    prio = [n for n in GATE_PRIORITY if n in names]
+    rest = [n for n in names if n not in set(GATE_PRIORITY)]
+    return prio + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the pricing-summary scan+agg."""
@@ -39,10 +118,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from bigdata_covid19_real_time_spark.plans import QUERIES
 
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _gate_order(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
-    from bigdata_covid19_real_time_spark.plans import ORACLES
+    """Keyed like :func:`queries` and iterated in the same order."""
+    from bigdata_covid19_real_time_spark.plans import ORACLES, QUERIES
 
-    return dict(ORACLES)
+    return {
+        n: ORACLES[n] for n in _gate_order(list(QUERIES)) if n in ORACLES
+    }

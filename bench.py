@@ -41,14 +41,154 @@ EXCLUDED = {
 }
 
 
+#: Round-3's headline composition, FROZEN (methodology lock, round-3
+#: verdict task 5): the 125 queries timed in BENCH_r03.json in exactly
+#: that loop order.  The headline sum over this list is directly
+#: comparable round-over-round even as the registry grows or the
+#: correctness gate reorders its window; queries registered after the
+#: freeze are timed too, appended AFTER the frozen block, and reported
+#: separately (``frozen_total_sec`` vs ``value``).  A drift check in
+#: _headline() fails loudly if a frozen name ever leaves the registry.
+FROZEN_HEADLINE_ORDER = [
+    "docs_tfidf_topterms",
+    "docs_unigram_entropy",
+    "docs_length_deciles",
+    "docs_duplicate_spans",
+    "docs_source_topk_sample",
+    "user_retention_cohorts",
+    "events_value_anomalies",
+    "embedding_label_centroids",
+    "events_value_psi",
+    "events_value_mad",
+    "covid_clean",
+    "covid_predict",
+    "covid_continent_5min",
+    "covid_windowed_stats",
+    "covid_hotspots",
+    "covid_dashboard",
+    "covid_top_affected",
+    "covid_rankings",
+    "covid_enrich",
+    "docs_exact_dedup",
+    "docs_prefix_neardup",
+    "docs_ngram_jaccard",
+    "embedding_cosine_topk",
+    "docs_quality_by_lang",
+    "docs_minhash_lsh",
+    "docs_simhash_neardup",
+    "docs_media_meta",
+    "embedding_lsh_topk",
+    "docs_winnow_fingerprints",
+    "docs_token_stats",
+    "docs_sample_10pct",
+    "docs_stratified_sample",
+    "docs_language_scores",
+    "embedding_ivf_topk",
+    "docs_decontam",
+    "docs_repetition_stats",
+    "docs_chunked",
+    "docs_quality_filter",
+    "docs_corpus_ingest_verdict",
+    "docs_incremental_dedup",
+    "corpus_token_budget",
+    "docs_dedup_clusters",
+    "docs_pii_redaction",
+    "docs_sequence_packing",
+    "embedding_semantic_dedup",
+    "docs_unigram_lm_score",
+    "events_zorder_keys",
+    "docs_bigram_lm_score",
+    "embedding_pq_topk",
+    "purchase_graph_pagerank",
+    "docs_leakage_free_split",
+    "embedding_rrf_topk",
+    "embedding_negative_samples",
+    "docs_cdc_chunks",
+    "corpus_temperature_mix",
+    "docs_repeated_span_removal",
+    "docs_bm25_topk",
+    "embedding_sq8_topk",
+    "embedding_knn_label",
+    "docs_shuffle_shards",
+    "supplier_triangles",
+    "part_name_fuzzy_pairs",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders",
+    "top_customers_by_revenue",
+    "orders_without_lineitems",
+    "user_moving_avg",
+    "user_value_growth",
+    "events_5min_rollup",
+    "daily_event_summary",
+    "events_json_extract",
+    "event_type_rankings",
+    "shipping_priority",
+    "events_rollup",
+    "events_cube",
+    "purchase_asof_click",
+    "user_sessions",
+    "error_only_user_days",
+    "value_percentiles",
+    "orders_with_big_items",
+    "events_sliding_rollup",
+    "customer_order_coverage",
+    "order_rank_spectrum",
+    "daily_event_summary_sketch",
+    "events_pivot_by_type",
+    "events_unpivot_daily_metrics",
+    "user_event_type_sets",
+    "orders_above_customer_avg",
+    "purchase_window_clicks",
+    "purchase_attribution_join",
+    "local_supplier_volume",
+    "promo_revenue_share",
+    "disjunctive_brand_revenue",
+    "lineitem_corr_stats",
+    "purchase_funnel",
+    "big_quantity_orders",
+    "idle_rich_customers",
+    "user_trailing_week_avg",
+    "click_and_purchase_user_days",
+    "bloom_pruned_revenue",
+    "lineitem_expectations",
+    "orders_expectations",
+    "events_user_daily_gapfill",
+    "orders_merge_preview",
+    "orders_snapshot_diff",
+    "orders_profile",
+    "order_priority_pipeline",
+    "nation_pair_trade",
+    "regional_market_share",
+    "nation_profit_by_year",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "part_supplier_diversity",
+    "waiting_sole_late_supplier",
+    "events_grouping_sets",
+    "events_user_skew_report",
+    "customer_revenue_pareto",
+    "returned_item_customers",
+    "priority_shipping_punctuality",
+    "small_quantity_brand_revenue",
+    "forecast_revenue_change",
+    "min_cost_supplier",
+    "important_part_stock",
+    "promo_part_suppliers",
+]
+
+
 def _headline() -> list[str]:
-    """Every registered query minus the documented EXCLUDED set, in
-    registration order.  Derived from the registry at run time — a
-    static list silently drifted behind the registry (round 3 found it
-    9 queries stale)."""
+    """The frozen round-3 order, then any newer registry queries (minus
+    the documented EXCLUDED set) in registration order."""
     from bigdata_covid19_real_time_spark.plans import QUERIES
 
-    return [n for n in QUERIES if n not in EXCLUDED]
+    missing = [n for n in FROZEN_HEADLINE_ORDER if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"frozen bench queries left the registry: {missing}")
+    frozen = set(FROZEN_HEADLINE_ORDER)
+    newer = [n for n in QUERIES if n not in frozen and n not in EXCLUDED]
+    return FROZEN_HEADLINE_ORDER + newer
 
 #: Heaviest queries, re-run at a second scale factor so the driver's
 #: record carries a rows-vs-runtime curve: sf0.01 -> sf0.1 is exactly
@@ -148,6 +288,10 @@ def main() -> None:
             }
 
     total = round(sum(timings.values()), 3)
+    # comparable-to-r3 subset: the frozen 125 only (new queries excluded)
+    frozen_total = round(
+        sum(timings[n] for n in FROZEN_HEADLINE_ORDER if n in timings), 3
+    )
 
     # full detail goes to disk, round-stamped (r2's all-queries stdout
     # line exceeded the driver's tail capture and lost the headline)
@@ -173,6 +317,9 @@ def main() -> None:
                 "warmed": True,
                 "min_of": 2,
                 "n_queries": len(timings),
+                "frozen_total_sec": frozen_total,
+                "frozen_n": sum(1 for n in FROZEN_HEADLINE_ORDER if n in timings),
+                "order": "frozen r3 list + newer registrations appended",
                 "excluded": EXCLUDED,
                 "queries": timings,
                 "scale": {
@@ -200,6 +347,7 @@ def main() -> None:
                 "warmed": True,
                 "min_of": 2,
                 "n_queries": len(timings),
+                "frozen_total_sec": frozen_total,
                 "excluded": sorted(EXCLUDED),
                 "queries": heaviest,
                 "detail_file": os.path.basename(detail_path),

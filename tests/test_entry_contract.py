@@ -90,7 +90,7 @@ def test_every_query_has_oracle_or_reason(spark):
 
 
 def test_bench_headline_tracks_registry():
-    """The bench headline derives from the registry minus the documented
+    """The bench headline covers the registry minus the documented
     EXCLUDED set — a static list drifted 9 queries stale in round 3."""
     import bench
     from bigdata_covid19_real_time_spark.plans import QUERIES
@@ -100,3 +100,38 @@ def test_bench_headline_tracks_registry():
     assert set(bench.EXCLUDED) <= set(QUERIES)
     for reason in bench.EXCLUDED.values():
         assert len(reason) > 40  # every exclusion carries a real reason
+
+
+def test_bench_order_frozen_to_r3():
+    """Methodology lock (round-3 verdict task 5): the first 125 headline
+    entries are exactly round 3's loop order, so the committed
+    ``frozen_total_sec`` compares headline-to-headline; anything newer
+    appends after the frozen block."""
+    import bench
+
+    names = bench._headline()
+    assert names[: len(bench.FROZEN_HEADLINE_ORDER)] == bench.FROZEN_HEADLINE_ORDER
+    assert len(bench.FROZEN_HEADLINE_ORDER) == 125
+
+
+def test_gate_window_prioritizes_unverified_queries():
+    """The driver's correctness gate checks the first ~50 entries of
+    queries() in dict order.  Round 4 rotates the never-driver-checked
+    queries into that window: the first 50 names are GATE_PRIORITY
+    (46 previously-unchecked + the 2 new lakehouse twins + 2 canaries),
+    every one oracle-backed, and oracle_sql() iterates in the same
+    order so the driver sees identical windows from both."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = list(qs)
+    assert len(entry_mod.GATE_PRIORITY) == 50
+    assert names[:50] == entry_mod.GATE_PRIORITY
+    assert all(n in oracles for n in names[:50])
+    assert list(oracles)[:50] == names[:50]
+    # canaries from the long-green set stay in-window
+    assert "covid_clean" in names[:50] and "docs_minhash_lsh" in names[:50]
+    # the rest keeps registration order (no accidental shuffling)
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+
+    prio = set(entry_mod.GATE_PRIORITY)
+    assert names[50:] == [n for n in QUERIES if n not in prio]
