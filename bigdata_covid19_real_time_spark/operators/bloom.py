@@ -47,14 +47,35 @@ def _bucket(col, seed: int, m: int):
     return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m))
 
 
+#: xxhash64 hashes ints through a 4-byte path and longs through an
+#: 8-byte path, so int(7) and bigint(7) hash DIFFERENTLY — a dtype
+#: mismatch between build and probe keys would silently drop every
+#: matching fact row (false negatives the exact pass cannot recover).
+#: Keys therefore normalize to a canonical type before hashing.
+_WIDEN = {"tinyint": "bigint", "smallint": "bigint", "int": "bigint",
+          "bigint": "bigint", "float": "double", "double": "double"}
+
+
+def _norm_key(df: DataFrame, key_col: str):
+    """The key column widened to its canonical hash type (integral ->
+    bigint, fractional -> double, everything else unchanged); returns
+    (column, canonical dtype name)."""
+    dtype = dict(df.dtypes)[key_col]
+    canon = _WIDEN.get(dtype)
+    if canon is None:
+        return F.col(key_col), dtype
+    return F.col(key_col).cast(canon), canon
+
+
 def bloom_bits(dim: DataFrame, key_col: str, m: int = DEFAULT_M, n_hashes: int = 2) -> DataFrame:
     """The "set bits" of a Bloom filter over ``dim[key_col]`` as a
     DataFrame of (seed, bucket) rows — at most ``m * n_hashes`` rows of
     two numeric columns, deduplicated map-side by partial aggregation.
     """
+    key, _ = _norm_key(dim, key_col)
     per_seed = [
         dim.select(
-            F.lit(s).alias("__seed"), _bucket(F.col(key_col), s, m).alias("__bucket")
+            F.lit(s).alias("__seed"), _bucket(key, s, m).alias("__bucket")
         )
         for s in range(n_hashes)
     ]
@@ -75,6 +96,7 @@ def bloom_probe(
     set).  One broadcast LEFT SEMI join per seed; each probe carries
     only the 8-byte bucket column, so the fact side is never shuffled.
     """
+    key, _ = _norm_key(fact, key_col)
     out = fact
     for s in range(n_hashes):
         seed_bits = F.broadcast(
@@ -82,7 +104,7 @@ def bloom_probe(
         )
         out = out.join(
             seed_bits,
-            _bucket(F.col(key_col), s, m) == seed_bits["__bucket"],
+            _bucket(key, s, m) == seed_bits["__bucket"],
             "left_semi",
         )
     return out
@@ -105,6 +127,15 @@ def bloom_semi_join(
     pre-filter output alone (a superset containing false positives) —
     useful when a downstream exact join exists anyway.
     """
+    _, fact_canon = _norm_key(fact, fact_key)
+    _, dim_canon = _norm_key(dim, dim_key)
+    if fact_canon != dim_canon:
+        # e.g. string vs bigint: widening cannot reconcile these and the
+        # probe would false-negative every row — fail loudly instead
+        raise ValueError(
+            f"bloom_semi_join key dtype mismatch: {fact_key} hashes as "
+            f"{fact_canon}, {dim_key} as {dim_canon}; cast one side"
+        )
     bits = bloom_bits(dim, dim_key, m=m, n_hashes=n_hashes)
     pruned = bloom_probe(fact, bits, fact_key, m=m, n_hashes=n_hashes)
     if not exact:

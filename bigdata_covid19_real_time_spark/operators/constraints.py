@@ -26,8 +26,24 @@ themselves, rule-tagged, capped per rule WITHOUT a global sort.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Rule names are interpolated into a ``stack(...)`` SQL expression and
+#: into column aliases; anything beyond identifier characters would
+#: produce an opaque parse error (or splice into the expr) at run time.
+_RULE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _validate_rule_names(names) -> None:
+    bad = sorted(n for n in names if not _RULE_NAME.match(n))
+    if bad:
+        raise ValueError(
+            f"rule names must match {_RULE_NAME.pattern!r} (they are "
+            f"interpolated into SQL): {bad}"
+        )
 
 
 def expectation_report(
@@ -46,6 +62,7 @@ def expectation_report(
     sorted by rule name.
     """
     unique_keys = unique_keys or {}
+    _validate_rule_names(list(rules) + list(unique_keys))
     overlap = set(rules) & set(unique_keys)
     if overlap:
         raise ValueError(f"rule names used twice: {sorted(overlap)}")

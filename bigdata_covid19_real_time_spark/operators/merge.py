@@ -41,7 +41,9 @@ def merge_into(
     Semantics (the standard MERGE contract, whole-row form):
     - matched + ``delete_when`` (evaluated on the source row) -> drop;
     - matched otherwise -> source row replaces the target row;
-    - not matched -> source row inserts;
+    - not matched and NOT ``delete_when`` -> source row inserts;
+    - not matched and ``delete_when`` -> the tombstone is dropped, it
+      never inserts (deleting a row that does not exist is a no-op);
     - target rows without a source match carry over unchanged.
 
     Both frames must share the schema; the result is the post-merge
@@ -82,13 +84,28 @@ def snapshot_diff(
     by the old schema), so the join compares 8-byte digests; a 64-bit
     hash collision would mask an update — at CDC scales that is the
     accepted contract (add a second seed column if a feed needs
-    2^-128).
+    2^-128).  NULLs need care: Spark's ``xxhash64`` leaves its
+    accumulator untouched for a NULL input, so hashing the bare values
+    would DETERMINISTICALLY collide rows whose non-null values agree
+    after dropping NULLs (e.g. (NULL,'x') vs ('x',NULL)) — the digest
+    therefore interleaves an ``isnull`` flag before every value, making
+    the null bitmap part of the hashed byte stream.
     """
     cols = old.columns
     if new.columns != cols:
         raise ValueError(f"schema mismatch: {new.columns} vs {cols}")
     value_cols = [c for c in cols if c != key]
-    digest = F.xxhash64(*[F.col(c) for c in value_cols]) if value_cols else F.lit(0)
+    digest = (
+        F.xxhash64(
+            *[
+                part
+                for c in value_cols
+                for part in (F.isnull(c).cast("int"), F.col(c))
+            ]
+        )
+        if value_cols
+        else F.lit(0)
+    )
     o = old.select(F.col(key).alias("__k"), digest.alias("__oh"), F.struct(*cols).alias("__o"))
     n = new.select(F.col(key).alias("__k"), digest.alias("__nh"), F.struct(*cols).alias("__n"))
     joined = o.join(n, "__k", "full_outer")

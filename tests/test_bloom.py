@@ -61,3 +61,30 @@ def test_probe_plan_broadcasts_and_keeps_fact_unshuffled(spark):
     # ...and the fact side reaches them without an exchange (only the
     # bit-table side builds broadcasts).
     assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_mixed_integral_key_widths_match(spark):
+    """int vs bigint keys hash through different xxhash64 paths; the
+    canonical widening must keep build and probe buckets aligned so the
+    result still equals the plain semi-join."""
+    fact, dim = _tables(spark)
+    fact_int = fact.withColumn("fk", F.col("fk").cast("int"))  # dim stays bigint
+    got = bloom_semi_join(fact_int, dim, "fk", "dk")
+    want = fact_int.join(
+        dim, fact_int["fk"] == dim["dk"], "left_semi"
+    )
+    assert sorted(r["fk"] for r in got.collect()) == sorted(
+        r["fk"] for r in want.collect()
+    )
+    assert want.count() > 0
+
+
+def test_incompatible_key_dtypes_rejected(spark):
+    """string vs bigint cannot be reconciled by widening — fail loudly
+    instead of silently dropping every matching row."""
+    import pytest
+
+    fact, dim = _tables(spark)
+    fact_str = fact.withColumn("fk", F.col("fk").cast("string"))
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        bloom_semi_join(fact_str, dim, "fk", "dk")

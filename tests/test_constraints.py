@@ -93,3 +93,17 @@ def test_referential_report_counts_orphans_and_nulls(spark):
     assert r.rule == "fk_resolves"
     assert r.violations == 2  # orphan 99 + NULL key
     assert r.checked == 4 and not r.passed
+
+
+def test_sql_unsafe_rule_name_rejected(spark):
+    """Rule names are interpolated into stack(...) SQL; anything beyond
+    identifier characters must raise a clear ValueError up front, not a
+    parse error (or expr splice) at run time."""
+    df = spark.createDataFrame([(1,)], "x INT")
+    for bad in ("has space", "quote'name", "tick`name", "dash-name", "1leading"):
+        with pytest.raises(ValueError, match="rule names must match"):
+            expectation_report(df, {bad: F.col("x").isNotNull()})
+    with pytest.raises(ValueError, match="rule names must match"):
+        expectation_report(
+            df, {"ok_rule": F.col("x").isNotNull()}, unique_keys={"bad key": ["x"]}
+        )

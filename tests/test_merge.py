@@ -67,3 +67,26 @@ def test_diff_of_merge_recovers_the_merge(spark):
 def test_diff_identical_snapshots_is_empty(spark):
     t = _t(spark, [(1, "a"), (2, "b")])
     assert snapshot_diff(t, _t(spark, [(2, "b"), (1, "a")]), "k").count() == 0
+
+
+def test_diff_detects_null_position_swap(spark):
+    """xxhash64 skips NULL inputs, so (NULL,'x') -> ('x',NULL) would
+    hash identically if the digest hashed bare values; the null-flag
+    interleave must classify the swap as an update."""
+    schema = "k INT, a STRING, b STRING"
+    old = spark.createDataFrame([(1, None, "x"), (2, "s", None)], schema)
+    new = spark.createDataFrame([(1, "x", None), (2, None, "s")], schema)
+    out = snapshot_diff(old, new, "k").collect()
+    assert sorted((r["k"], r["change_type"]) for r in out) == [
+        (1, "update"),
+        (2, "update"),
+    ]
+
+
+def test_diff_null_flags_do_not_false_positive(spark):
+    """Rows identical including their null pattern stay absent from the
+    feed (the flag interleave must not perturb equal rows)."""
+    schema = "k INT, a STRING, b STRING"
+    old = spark.createDataFrame([(1, None, "x"), (2, None, None)], schema)
+    new = spark.createDataFrame([(1, None, "x"), (2, None, None)], schema)
+    assert snapshot_diff(old, new, "k").count() == 0
