@@ -17,12 +17,22 @@ Flags (conservative — a flag is a review prompt, not a verdict):
 - WIDE_SCAN: a lineitem/events scan reading every column (ReadSchema
   lists >9 fields) — projection pruning failed.
 
+Exchange-count regression guard (round-3 verdict task 7): the committed
+``PLAN_BASELINE.json`` pins every query's shuffle/broadcast exchange
+count.  A run FAILS if any query's count GROWS versus the baseline — a
+silent extra shuffle is exactly the class of change that should never
+land unreviewed.  Counts that shrink are reported and accepted (update
+the baseline to lock in the improvement).  After an intentional plan
+change, re-pin with ``--update-baseline`` and say why in the commit.
+
 Usage: python tools/plan_audit.py [--sf-dir DIR] [--out PLAN_AUDIT.md]
+                                  [--update-baseline]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import re
 import sys
@@ -68,7 +78,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default=os.path.join(REPO, "PLAN_AUDIT.md"))
+    ap.add_argument(
+        "--update-baseline",
+        action="store_true",
+        help="re-pin PLAN_BASELINE.json to the current exchange counts",
+    )
     args = ap.parse_args()
+    baseline_path = os.path.join(REPO, "PLAN_BASELINE.json")
 
     from bigdata_covid19_real_time_spark.plans import QUERIES
     from bigdata_covid19_real_time_spark.session import get_spark
@@ -133,9 +149,48 @@ def main() -> int:
                 f" {i['codegen']} | {i['python']} |"
                 f" {', '.join(i['flags']) or '—'} |\n"
             )
+    # exchange-count regression guard vs the committed baseline
+    counts = {name: i["exchanges"] for name, i in rows}
+    regressions: list[str] = []
+    improvements: list[str] = []
+    new_queries: list[str] = []
+    if args.update_baseline or not os.path.exists(baseline_path):
+        with open(baseline_path, "w") as f:
+            json.dump(
+                {
+                    "_note": (
+                        "per-query exchange counts (plan shapes at "
+                        "sf0.001, AQE off); plan_audit.py fails if any "
+                        "count GROWS — re-pin with --update-baseline "
+                        "after an intentional plan change"
+                    ),
+                    "exchanges": dict(sorted(counts.items())),
+                },
+                f,
+                indent=1,
+            )
+        print(f"pinned {baseline_path}: {len(counts)} queries")
+    else:
+        with open(baseline_path) as f:
+            base = json.load(f)["exchanges"]
+        for name, n in sorted(counts.items()):
+            if name not in base:
+                new_queries.append(f"{name} ({n})")
+            elif n > base[name]:
+                regressions.append(f"{name}: {base[name]} -> {n}")
+            elif n < base[name]:
+                improvements.append(f"{name}: {base[name]} -> {n}")
+        for line in regressions:
+            print(f"EXCHANGE REGRESSION: {line}")
+        if improvements:
+            print(f"improved (re-pin to lock in): {', '.join(improvements)}")
+        if new_queries:
+            print(f"not in baseline (add via --update-baseline): "
+                  f"{', '.join(new_queries)}")
+
     print(f"wrote {args.out}: {len(rows)} plans, {len(flagged)} flagged, "
-          f"{len(errors)} errors")
-    return 1 if errors else 0
+          f"{len(errors)} errors, {len(regressions)} exchange regressions")
+    return 1 if (errors or regressions) else 0
 
 
 if __name__ == "__main__":
