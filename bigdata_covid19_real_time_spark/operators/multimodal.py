@@ -247,6 +247,162 @@ def decode_image_meta(
     return df.select(F.col(id_col), "payload").mapInPandas(decode, schema)
 
 
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("size_bytes", LongType()),
+        StructField("container", StringType()),  # wav|flac|fake
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+#: (container, sample_rate, n_channels, bits_per_sample, duration_ms)
+_AudioMeta = tuple
+
+
+def _wav_header_decode(payload: bytes) -> _AudioMeta:
+    """Vendored pure-Python WAV (RIFF) header parse — REAL audio
+    metadata, no audio lib.  Walks the chunk list: ``fmt `` carries
+    channels / sample rate / bit depth; ``data``'s byte size over the
+    byte rate gives duration.  Raises ValueError on non-WAV bytes.
+    (RIFF spec: chunks are 2-byte-aligned, sizes little-endian.)
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    i = 12
+    fmt = None
+    data_size = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        csize = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = {
+                "n_channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "byte_rate": int.from_bytes(body[8:12], "little"),
+                "bits_per_sample": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data_size = csize
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAV without fmt chunk")
+    duration_ms = (
+        round(data_size * 1000 / fmt["byte_rate"])
+        if data_size is not None and fmt["byte_rate"] > 0
+        else None
+    )
+    return (
+        "wav",
+        fmt["sample_rate"],
+        fmt["n_channels"],
+        fmt["bits_per_sample"],
+        duration_ms,
+    )
+
+
+def _flac_header_decode(payload: bytes) -> _AudioMeta:
+    """Vendored FLAC STREAMINFO parse (spec: the first metadata block
+    after ``fLaC`` MUST be STREAMINFO).  Bit layout after the min/max
+    block/frame sizes: sample rate (20 bits), channels-1 (3),
+    bits-per-sample-1 (5), total samples (36)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC container")
+    if len(payload) < 8 + 34:
+        raise ValueError("truncated FLAC header")
+    block_type = payload[4] & 0x7F
+    if block_type != 0:
+        raise ValueError("first FLAC metadata block is not STREAMINFO")
+    info = payload[8 : 8 + 34]
+    # bytes 10..17 hold the packed rate/channels/bps/total-samples field
+    packed = int.from_bytes(info[10:18], "big")
+    sample_rate = packed >> 44
+    n_channels = ((packed >> 41) & 0x7) + 1
+    bits_per_sample = ((packed >> 36) & 0x1F) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    duration_ms = (
+        round(total_samples * 1000 / sample_rate) if sample_rate > 0 else None
+    )
+    return ("flac", sample_rate, n_channels, bits_per_sample, duration_ms)
+
+
+def _fake_audio_decode(payload: bytes) -> _AudioMeta:
+    """DETERMINISTIC FAKE audio decoder (stub — for payloads that are
+    not real audio containers, e.g. the text stand-ins in tests).
+    Derives every field from payload length so oracles can replicate
+    the arithmetic in SQL."""
+    n = len(payload)
+    return ("fake", n % 44100 + 8000, n % 2 + 1, 16, n)
+
+
+def _auto_audio_decode(payload: bytes) -> _AudioMeta:
+    """Real WAV/FLAC header parse for recognized containers, the
+    clearly-marked deterministic fake for anything else."""
+    for parser in (_wav_header_decode, _flac_header_decode):
+        try:
+            return parser(payload)
+        except ValueError:
+            continue
+    return _fake_audio_decode(payload)
+
+
+def select_audio_kernel(kernel: str = "auto"):
+    """``auto``: vendored WAV/FLAC header parse with fake fallback;
+    ``headers``: strict (raises on unrecognized bytes); ``fake``."""
+    if kernel == "auto":
+        return _auto_audio_decode
+    if kernel == "headers":
+
+        def strict(payload: bytes) -> _AudioMeta:
+            for parser in (_wav_header_decode, _flac_header_decode):
+                try:
+                    return parser(payload)
+                except ValueError:
+                    continue
+            raise ValueError("unrecognized audio container (not WAV/FLAC)")
+
+        return strict
+    if kernel == "fake":
+        return _fake_audio_decode
+    raise ValueError(f"unknown audio kernel {kernel!r}: use auto|headers|fake")
+
+
+def decode_audio_meta(
+    df: DataFrame, id_col: str = "doc_id", kernel: str = "auto"
+) -> DataFrame:
+    """Arrow-batched audio decode pass: (id, payload) -> audio metadata.
+    Same ``mapInPandas`` contract as :func:`decode_image_meta` — one
+    Python worker per partition, Arrow batches, NULL payloads dropped,
+    fixed output schema."""
+    decode_one = select_audio_kernel(kernel)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]
+            if pdf.empty:
+                continue
+            decoded = [decode_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "size_bytes": [len(p) for p in pdf["payload"]],
+                    "container": [d[0] for d in decoded],
+                    "sample_rate": [d[1] for d in decoded],
+                    "n_channels": [d[2] for d in decoded],
+                    "bits_per_sample": [d[3] for d in decoded],
+                    "duration_ms": [d[4] for d in decoded],
+                }
+            )
+
+    return df.select(F.col(id_col), "payload").mapInPandas(
+        decode, AUDIO_META_SCHEMA
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_n: int = 30,

@@ -377,3 +377,86 @@ def test_ivf_recall_against_exact(spark):
     assert recall >= 0.6  # 3/8 lists probed
     # determinism: retraining reproduces identical centroids
     assert train_centroids(emb, n_clusters=8, n_iters=2) == cents
+
+
+def _wav_bytes(sample_rate=16000, n_channels=1, n_frames=1600, sampwidth=2) -> bytes:
+    """REAL WAV bytes via the stdlib wave writer — the parser under test
+    reads production-shaped RIFF chunks, not hand-mocked ones."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00" * (n_frames * n_channels * sampwidth))
+    return buf.getvalue()
+
+
+def _flac_bytes(sample_rate=44100, n_channels=2, bps=16, total_samples=44100) -> bytes:
+    """Minimal valid FLAC header: fLaC magic + a last-flagged STREAMINFO
+    block with the packed rate/channels/bps/total-samples field."""
+    packed = (
+        (sample_rate << 44)
+        | ((n_channels - 1) << 41)
+        | ((bps - 1) << 36)
+        | total_samples
+    )
+    info = (
+        (4096).to_bytes(2, "big") * 2      # min/max blocksize
+        + (0).to_bytes(3, "big") * 2       # min/max framesize
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                     # MD5
+    )
+    return b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+
+def test_audio_header_parsers_real_bytes():
+    from bigdata_covid19_real_time_spark.operators.multimodal import (
+        _auto_audio_decode,
+        _flac_header_decode,
+        _wav_header_decode,
+        select_audio_kernel,
+    )
+
+    # one second of 16 kHz mono 16-bit: duration must come out 100 ms
+    # for 1600 frames (1600/16000 s)
+    assert _wav_header_decode(_wav_bytes(16000, 1, 1600, 2)) == (
+        "wav", 16000, 1, 16, 100,
+    )
+    assert _wav_header_decode(_wav_bytes(44100, 2, 44100, 2)) == (
+        "wav", 44100, 2, 16, 1000,
+    )
+    assert _flac_header_decode(_flac_bytes(48000, 2, 24, 96000)) == (
+        "flac", 48000, 2, 24, 2000,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _wav_header_decode(b"just text")
+    with _pytest.raises(ValueError):
+        select_audio_kernel("headers")(b"neither wav nor flac")
+    # auto falls back to the deterministic fake on unrecognized bytes
+    n = len(b"just text")
+    assert _auto_audio_decode(b"just text") == ("fake", n % 44100 + 8000, n % 2 + 1, 16, n)
+
+
+def test_decode_audio_meta_mixed_containers(spark):
+    from bigdata_covid19_real_time_spark.operators.multimodal import (
+        decode_audio_meta,
+    )
+
+    rows = [
+        (1, _wav_bytes(16000, 1, 1600, 2)),
+        (2, _flac_bytes(48000, 2, 24, 96000)),
+        (3, b"opaque unparseable payload"),
+        (4, None),  # NULL payloads dropped by the kernel contract
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    meta = {r.doc_id: r for r in decode_audio_meta(df).collect()}
+    assert set(meta) == {1, 2, 3}
+    assert (meta[1]["container"], meta[1]["sample_rate"], meta[1]["duration_ms"]) == ("wav", 16000, 100)
+    assert (meta[2]["container"], meta[2]["bits_per_sample"]) == ("flac", 24)
+    assert meta[3]["container"] == "fake"
+    assert meta[1]["size_bytes"] == len(rows[0][1])
