@@ -22,6 +22,7 @@ from bigdata_covid19_real_time_spark.plans import (  # noqa: F401  (registration
 # position (bench.py's frozen headline order stays comparable)
 from bigdata_covid19_real_time_spark.plans import lakehouse_twins  # noqa: F401,E402
 from bigdata_covid19_real_time_spark.plans import media  # noqa: F401,E402
+from bigdata_covid19_real_time_spark.plans import drift  # noqa: F401,E402
 from bigdata_covid19_real_time_spark.plans.registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]
