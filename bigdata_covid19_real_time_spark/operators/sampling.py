@@ -115,6 +115,52 @@ def group_sample_topk(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES),
+    deterministic: each row draws u from its md5 key hash and scores
+    ``-ln(u) / w``; the k SMALLEST scores are the sample.  This is
+    exactly successive draws without replacement with probability
+    proportional to weight — the quality-weighted corpus-selection
+    primitive (weight = quality score, token count, ...).
+
+    Determinism/portability: u derives from the same md5 construction
+    as :func:`hash_bucket`, so retries, repartitions, and the SQL
+    oracle reproduce the IDENTICAL sample set; different seeds give
+    independent samples.  Rows with NULL or non-positive weight are
+    excluded (they have zero selection probability).
+
+    Scale: one hash + one ln per row (narrow map), then a global top-k
+    — Spark plans ``TakeOrderedAndProject`` (per-partition heaps, k-row
+    driver merge), never a full sort.  Adds ``sampling_score``.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]: (h + 1) / 2^60 — never 0, so ln(u) is finite
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    score = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sampling_score", score)
+        .orderBy(F.col("sampling_score").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def leakage_free_splits(
     corpus: DataFrame,
     cluster_assignments: DataFrame,

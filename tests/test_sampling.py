@@ -218,3 +218,88 @@ def test_shuffle_shard_assignment_contract(spark):
     s0 = sorted((r for r in a if r.shard == 0), key=lambda r: r.pos)
     deltas = [abs(s0[i + 1].doc_id - s0[i].doc_id) for i in range(len(s0) - 1)]
     assert sum(1 for d in deltas if d == 1) < len(deltas) * 0.1
+
+
+class TestWeightedSample:
+    def _df(self, spark):
+        # two weight classes: ids 0-49 weight 1, ids 50-99 weight 10
+        rows = [(i, 1.0 if i < 50 else 10.0) for i in range(100)]
+        return spark.createDataFrame(rows, "doc_id LONG, w DOUBLE")
+
+    def test_deterministic_and_matches_python_replay(self, spark):
+        """The sampled SET equals a pure-Python replay of the A-ES
+        formula — the exactness the SQL oracle relies on."""
+        import hashlib
+        import math
+
+        from bigdata_covid19_real_time_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+
+        df = self._df(spark)
+        got = weighted_sample_topk(df, k=10, weight_col="w", key_col="doc_id", seed=3)
+        got_ids = sorted(r["doc_id"] for r in got.collect())
+        scores = {}
+        for i in range(100):
+            h = int(hashlib.md5(f"3:{i}".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / float(1 << 60)
+            scores[i] = -math.log(u) / (1.0 if i < 50 else 10.0)
+        want = sorted(sorted(scores, key=lambda i: (scores[i], i))[:10])
+        assert got_ids == want
+        # re-run identical
+        again = sorted(
+            r["doc_id"]
+            for r in weighted_sample_topk(
+                df.repartition(7), k=10, weight_col="w", key_col="doc_id", seed=3
+            ).collect()
+        )
+        assert again == got_ids
+
+    def test_higher_weight_selected_more_often(self, spark):
+        from bigdata_covid19_real_time_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+
+        df = self._df(spark)
+        heavy = 0
+        for seed in range(20):
+            ids = [
+                r["doc_id"]
+                for r in weighted_sample_topk(
+                    df, k=10, weight_col="w", key_col="doc_id", seed=seed
+                ).collect()
+            ]
+            heavy += sum(1 for i in ids if i >= 50)
+        # 10x weight -> expected ~10/11 of picks heavy; demand a clear
+        # majority across 200 draws (p(fail) negligible)
+        assert heavy > 140
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from bigdata_covid19_real_time_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 0.0), (3, -2.0), (4, None)],
+            "doc_id LONG, w DOUBLE",
+        )
+        ids = [r["doc_id"] for r in weighted_sample_topk(
+            df, k=10, weight_col="w", key_col="doc_id"
+        ).collect()]
+        assert ids == [1]
+        with pytest.raises(ValueError):
+            weighted_sample_topk(df, k=0, weight_col="w", key_col="doc_id")
+
+    def test_plans_take_ordered_not_global_sort(self, spark):
+        from bigdata_covid19_real_time_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+
+        df = self._df(spark)
+        plan = (
+            weighted_sample_topk(df, k=10, weight_col="w", key_col="doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
