@@ -37,8 +37,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: never-checked queries (46 of 48 — `orders_expectations` and
 #: `docs_shuffle_shards` defer one round; each has a driver-green
 #: sibling exercising the same operator) plus the two new lakehouse
-#:twins in the window, with two long-green canaries (`covid_clean`,
-#: `docs_minhash_lsh`) guarding against regressions in the stable set.
+#: twins and the new composed IVF-PQ query in the window, with one
+#: long-green canary (`covid_clean`) guarding the stable set.
 #: Every other query follows in registration order.
 GATE_PRIORITY = [
     # TPC-H shape family (plans/tpch_shapes.py + relational_ext.py)
@@ -95,9 +95,14 @@ GATE_PRIORITY = [
     # new this round: versioned-snapshot + incremental-rollup twins
     "orders_time_travel",
     "events_incremental_rollup",
-    # canaries from the long-green set
+    # new this round: composed IVF-PQ ANN (operators/ivfpq.py) — takes
+    # the second canary slot so the round's flagship addition gets a
+    # driver row while all 48 never-checked queries stay in-window
+    # (docs_minhash_lsh is independently audited by SF1CHECK.json +
+    # selfcheck x2 SFs every round)
+    "embedding_ivfpq_topk",
+    # canary from the long-green set
     "covid_clean",
-    "docs_minhash_lsh",
 ]
 
 

@@ -118,9 +118,10 @@ def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
     queries() in dict order.  Round 4 rotates the never-driver-checked
     queries into that window: the first 50 names are GATE_PRIORITY
-    (46 previously-unchecked + the 2 new lakehouse twins + 2 canaries),
-    every one oracle-backed, and oracle_sql() iterates in the same
-    order so the driver sees identical windows from both."""
+    (46 previously-unchecked + the 2 new lakehouse twins + the new
+    composed IVF-PQ query + 1 canary), every one oracle-backed, and
+    oracle_sql() iterates in the same order so the driver sees
+    identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
@@ -128,8 +129,8 @@ def test_gate_window_prioritizes_unverified_queries():
     assert names[:50] == entry_mod.GATE_PRIORITY
     assert all(n in oracles for n in names[:50])
     assert list(oracles)[:50] == names[:50]
-    # canaries from the long-green set stay in-window
-    assert "covid_clean" in names[:50] and "docs_minhash_lsh" in names[:50]
+    # the round's new composed operator + the long-green canary in-window
+    assert "embedding_ivfpq_topk" in names[:50] and "covid_clean" in names[:50]
     # the rest keeps registration order (no accidental shuffling)
     from bigdata_covid19_real_time_spark.plans import QUERIES
 

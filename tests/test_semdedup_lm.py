@@ -177,3 +177,68 @@ class TestProductQuantization:
         e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
         recall = len(a & e) / len(e)
         assert recall >= 0.8, f"PQ failed on clustered data: {recall}"
+
+
+class TestIvfPq:
+    def test_recovers_planted_clusters(self, spark):
+        """IVF-PQ on clustered data (its contract regime): cell pruning
+        plus ADC shortlist plus exact rerank must recover the true
+        neighbors — same gate as the PQ-alone planted-cluster test."""
+        from pyspark.sql import Row, functions as F
+
+        from bigdata_covid19_real_time_spark.operators.ivf import train_centroids
+        from bigdata_covid19_real_time_spark.operators.ivfpq import ivfpq_topk
+        from bigdata_covid19_real_time_spark.operators.pq import train_pq_codebooks
+        from bigdata_covid19_real_time_spark.operators.similarity import cosine_topk
+
+        dim, n_proto = 64, 8
+        rows = []
+        for i in range(64):
+            proto = i % n_proto
+            vec = [0.0] * dim
+            for d in range(dim):
+                if d % n_proto == proto:
+                    vec[d] = 1.0
+            vec[(i * 7) % dim] += 0.05 * ((i % 3) + 1)
+            rows.append(Row(vec_id=i, embedding=vec))
+        emb = spark.createDataFrame(rows)
+
+        centroids = train_centroids(emb, n_clusters=8, n_iters=3)
+        books = train_pq_codebooks(emb, m=4, k=16, n_iters=2)
+        queries = emb.filter(F.col("vec_id") < 8)
+        approx = ivfpq_topk(
+            emb, queries, centroids, books, k=5, nprobe=4, rerank_factor=4
+        )
+        exact = cosine_topk(emb, queries, k=5)
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        recall = len(a & e) / len(e)
+        assert recall >= 0.8, f"IVF-PQ failed on clustered data: {recall}"
+
+    def test_rerank_scores_are_true_cosines(self, spark):
+        """Returned scores come from the full-precision rerank, not the
+        ADC approximation: every (query, neighbor) cosine must match a
+        direct numpy computation to the rounding scale."""
+        import numpy as np
+        from pyspark.sql import Row, functions as F
+
+        from bigdata_covid19_real_time_spark.operators.ivf import train_centroids
+        from bigdata_covid19_real_time_spark.operators.ivfpq import ivfpq_topk
+        from bigdata_covid19_real_time_spark.operators.pq import train_pq_codebooks
+
+        rng = np.random.default_rng(5)
+        V = rng.standard_normal((40, 64))
+        emb = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in V[i]]) for i in range(40)]
+        )
+        centroids = train_centroids(emb, n_clusters=4, n_iters=2)
+        books = train_pq_codebooks(emb, m=4, k=8, n_iters=2)
+        out = ivfpq_topk(
+            emb, emb.filter(F.col("vec_id") < 3), centroids, books,
+            k=3, nprobe=4, rerank_factor=3,
+        )
+        norms = np.linalg.norm(V, axis=1)
+        for r in out.collect():
+            q, n = r["query_id"], r["neighbor_id"]
+            true = float(V[q] @ V[n] / (norms[q] * norms[n]))
+            assert abs(r["cosine"] - round(true + 1e-9, 6)) < 2e-6
