@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -418,4 +419,119 @@ def frame_sample_plan(
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.col(frames_col) - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_index"),
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("pos", IntegerType()),
+        StructField("feature", DoubleType()),
+    ]
+)
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """DETERMINISTIC FAKE feature extractor (stub — no image libs in
+    this container).  Feature i is the first 32 bits of
+    ``md5(payload + b":i")`` scaled to [0, 1) — reproducible, payload-
+    sensitive, and exactly replicable in SQL (DuckDB ``md5`` over the
+    same concatenated blob)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(payload + f":{i}".encode()).hexdigest()[:8], 16)
+        / 4294967296.0
+        for i in range(dim)
+    ]
+
+
+def _pil_features(payload: bytes, dim: int) -> list[float]:
+    """Real feature kernel where PIL exists: grayscale, resize to a
+    ``dim``-pixel strip, intensities scaled to [0, 1]."""
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        strip = img.convert("L").resize((dim, 1))
+        return [p / 255.0 for p in strip.getdata()]
+
+
+def select_feature_kernel(kernel: str = "auto"):
+    """``auto``: PIL strip-intensity features when importable, else the
+    clearly-marked deterministic fake; ``pil``/``fake`` force one."""
+    if kernel == "auto":
+        return _pil_features if _HAS_PIL else _fake_features
+    if kernel == "pil":
+        if not _HAS_PIL:
+            raise ImportError(
+                "feature kernel 'pil' requested but PIL is not installed"
+            )
+        return _pil_features
+    if kernel == "fake":
+        return _fake_features
+    raise ValueError(f"unknown feature kernel {kernel!r}: use auto|pil|fake")
+
+
+def extract_image_features(
+    df: DataFrame, dim: int = 8, id_col: str = "doc_id", kernel: str = "auto"
+) -> DataFrame:
+    """Arrow-batched feature extraction: (id, payload) -> ``dim`` rows
+    ``(doc_id, pos, feature)`` per document.
+
+    Same contract shape as ``decode_image_meta``: one Python worker per
+    partition, Arrow record batches in/out, NULL payloads dropped, fixed
+    output schema.  Emitting long-form rows (not an array column) keeps
+    the features joinable/aggregable JVM-side and oracle-comparable as
+    scalar doubles.
+    """
+    extract_one = select_feature_kernel(kernel)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]
+            if pdf.empty:
+                continue
+            ids, poss, vals = [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                for pos, v in enumerate(extract_one(p, dim)):
+                    ids.append(i)
+                    poss.append(pos)
+                    vals.append(v)
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "feature": vals})
+
+    return df.select(F.col(id_col), "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def resize_plan(
+    df: DataFrame,
+    max_w: int,
+    max_h: int,
+    w_col: str = "width",
+    h_col: str = "height",
+) -> DataFrame:
+    """Aspect-preserving thumbnail *plan*: target dimensions fitting each
+    image into a ``max_w x max_h`` box without upscaling.
+
+    Pure JVM arithmetic over decoded metadata — no pixels touched, no
+    Python.  The actual resampling would map this plan over the payloads
+    with a kernel (PIL where present); at 100 TB the plan/execute split
+    matters because the plan is a narrow codegen projection that can be
+    filtered/joined/audited before any expensive pixel work runs.
+    ``floor(x + 1e-9)`` guards exact-ratio boundaries against float
+    representation (cross-engine-stable, same discipline as
+    ``stable_round``).
+    """
+    w = F.col(w_col).cast("double")
+    h = F.col(h_col).cast("double")
+    scale = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0))
+    return df.withColumns(
+        {
+            "scale": scale,
+            "target_w": F.greatest(
+                F.lit(1), F.floor(w * scale + F.lit(1e-9)).cast("int")
+            ),
+            "target_h": F.greatest(
+                F.lit(1), F.floor(h * scale + F.lit(1e-9)).cast("int")
+            ),
+        }
     )

@@ -460,3 +460,62 @@ def test_decode_audio_meta_mixed_containers(spark):
     assert (meta[2]["container"], meta[2]["bits_per_sample"]) == ("flac", 24)
     assert meta[3]["container"] == "fake"
     assert meta[1]["size_bytes"] == len(rows[0][1])
+
+
+class TestImageFeaturesAndResize:
+    def test_fake_features_deterministic_and_bounded(self, spark):
+        import hashlib
+
+        from bigdata_covid19_real_time_spark.operators.multimodal import (
+            extract_image_features, text_as_binary,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "hello"), (2, "world"), (3, None)], ["doc_id", "text"]
+        )
+        out = extract_image_features(text_as_binary(df), dim=4, kernel="fake")
+        rows = {(r["doc_id"], r["pos"]): r["feature"] for r in out.collect()}
+        assert len(rows) == 8  # NULL payload dropped, 4 features x 2 docs
+        expected = int(
+            hashlib.md5(b"hello:2").hexdigest()[:8], 16
+        ) / 4294967296.0
+        assert rows[(1, 2)] == expected
+        assert all(0.0 <= v < 1.0 for v in rows.values())
+
+    def test_resize_plan_fit_clamp_and_floor(self, spark):
+        from bigdata_covid19_real_time_spark.operators.multimodal import (
+            resize_plan,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, 512, 256),   # downscale, width-bound: 256x128
+                (2, 100, 50),    # smaller than box: no upscale (scale 1)
+                (3, 1, 10000),   # extreme aspect: height-bound, w floors to 1
+                (4, 256, 256),   # exact fit: scale 1.0 boundary
+            ],
+            ["doc_id", "width", "height"],
+        )
+        got = {
+            r["doc_id"]: (r["target_w"], r["target_h"], r["scale"])
+            for r in resize_plan(df, 256, 256).collect()
+        }
+        assert got[1] == (256, 128, 0.5)
+        assert got[2] == (100, 50, 1.0)
+        assert got[3][1] == 256 and got[3][0] == 1  # min-1px clamp
+        assert got[4] == (256, 256, 1.0)
+
+    def test_feature_kernel_selection(self):
+        import pytest as _pytest
+
+        from bigdata_covid19_real_time_spark.operators.multimodal import (
+            _HAS_PIL, _fake_features, select_feature_kernel,
+        )
+
+        assert select_feature_kernel("fake") is _fake_features
+        if not _HAS_PIL:
+            assert select_feature_kernel("auto") is _fake_features
+            with _pytest.raises(ImportError):
+                select_feature_kernel("pil")
+        with _pytest.raises(ValueError):
+            select_feature_kernel("nope")
