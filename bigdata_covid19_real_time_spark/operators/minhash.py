@@ -110,6 +110,37 @@ def minhash_signatures(
     return mins.select(F.col(id_col), sig.alias("signature"))
 
 
+def band_hash_rows(
+    df: DataFrame,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, band_hash) rows — the document's LSH index entries.
+
+    This IS the persistable near-dup index: store these rows per epoch
+    and an incoming batch's bands equi-join against them to find its
+    corpus-side candidates (streaming/corpus.py uses exactly that).
+    ``bands`` rows per document, 16 bytes each — never text.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, shingle_n, seed, id_col, text_col)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(band_hashes).alias("band_hash"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_perm: int = 128,
@@ -128,23 +159,11 @@ def minhash_lsh_candidates(
     ``max_bucket_size`` members are dropped lazily in-job, auditable via
     ``bucketing.report_bucket_caps()`` — the quadratic-bucket guard.
     """
-    if num_perm % bands != 0:
-        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, shingle_n, seed, id_col, text_col)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-            )
-            for b in range(bands)
-        ]
-    )
     # cap_bucket_size persists the flagged bucket table (both sides of
     # the self-join read it) and leaves it hash-partitioned on band_hash,
     # so the join below needs no further exchange
-    buckets = sigs.select(
-        F.col(id_col), F.explode(band_hashes).alias("band_hash")
+    buckets = band_hash_rows(
+        df, num_perm, bands, shingle_n, seed, id_col, text_col
     )
     buckets = cap_bucket_size(
         buckets, ["band_hash"], max_bucket_size, "minhash_lsh_candidates"

@@ -11,6 +11,11 @@ Per micro-batch (``foreachBatch``):
    fingerprints already accepted in PREVIOUS epochs (the accepted table
    itself is the index: scan its ``fingerprint`` column only — column
    pruning makes this an 8-bytes-per-doc read);
+3b. **near-dup screen** (optional, ``near_dup_threshold``) — MinHash-LSH
+   within the batch and against the PERSISTENT ``bands`` index of all
+   previously accepted docs; only banded candidates run the exact
+   shingle-Jaccard verification (incremental near-dedup at corpus
+   scale);
 4. **idempotent append** — accepted docs and the rejection audit land
    in ``epoch=N`` partitions with dynamic partition overwrite
    (``sinks.IdempotentParquetSink``), so a replayed epoch overwrites
@@ -57,14 +62,42 @@ DOC_WIRE_SCHEMA = StructType(
 class CorpusIngest:
     """Continuous corpus ingestion with quality + dedup gates.
 
-    Tables written under ``base_dir`` (both epoch-partitioned):
+    Tables written under ``base_dir`` (all epoch-partitioned):
     - ``accepted``: doc_id, text, lang, source, fingerprint
     - ``rejected``: doc_id, reason (one row per dropped doc;
-      ``quality:<names>`` or ``duplicate_in_batch`` / ``duplicate_of_corpus``)
+      ``quality:<names>``, ``duplicate_in_batch`` /
+      ``duplicate_of_corpus``, or — with ``near_dup_threshold`` set —
+      ``near_duplicate_in_batch`` / ``near_duplicate_of_corpus``)
+    - ``bands`` (near-dup mode only): doc_id, band_hash — the
+      PERSISTENT LSH index of every accepted document
+
+    Near-dup mode adds the MinHash-LSH screen after the exact gates:
+    within-batch verified pairs drop the larger id, then the batch's
+    band hashes equi-join the stored ``bands`` index to find its
+    corpus-side candidates, and ONLY those candidate (batch, history)
+    documents run the exact-Jaccard verification
+    (``operators/dedup.jaccard_dedup_against_history``).  At 100 TB the
+    index join ships 16-byte rows and the expensive shingle verify
+    touches |candidates|, never |corpus| — the same banding math the
+    batch operators use, made incremental.
     """
 
-    def __init__(self, base_dir: str, **quality_kwargs) -> None:
+    def __init__(
+        self,
+        base_dir: str,
+        near_dup_threshold: float | None = None,
+        num_perm: int = 128,
+        bands: int = 16,
+        shingle_n: int = 3,
+        seed: int = 42,
+        **quality_kwargs,
+    ) -> None:
         self.base_dir = base_dir
+        self.near_dup_threshold = near_dup_threshold
+        self.num_perm = num_perm
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.seed = seed
         self.quality_kwargs = quality_kwargs
         self._sink = IdempotentParquetSink(base_dir)
 
@@ -80,6 +113,91 @@ class CorpusIngest:
             .select("fingerprint")
             .distinct()
         )
+
+    def _history_table(
+        self, spark: SparkSession, table: str, current_epoch: int
+    ) -> DataFrame | None:
+        try:
+            df = spark.read.parquet(f"{self.base_dir}/{table}")
+        except Exception:  # first epoch: table not created yet
+            return None
+        return df.filter(F.col("epoch") < current_epoch)
+
+    def _near_dup_screen(
+        self, spark: SparkSession, survivors: DataFrame, epoch_id: int
+    ):
+        """MinHash-LSH near-dup gate: returns (survivors, reject-rows).
+
+        Within-batch: LSH candidates verified by exact Jaccard; the
+        larger id of every verified pair drops.  Against-corpus: batch
+        band hashes equi-join the stored index; only candidate docs run
+        the exact verification.  Docs too short to shingle always pass.
+        """
+        from bigdata_covid19_real_time_spark.operators.dedup import (
+            jaccard_dedup_against_history,
+        )
+        from bigdata_covid19_real_time_spark.operators.minhash import (
+            band_hash_rows,
+            minhash_lsh_pairs,
+        )
+
+        lsh_kwargs = dict(
+            num_perm=self.num_perm,
+            bands=self.bands,
+            shingle_n=self.shingle_n,
+            seed=self.seed,
+        )
+        pairs = minhash_lsh_pairs(
+            survivors, threshold=self.near_dup_threshold, **lsh_kwargs
+        )
+        batch_near = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        rejects = batch_near.select(
+            "doc_id", F.lit("near_duplicate_in_batch").alias("reason")
+        )
+        survivors = survivors.join(batch_near, "doc_id", "left_anti")
+
+        hist_bands = self._history_table(spark, "bands", epoch_id)
+        if hist_bands is not None:
+            cand = (
+                band_hash_rows(survivors, **lsh_kwargs)
+                .join(
+                    hist_bands.select(
+                        F.col("doc_id").alias("__hist_id"), "band_hash"
+                    ),
+                    "band_hash",
+                )
+                .select("doc_id", "__hist_id")
+                .distinct()
+            )
+            # exact verification runs ONLY on the candidate docs of
+            # each side (semi-join pruning); everyone else passes free
+            hist_docs = (
+                self._history_table(spark, "accepted", epoch_id)
+                .join(
+                    cand.select(F.col("__hist_id").alias("doc_id")).distinct(),
+                    "doc_id",
+                    "left_semi",
+                )
+            )
+            batch_cand = survivors.join(
+                cand.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+            verified_ok = jaccard_dedup_against_history(
+                batch_cand,
+                hist_docs,
+                threshold=self.near_dup_threshold,
+                n=self.shingle_n,
+            )
+            corpus_near = batch_cand.select("doc_id").join(
+                verified_ok.select("doc_id"), "doc_id", "left_anti"
+            )
+            rejects = rejects.unionByName(
+                corpus_near.select(
+                    "doc_id", F.lit("near_duplicate_of_corpus").alias("reason")
+                )
+            )
+            survivors = survivors.join(corpus_near, "doc_id", "left_anti")
+        return survivors, rejects
 
     def process_batch(self, docs: DataFrame, epoch_id: int) -> None:
         """``docs``: (doc_id string, text, lang, source) batch frame."""
@@ -120,12 +238,34 @@ class CorpusIngest:
         if corpus_rejects is not None:
             rejected = rejected.unionByName(corpus_rejects)
 
-        # one pass over the batch feeds both writes
+        if self.near_dup_threshold is not None:
+            survivors, near_rejects = self._near_dup_screen(
+                spark, survivors, int(epoch_id)
+            )
+            rejected = rejected.unionByName(near_rejects)
+
+        # one pass over the batch feeds every write
         survivors = survivors.persist()
         try:
             self._sink.write(survivors, int(epoch_id), "accepted")
             self._sink.write(rejected, int(epoch_id), "rejected")
-            # both tables committed: swap the snapshot pointer so readers
+            if self.near_dup_threshold is not None:
+                from bigdata_covid19_real_time_spark.operators.minhash import (
+                    band_hash_rows,
+                )
+
+                self._sink.write(
+                    band_hash_rows(
+                        survivors,
+                        num_perm=self.num_perm,
+                        bands=self.bands,
+                        shingle_n=self.shingle_n,
+                        seed=self.seed,
+                    ),
+                    int(epoch_id),
+                    "bands",
+                )
+            # all tables committed: swap the snapshot pointer so readers
             # (read_corpus_snapshot) can now see this epoch — a crash
             # BEFORE this line leaves the pointer at the previous epoch
             # and the replayed epoch overwrites its partitions first

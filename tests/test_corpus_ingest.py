@@ -170,3 +170,79 @@ def test_snapshot_isolation_hides_in_flight_epoch(spark, tmp_path):
     ing.process_batch(docs2, 1)
     assert published_epoch(base) == 1
     assert read_corpus_snapshot(spark, base).count() == 2
+
+
+DISTINCT = (
+    "quartz marble granite basalt slate obsidian pumice shale gneiss "
+    "schist limestone dolomite flint chert jasper agate onyx topaz "
+    "garnet beryl zircon spinel rutile mica feldspar quartzite gypsum "
+    "halite calcite pyrite galena sphalerite magnetite hematite bauxite"
+)
+DISTINCT2 = (
+    "willow cedar spruce aspen birch maple alder hazel rowan juniper "
+    "larch hemlock poplar sycamore chestnut walnut hickory elm beech "
+    "linden hornbeam yew fir pine oak acacia baobab sequoia cypress "
+    "mangrove eucalyptus teak mahogany ebony balsa cork"
+)
+
+
+def test_near_dup_mode_screens_batch_and_corpus(spark, tmp_path):
+    """Near-dup mode: within-batch LSH+verify drops the larger id of a
+    verified pair, the persistent bands index routes corpus-side
+    candidates to the exact verification, and fresh docs pass."""
+    inp = tmp_path / "in"
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    near1 = GOOD.replace("omicron", "orbital")  # ~0.9 Jaccard vs GOOD
+    near2 = GOOD.replace("galway", "geneva")
+
+    _write_batch(
+        inp / "b1.jsonl",
+        [
+            _doc(1, GOOD),
+            _doc(2, DISTINCT),
+            _doc(3, near1),  # near-dup of doc 1, same batch
+        ],
+    )
+    _write_batch(
+        inp / "b2.jsonl",
+        [
+            _doc(4, near2),      # near-dup of corpus doc 1 (epoch 0)
+            _doc(5, DISTINCT2),  # genuinely fresh
+        ],
+    )
+
+    ingest = CorpusIngest(base, near_dup_threshold=0.6)
+    q = ingest.run(spark, str(inp), ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    accepted = spark.read.parquet(f"{base}/accepted")
+    acc = {r.doc_id: r.epoch for r in accepted.collect()}
+    rej = {
+        r.doc_id: r.reason
+        for r in spark.read.parquet(f"{base}/rejected").collect()
+    }
+    assert set(acc) == {1, 2, 5}
+    assert rej[3] == "near_duplicate_in_batch"
+    assert rej[4] == "near_duplicate_of_corpus"
+
+    # the bands index holds exactly the accepted docs, epoch-aligned
+    bands = spark.read.parquet(f"{base}/bands")
+    by_doc = {
+        r["doc_id"]: r["epoch"]
+        for r in bands.select("doc_id", "epoch").distinct().collect()
+    }
+    assert by_doc == acc
+    assert bands.filter(F.col("band_hash").isNull()).count() == 0
+
+    # exact-duplicate gate still runs first: replaying a new batch with
+    # an exact copy rejects with the exact reason, not the near one
+    _write_batch(inp / "b3.jsonl", [_doc(6, DISTINCT)])
+    q2 = ingest.run(spark, str(inp), ckpt, available_now=True)
+    q2.awaitTermination(120)
+    rej3 = {
+        r.doc_id: r.reason
+        for r in spark.read.parquet(f"{base}/rejected").collect()
+    }
+    assert rej3[6] == "duplicate_of_corpus"
