@@ -1,0 +1,67 @@
+"""Tokenizer-induction statistics: the distributed primitive inside a
+BPE trainer — corpus-wide adjacent-symbol-pair counting.
+
+A BPE vocabulary build loops: count all adjacent symbol pairs across
+the corpus, take the global argmax, broadcast the merge, repeat.  The
+loop is driver-cheap (one argmax + a broadcast map per round); the
+expensive distributed step is the pair count, which is what this query
+exercises end-to-end over the documents table: explode words, explode
+each word's adjacent character pairs (a narrow staged projection —
+no Python), one partial-aggregated groupBy, deterministic top-25.
+
+Imported last by plans/__init__ (append-only registration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.plans.registry import query
+from bigdata_covid19_real_time_spark.sources.batch import load_table
+
+
+@query(
+    "docs_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT u.w AS w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT substr(w, i.i, 2) AS pair
+      FROM w, unnest(range(1, len(w))) AS i(i)
+      WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM p GROUP BY 1
+    ORDER BY cnt DESC, pair ASC LIMIT 25
+    """,
+)
+def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 adjacent character pairs across all corpus words — BPE's
+    first merge-round statistic.  Words and their pairs are staged
+    narrow projections (split -> explode -> substr over a sequence);
+    the only shuffle is the partial-aggregated pair count, and the
+    top-25 is a TakeOrderedAndProject, not a global sort."""
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(25)
+    )
