@@ -65,3 +65,25 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(25)
     )
+
+
+@query("docs_bpe_vocab")  # iterative driver loop — not SQL-expressible;
+# rows-only driver check; correctness gated by
+# tests/test_bpe.py's pure-python reference parity
+def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight BPE merge rules learned from the documents corpus
+    (operators/bpe.py:train_bpe_merges — per-round distributed pair
+    count + broadcast merge kernel over the distinct-word table;
+    deterministic tie-breaks, so the output is a pure function of the
+    corpus)."""
+    from bigdata_covid19_real_time_spark.operators.bpe import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=8)
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, cnt)
+            for i, (a, b, cnt) in enumerate(merges)
+        ],
+        "merge_rank int, left string, right string, pair_count long",
+    )
