@@ -133,6 +133,8 @@ def train_bpe_merges(
                 break
             a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
             merges.append((a, b, cnt))
+            if len(merges) == n_merges:
+                break  # no pair count reads the final merged table
             nxt = words.mapInPandas(_merge_kernel(a, b), _WORD_SCHEMA)
             if (r + 1) % checkpoint_every == 0:
                 nxt = nxt.localCheckpoint(eager=True)

@@ -126,6 +126,11 @@ def pca_components(
     import numpy as np
 
     rows = covariance_matrix(df, vec_col=vec_col, id_col=id_col).collect()
+    if not rows:
+        raise ValueError(
+            "pca_components: no vectors to fit (empty corpus or all-NULL "
+            f"{vec_col!r} column)"
+        )
     d = max(r["pos_b"] for r in rows) + 1
     C = np.zeros((d, d))
     for r in rows:

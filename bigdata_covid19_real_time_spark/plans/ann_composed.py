@@ -1,8 +1,9 @@
 """Composed IVF-PQ ANN query (operators/ivfpq.py) with a FULL SQL
 replication oracle: the coarse-quantizer chain (shared
-``kmeans_assign_ctes``) and a renamed per-subspace PQ chain compose in
-one WITH, then probe -> in-cell ADC -> shortlist -> exact rerank are
-replayed step for step.  Both pipelines are deterministic pure
+``kmeans_assign_ctes``) and the shared PQ chain (``pq_train_ctes``
+with prefix "p" — the SAME generator the plain PQ oracle uses, so the
+two gates cannot diverge) compose in one WITH, then probe -> in-cell
+ADC -> shortlist -> exact rerank are replayed step for step.  Both pipelines are deterministic pure
 functions of the embeddings table, so the composed operator is too —
 the gate checks exact row identity, not a recall bound.
 
@@ -14,82 +15,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_covid19_real_time_spark.plans.extensions import kmeans_assign_ctes
+from bigdata_covid19_real_time_spark.plans.extensions import (
+    kmeans_assign_ctes,
+    pq_train_ctes,
+)
 from bigdata_covid19_real_time_spark.plans.registry import query, stable_round
 from bigdata_covid19_real_time_spark.sources.batch import load_table
-
-
-def _pq_ctes_prefixed(m: int, k: int, n_iters: int, sub: int) -> str:
-    """The PQ training/encoding chain of ``_pq_oracle_sql`` with every
-    CTE name prefixed ``p`` so it composes with the IVF chain (both
-    define ``v``/``cent{t}``/... otherwise).  Ends at ``pfassign``
-    (vec_id, s, code) and ``pcent{n_iters}`` (s, code, pos, val)."""
-    iters = []
-    for t in range(1, n_iters + 1):
-        iters.append(f"""
-    pscore{t} AS (
-      SELECT v.vec_id, v.s, c.code,
-             SUM(v.val * c.val) - SUM(c.val * c.val) / 2 AS sc
-      FROM pv v JOIN pcent{t - 1} c ON v.s = c.s AND v.pos = c.pos
-      GROUP BY 1, 2, 3
-    ),
-    passign{t} AS (
-      SELECT vec_id, s, code FROM (
-        SELECT vec_id, s, code,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code ASC) AS rn
-        FROM pscore{t}) WHERE rn = 1
-    ),
-    pmeans{t} AS (
-      SELECT a.s, a.code, v.pos, AVG(v.val) AS val
-      FROM passign{t} a JOIN pv v ON v.vec_id = a.vec_id AND v.s = a.s
-      GROUP BY 1, 2, 3
-    ),
-    pcent{t} AS (
-      SELECT p.s, p.code, p.pos, COALESCE(mm.val, p.val) AS val
-      FROM pcent{t - 1} p
-      LEFT JOIN pmeans{t} mm ON mm.s = p.s AND mm.code = p.code AND mm.pos = p.pos
-    ),""")
-    n = n_iters
-    return f"""
-    praw AS (
-      SELECT vec_id,
-             CAST((u.i - 1) // {sub} AS INTEGER) AS s,
-             CAST((u.i - 1) % {sub} AS INTEGER) AS pos,
-             CAST(embedding[u.i] AS DOUBLE) AS val
-      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
-    ),
-    pnrm AS (SELECT vec_id, sqrt(SUM(val * val)) AS nn FROM praw GROUP BY 1),
-    pv AS (
-      SELECT praw.vec_id, praw.s, praw.pos,
-             CASE WHEN pnrm.nn > 0 THEN praw.val / pnrm.nn ELSE praw.val END AS val
-      FROM praw JOIN pnrm ON pnrm.vec_id = praw.vec_id
-    ),
-    pinit_ids AS (
-      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
-      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
-    ),
-    pcent0 AS (
-      SELECT v.s, i.code, v.pos, v.val FROM pinit_ids i JOIN pv v ON v.vec_id = i.vec_id
-    ),{''.join(iters)}
-    pfscore AS (
-      SELECT v.vec_id, v.s, c.code,
-             SUM(v.val * c.val) - SUM(c.val * c.val) / 2 AS sc
-      FROM pv v JOIN pcent{n} c ON v.s = c.s AND v.pos = c.pos
-      GROUP BY 1, 2, 3
-    ),
-    pfassign AS (
-      SELECT vec_id, s, code FROM (
-        SELECT vec_id, s, code,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code ASC) AS rn
-        FROM pfscore) WHERE rn = 1
-    )"""
 
 
 def _ivfpq_oracle_sql(
     n_clusters: int,
     ivf_iters: int,
     nprobe: int,
-    m: int,
     k_codes: int,
     pq_iters: int,
     sub: int,
@@ -99,7 +36,7 @@ def _ivfpq_oracle_sql(
     shortlist = k * rerank_factor
     return f"""
     WITH {kmeans_assign_ctes(n_clusters, ivf_iters)},
-    {_pq_ctes_prefixed(m, k_codes, pq_iters, sub)},
+    {pq_train_ctes(k_codes, pq_iters, sub, prefix="p")},
     probes AS (
       SELECT vec_id AS query_id, cluster FROM (
         SELECT vec_id, cluster,
@@ -156,7 +93,7 @@ def _ivfpq_oracle_sql(
 @query(
     "embedding_ivfpq_topk",
     oracle=_ivfpq_oracle_sql(
-        n_clusters=16, ivf_iters=3, nprobe=6, m=4, k_codes=16, pq_iters=2,
+        n_clusters=16, ivf_iters=3, nprobe=6, k_codes=16, pq_iters=2,
         sub=16, k=5, rerank_factor=4,
     ),
 )

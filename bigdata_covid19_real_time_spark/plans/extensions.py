@@ -1491,70 +1491,87 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(load_table(spark, sf_dir, "documents"), lam=0.7)
 
 
-def _pq_oracle_sql(m: int, k: int, n_iters: int, sub: int, k_top: int) -> str:
-    """Full SQL replication of the PQ pipeline (operators/pq.py):
-    per-subspace deterministic k-means (the kmeans chain keyed by a
-    subspace column ``s``), code assignment, and ADC scoring of the
-    sub-10-id queries against the codes.  ``sub`` = dim / m."""
+def pq_train_ctes(k: int, n_iters: int, sub: int, prefix: str = "") -> str:
+    """The PQ training/encoding CTE chain (operators/pq.py replication):
+    per-subspace deterministic k-means keyed by a subspace column ``s``,
+    ending at ``{prefix}fassign`` (vec_id, s, code) with the trained
+    codebook in ``{prefix}cent{n_iters}`` (s, code, pos, val).
+
+    ``prefix`` renames every CTE so the chain composes with other
+    k-means chains in one WITH (plans/ann_composed.py uses ``"p"``;
+    the plain PQ oracle below uses ``""``) — ONE generator, so a fix to
+    the PQ oracle semantics can never diverge between the two gates.
+    """
+    p = prefix
     iters = []
     for t in range(1, n_iters + 1):
         iters.append(f"""
-    score{t} AS (
+    {p}score{t} AS (
       SELECT v.vec_id, v.s, c.code,
              SUM(v.val * c.val) - SUM(c.val * c.val) / 2 AS sc
-      FROM v JOIN cent{t - 1} c ON v.s = c.s AND v.pos = c.pos
+      FROM {p}v v JOIN {p}cent{t - 1} c ON v.s = c.s AND v.pos = c.pos
       GROUP BY 1, 2, 3
     ),
-    assign{t} AS (
+    {p}assign{t} AS (
       SELECT vec_id, s, code FROM (
         SELECT vec_id, s, code,
                ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code ASC) AS rn
-        FROM score{t}) WHERE rn = 1
+        FROM {p}score{t}) WHERE rn = 1
     ),
-    means{t} AS (
+    {p}means{t} AS (
       SELECT a.s, a.code, v.pos, AVG(v.val) AS val
-      FROM assign{t} a JOIN v ON v.vec_id = a.vec_id AND v.s = a.s
+      FROM {p}assign{t} a JOIN {p}v v ON v.vec_id = a.vec_id AND v.s = a.s
       GROUP BY 1, 2, 3
     ),
-    cent{t} AS (
+    {p}cent{t} AS (
       SELECT p.s, p.code, p.pos, COALESCE(mm.val, p.val) AS val
-      FROM cent{t - 1} p
-      LEFT JOIN means{t} mm ON mm.s = p.s AND mm.code = p.code AND mm.pos = p.pos
+      FROM {p}cent{t - 1} p
+      LEFT JOIN {p}means{t} mm ON mm.s = p.s AND mm.code = p.code AND mm.pos = p.pos
     ),""")
     n = n_iters
     return f"""
-    WITH raw AS (
+    {p}raw AS (
       SELECT vec_id,
              CAST((u.i - 1) // {sub} AS INTEGER) AS s,
              CAST((u.i - 1) % {sub} AS INTEGER) AS pos,
              CAST(embedding[u.i] AS DOUBLE) AS val
       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
     ),
-    nrm AS (SELECT vec_id, sqrt(SUM(val * val)) AS nn FROM raw GROUP BY 1),
-    v AS (
+    {p}nrm AS (SELECT vec_id, sqrt(SUM(val * val)) AS nn FROM {p}raw GROUP BY 1),
+    {p}v AS (
       SELECT raw.vec_id, raw.s, raw.pos,
              CASE WHEN nrm.nn > 0 THEN raw.val / nrm.nn ELSE raw.val END AS val
-      FROM raw JOIN nrm ON nrm.vec_id = raw.vec_id
+      FROM {p}raw raw JOIN {p}nrm nrm ON nrm.vec_id = raw.vec_id
     ),
-    init_ids AS (
+    {p}init_ids AS (
       SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
       FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
     ),
-    cent0 AS (
-      SELECT v.s, i.code, v.pos, v.val FROM init_ids i JOIN v ON v.vec_id = i.vec_id
+    {p}cent0 AS (
+      SELECT v.s, i.code, v.pos, v.val FROM {p}init_ids i JOIN {p}v v ON v.vec_id = i.vec_id
     ),{''.join(iters)}
-    fscore AS (
+    {p}fscore AS (
       SELECT v.vec_id, v.s, c.code,
              SUM(v.val * c.val) - SUM(c.val * c.val) / 2 AS sc
-      FROM v JOIN cent{n} c ON v.s = c.s AND v.pos = c.pos
+      FROM {p}v v JOIN {p}cent{n} c ON v.s = c.s AND v.pos = c.pos
       GROUP BY 1, 2, 3
     ),
-    fassign AS (
+    {p}fassign AS (
       SELECT vec_id, s, code FROM (
         SELECT vec_id, s, code,
                ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code ASC) AS rn
-        FROM fscore) WHERE rn = 1
-    ),
+        FROM {p}fscore) WHERE rn = 1
+    )"""
+
+
+def _pq_oracle_sql(m: int, k: int, n_iters: int, sub: int, k_top: int) -> str:
+    """Full SQL replication of the PQ pipeline (operators/pq.py):
+    the shared training/encoding chain (``pq_train_ctes``) plus ADC
+    scoring of the sub-10-id queries against the codes.
+    ``sub`` = dim / m."""
+    n = n_iters
+    return f"""
+    WITH {pq_train_ctes(k, n_iters, sub)},
     adc AS (
       SELECT qv.vec_id AS query_id, a.vec_id AS neighbor_id,
              SUM(qv.val * c.val) AS sc

@@ -42,6 +42,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 from pyspark.sql.window import Window
 
+from pyspark.errors import AnalysisException
+
+from bigdata_covid19_real_time_spark.operators.dedup import dedup_latest
 from bigdata_covid19_real_time_spark.operators.quality import quality_filter
 from bigdata_covid19_real_time_spark.operators.text import fingerprint
 from bigdata_covid19_real_time_spark.sinks.registry import IdempotentParquetSink
@@ -104,23 +107,25 @@ class CorpusIngest:
     def _history_fingerprints(
         self, spark: SparkSession, current_epoch: int
     ) -> DataFrame | None:
-        try:
-            accepted = spark.read.parquet(f"{self.base_dir}/accepted")
-        except Exception:  # first epoch: nothing accepted yet
+        accepted = self._history_table(spark, "accepted", current_epoch)
+        if accepted is None:
             return None
-        return (
-            accepted.filter(F.col("epoch") < current_epoch)
-            .select("fingerprint")
-            .distinct()
-        )
+        return accepted.select("fingerprint").distinct()
 
     def _history_table(
         self, spark: SparkSession, table: str, current_epoch: int
     ) -> DataFrame | None:
         try:
             df = spark.read.parquet(f"{self.base_dir}/{table}")
-        except Exception:  # first epoch: table not created yet
-            return None
+        except AnalysisException as ex:
+            # ONLY a missing table means "first epoch".  Any other read
+            # failure (corrupt footer, storage fault, permissions) must
+            # FAIL the batch so the trigger retries it — mapping it to
+            # None would silently skip history dedup and accept
+            # duplicates of the corpus as fresh rows.
+            if "PATH_NOT_FOUND" in str(ex):
+                return None
+            raise
         return df.filter(F.col("epoch") < current_epoch)
 
     def _near_dup_screen(
@@ -202,8 +207,24 @@ class CorpusIngest:
     def process_batch(self, docs: DataFrame, epoch_id: int) -> None:
         """``docs``: (doc_id string, text, lang, source) batch frame."""
         spark = docs.sparkSession
-        typed = docs.withColumn("doc_id", F.col("doc_id").try_cast("long")).filter(
-            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        cast = docs.withColumn("doc_id", F.col("doc_id").try_cast("long"))
+        parseable = F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        # unparseable rows (uncastable id, NULL text, malformed JSON
+        # lines parsed to all-NULL) still enter the rejection audit —
+        # the tables account for EVERY wire row, so a producer switching
+        # id formats is visible instead of silently dropping traffic.
+        # doc_id is NULL for an uncastable id (nothing better exists).
+        unparseable_rejects = cast.filter(~parseable).select(
+            "doc_id", F.lit("unparseable").alias("reason")
+        )
+        typed = cast.filter(parseable)
+        # at-least-once producers can repeat a doc_id within one batch;
+        # collapse to one deterministic row per id (smallest text hash)
+        # BEFORE the verdict join — repeated ids would otherwise fan out
+        # through the join and every copy would pass the min-id window
+        # (doc_id == min(doc_id) holds for all of them)
+        typed = dedup_latest(
+            typed, ["doc_id"], [F.asc(F.xxhash64("text")), F.asc("text")]
         )
 
         verdict = quality_filter(typed, **self.quality_kwargs).select(
@@ -214,10 +235,16 @@ class CorpusIngest:
             scored.filter(~F.col("keep"))
             .select("doc_id", F.concat(F.lit("quality:"), F.col("reasons")).alias("reason"))
         )
-        kept = fingerprint(scored.filter(F.col("keep")).drop("keep", "reasons"))
+        # persist the fingerprinted batch: the accepted, rejected, and
+        # (near-dup mode) bands writes all descend from it — without
+        # this the rejected write re-runs the quality gate's gram
+        # aggregations end-to-end
+        kept_base = fingerprint(
+            scored.filter(F.col("keep")).drop("keep", "reasons")
+        ).persist()
 
         # within-batch exact dedup: min-id survives per fingerprint
-        kept = kept.withColumn(
+        kept = kept_base.withColumn(
             "__min_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
         )
         batch_rejects = kept.filter(F.col("doc_id") != F.col("__min_id")).select(
@@ -234,7 +261,9 @@ class CorpusIngest:
         else:
             corpus_rejects = None
 
-        rejected = quality_rejects.unionByName(batch_rejects)
+        rejected = unparseable_rejects.unionByName(quality_rejects).unionByName(
+            batch_rejects
+        )
         if corpus_rejects is not None:
             rejected = rejected.unionByName(corpus_rejects)
 
@@ -272,6 +301,14 @@ class CorpusIngest:
             publish_epoch_snapshot(self.base_dir, int(epoch_id))
         finally:
             survivors.unpersist()
+            kept_base.unpersist()
+            if self.near_dup_threshold is not None:
+                # the LSH/Jaccard operators persist shingle and bucket
+                # tables internally (their documented looping-caller
+                # contract is to clear between invocations); a stream
+                # runs process_batch indefinitely, so release them per
+                # epoch or executor storage grows without bound
+                spark.catalog.clearCache()
 
     def run(
         self,

@@ -246,3 +246,35 @@ def test_near_dup_mode_screens_batch_and_corpus(spark, tmp_path):
         for r in spark.read.parquet(f"{base}/rejected").collect()
     }
     assert rej3[6] == "duplicate_of_corpus"
+
+
+def test_duplicate_ids_and_unparseable_rows_audited(spark, tmp_path):
+    """Code-review regressions: (1) an at-least-once producer repeating
+    a doc_id within one batch must yield ONE accepted row, not a fanned-
+    out duplicate set; (2) uncastable ids / NULL text reach the
+    rejection audit instead of vanishing."""
+    inp = tmp_path / "in"
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(
+        inp / "b1.jsonl",
+        [
+            _doc(1, GOOD),
+            _doc(1, GOOD),              # exact wire duplicate (same id)
+            _doc("not-a-number", GOOD2),  # uncastable id
+            json.dumps({"doc_id": "9", "text": None,
+                        "lang": "en", "source": "s1"}),  # NULL text
+        ],
+    )
+    ingest = CorpusIngest(base)
+    q = ingest.run(spark, str(inp), ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    accepted = spark.read.parquet(f"{base}/accepted")
+    assert accepted.filter(F.col("doc_id") == 1).count() == 1
+    rejected = spark.read.parquet(f"{base}/rejected")
+    unparseable = rejected.filter(F.col("reason") == "unparseable")
+    # both bad wire rows audited; the uncastable id records NULL doc_id
+    assert unparseable.count() == 2
+    assert unparseable.filter(F.col("doc_id").isNull()).count() == 1
