@@ -27,7 +27,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -110,6 +112,118 @@ def cumulative_location_stats(
         _update_location_state(alpha),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: sharded Misra-Gries summaries in the state store
+# ---------------------------------------------------------------------------
+#
+# The batch side runs approx_top_k (plans/heavy_hitters.py); across
+# unbounded micro-batches the equivalent is a Misra-Gries summary, whose
+# state is BOUNDED (<= capacity counters) no matter how many distinct
+# keys the stream carries — the property that makes it state-store-safe
+# where exact per-key counting is not.  Items shard by hash, each shard
+# keeps its own summary (same-item rows always land in one shard, so
+# shard summaries never overlap and merging is a plain union), and the
+# per-shard MG guarantee holds: for every item,
+#
+#     true_count - processed_shard / (capacity + 1) <= est <= true_count
+#
+# so every item with true count above processed_shard/(capacity+1) is
+# GUARANTEED present — the classic frequent-elements contract.
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("processed", LongType()),
+    ]
+)
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("item", LongType()),
+        StructField("est_count", LongType()),
+        StructField("processed_in_shard", LongType()),
+        StructField("max_undercount", LongType()),
+    ]
+)
+
+
+def _mg_update(capacity: int):
+    def update(
+        key: tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, processed = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, processed = {}, 0
+
+        for pdf in pdfs:
+            for x in pdf["item"]:
+                x = int(x)
+                processed += 1
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < capacity:
+                    counters[x] = 1
+                else:  # decrement-all step: every counter pays one
+                    counters = {
+                        i: c - 1 for i, c in counters.items() if c > 1
+                    }
+
+        state.update(
+            (list(counters), [counters[i] for i in counters], processed)
+        )
+        bound = processed // (capacity + 1)
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "item": list(counters),
+                "est_count": [counters[i] for i in counters],
+                "processed_in_shard": [processed] * len(counters),
+                "max_undercount": [bound] * len(counters),
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    item_col: str = "user_id",
+    capacity: int = 16,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Cross-batch frequent items: per-shard Misra-Gries summaries that
+    survive micro-batch boundaries via the state store.
+
+    Emits every summary entry per epoch (output mode ``update``):
+    ``(shard, item, est_count, processed_in_shard, max_undercount)``.
+    ``est_count`` never exceeds the true count and undercounts by at
+    most ``max_undercount``; any item whose true count exceeds that
+    bound is guaranteed present.  State is <= ``capacity`` counters per
+    shard — bounded regardless of key cardinality.  Same-item rows
+    hash to one shard, so a downstream global top-k is a plain sort of
+    the union, no cross-shard merge arithmetic.
+    """
+    from pyspark.sql import functions as F
+
+    sharded = events.select(
+        F.col(item_col).cast("long").alias("item"),
+        F.pmod(F.xxhash64(F.col(item_col).cast("long")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    ).filter(F.col("item").isNotNull())
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _mg_update(capacity),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
