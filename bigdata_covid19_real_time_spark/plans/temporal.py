@@ -164,3 +164,58 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("tv") / F.col("tn") != 0, ratio), 6
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "events_embargo_split",
+    # cutoff = max event date - 7 (test window), embargo = the 2 days
+    # before the cutoff, excluded from train so trailing-window
+    # features computed on train rows cannot overlap the test period
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events
+                WHERE ts IS NOT NULL),
+    assigned AS (
+      SELECT CASE
+               WHEN CAST(ts AS DATE) >= max_d - 7 THEN 'test'
+               WHEN CAST(ts AS DATE) >= max_d - 9 THEN 'embargo'
+               ELSE 'train'
+             END AS split,
+             user_id, CAST(ts AS DATE) AS d
+      FROM events CROSS JOIN mx WHERE ts IS NOT NULL
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(d) AS VARCHAR) AS first_date,
+           CAST(MAX(d) AS VARCHAR) AS last_date
+    FROM assigned GROUP BY 1
+    """,
+)
+def events_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal train/test split: the last 7 event days are
+    test, the 2 days before them are an EMBARGO (excluded from train)
+    so trailing-window features on train rows cannot leak test-period
+    signal — the time-series counterpart of the cluster-atomic
+    docs_leakage_free_split.  One broadcast 1-row max-date join, one
+    narrow CASE assignment, one partial-agg summary."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    mx = F.broadcast(
+        events.agg(F.max(F.to_date("ts")).alias("max_d"))
+    )
+    d = F.to_date("ts")
+    assigned = events.crossJoin(mx).select(
+        F.when(d >= F.date_sub(F.col("max_d"), 7), F.lit("test"))
+        .when(d >= F.date_sub(F.col("max_d"), 9), F.lit("embargo"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        "user_id",
+        d.alias("d"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("d").cast("string").alias("first_date"),
+        F.max("d").cast("string").alias("last_date"),
+    )
