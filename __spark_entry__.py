@@ -39,6 +39,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: sibling exercising the same operator) plus the two new lakehouse
 #: twins and the new composed IVF-PQ query in the window, with one
 #: long-green canary (`covid_clean`) guarding the stable set.
+#:
+#: ROUND-5 ROTATION NOTE: queries registered during round 4 that have
+#: no driver row yet (all selfcheck-green x2 SFs) — rotate these into
+#: the first-50 window next round: covid_trend_ols,
+#: events_dow_seasonality, events_embargo_split, docs_media_features,
+#: docs_thumbnail_plan, embedding_covariance, events_user_heavy_hitters,
+#: docs_bpe_pair_counts, docs_bpe_vocab (rows-only), docs_source_novelty,
+#: events_value_ks, docs_weighted_sample, docs_audio_meta, plus the
+#: round-3 deferrals orders_expectations and docs_shuffle_shards.
 #: Every other query follows in registration order.
 GATE_PRIORITY = [
     # TPC-H shape family (plans/tpch_shapes.py + relational_ext.py)
