@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (126 queries covering SURVEY.md §2 plus
+engine's registered query surface (142 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -29,89 +29,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries surfaced FIRST to the driver's correctness gate this round.
-#: The gate checks the first ~50 entries in dict order; rounds 1-3
-#: re-checked a stable green set while 48 registered queries (all 22
-#: TPC-H shapes, the SQ8/kNN/RRF/BM25 retrieval variants, fuzzy join,
-#: triangles, the merge/snapshot/expectations/profile/gap-fill/bloom
-#: lakehouse family) never received a driver row.  This list puts those
-#: never-checked queries (46 of 48 — `orders_expectations` and
-#: `docs_shuffle_shards` defer one round; each has a driver-green
-#: sibling exercising the same operator) plus the two new lakehouse
-#: twins and the new composed IVF-PQ query in the window, with one
-#: long-green canary (`covid_clean`) guarding the stable set.
-#:
-#: ROUND-5 ROTATION NOTE: queries registered during round 4 that have
-#: no driver row yet (all selfcheck-green x2 SFs) — rotate these into
-#: the first-50 window next round: covid_trend_ols,
-#: events_dow_seasonality, events_embargo_split, docs_media_features,
-#: docs_thumbnail_plan, embedding_covariance, events_user_heavy_hitters,
-#: docs_bpe_pair_counts, docs_bpe_vocab (rows-only), docs_source_novelty,
-#: events_value_ks, docs_weighted_sample, docs_audio_meta, plus the
-#: round-3 deferrals orders_expectations and docs_shuffle_shards.
-#: Every other query follows in registration order.
+#: The gate checks the first ~50 entries in dict order.  Rounds 1-4
+#: cumulatively driver-certified 125/142 registered queries with zero
+#: oracle failures; the 17 below are the only queries that have never
+#: received a green driver row (the 15 round-4 registrations plus two
+#: round-1 casualties: `daily_event_summary_sketch`, whose oracle was
+#: added after its r1 `no_oracle` run, and `user_event_type_sets`,
+#: which hit a since-fixed harness list-canonicalization crash).  This
+#: round's window certifies all 17 — the first round with nothing
+#: self-certified — guarded by two long-green canaries (`covid_clean`
+#: from the reference-parity family and `docs_dedup_clusters` from the
+#: dedup family).  Every other query follows in registration order.
 GATE_PRIORITY = [
-    # TPC-H shape family (plans/tpch_shapes.py + relational_ext.py)
-    "shipping_priority",
-    "order_priority_pipeline",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "min_cost_supplier",
-    "promo_revenue_share",
-    "promo_part_suppliers",
-    "disjunctive_brand_revenue",
-    "small_quantity_brand_revenue",
-    "big_quantity_orders",
-    "idle_rich_customers",
-    "important_part_stock",
-    "nation_pair_trade",
-    "regional_market_share",
-    "nation_profit_by_year",
-    "customer_order_distribution",
-    "top_revenue_suppliers",
-    "part_supplier_diversity",
-    "waiting_sole_late_supplier",
-    "returned_item_customers",
-    "priority_shipping_punctuality",
-    "customer_revenue_pareto",
-    "lineitem_corr_stats",
-    # behavioral / event-stream shapes
-    "purchase_funnel",
-    "purchase_window_clicks",
-    "purchase_attribution_join",
-    "user_trailing_week_avg",
-    "click_and_purchase_user_days",
-    "events_grouping_sets",
-    "events_user_skew_report",
-    # retrieval / corpus extensions
-    "embedding_rrf_topk",
-    "embedding_sq8_topk",
-    "embedding_knn_label",
-    "embedding_negative_samples",
-    "docs_bm25_topk",
-    "docs_cdc_chunks",
-    "docs_repeated_span_removal",
-    "corpus_temperature_mix",
-    # fuzzy / graph
-    "part_name_fuzzy_pairs",
-    "supplier_triangles",
-    # lakehouse maintenance family
-    "orders_merge_preview",
-    "orders_snapshot_diff",
-    "orders_profile",
-    "lineitem_expectations",
-    "events_user_daily_gapfill",
-    "bloom_pruned_revenue",
-    # new this round: versioned-snapshot + incremental-rollup twins
-    "orders_time_travel",
-    "events_incremental_rollup",
-    # new this round: composed IVF-PQ ANN (operators/ivfpq.py) — takes
-    # the second canary slot so the round's flagship addition gets a
-    # driver row while all 48 never-checked queries stay in-window
-    # (docs_minhash_lsh is independently audited by SF1CHECK.json +
-    # selfcheck x2 SFs every round)
-    "embedding_ivfpq_topk",
-    # canary from the long-green set
+    # round-4 registrations, never driver-checked (selfcheck-green x2 SFs)
+    "covid_trend_ols",
+    "events_dow_seasonality",
+    "events_embargo_split",
+    "docs_media_features",
+    "docs_thumbnail_plan",
+    "docs_audio_meta",
+    "embedding_covariance",
+    "events_user_heavy_hitters",
+    "docs_bpe_pair_counts",
+    "docs_bpe_vocab",
+    "docs_source_novelty",
+    "events_value_ks",
+    "docs_weighted_sample",
+    # round-3 deferrals (driver-green siblings, never checked themselves)
+    "orders_expectations",
+    "docs_shuffle_shards",
+    # round-1 casualties, fixed since but never re-checked
+    "daily_event_summary_sketch",
+    "user_event_type_sets",
+    # new this round: approx_top_k certified in its genuinely
+    # approximating regime (max_items_tracked << key cardinality)
+    "events_skewed_heavy_hitters_sketch",
+    # canaries from the long-green set
     "covid_clean",
+    "docs_dedup_clusters",
 ]
 
 

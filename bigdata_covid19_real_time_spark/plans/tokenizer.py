@@ -67,9 +67,71 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("docs_bpe_vocab")  # iterative driver loop — not SQL-expressible;
-# rows-only driver check; correctness gated by
-# tests/test_bpe.py's pure-python reference parity
+def _bpe_vocab_oracle(n_merges: int = 8, min_count: int = 2) -> str:
+    """Unrolled ``n_merges``-round BPE trainer in pure DuckDB SQL.
+
+    ``n_merges`` is a fixed constant of the query, so the driver loop is
+    finitely unrollable as chained CTEs (the same fixed-iteration
+    pattern the PageRank and IVF-PQ oracles use).  Encoding: each word's
+    symbol sequence is a string of bracket-wrapped symbols
+    ``chr(30)+sym+chr(31)`` (both codepoints below the corpus's char
+    range, 32..121).  With that encoding the merge step — replace
+    adjacent pair (a,b) with a||b, greedy left-to-right non-overlapping,
+    exactly operators/bpe.py:_merge_kernel — is a single SQL
+    ``replace(s, ⟨a⟩⟨b⟩, ⟨ab⟩)``: the brackets anchor both match ends at
+    symbol boundaries (no mid-symbol matches), and SQL ``replace`` scans
+    greedy left-to-right non-overlapping like the kernel.  The
+    ``cnt >= min_count`` guard inside each argmax CTE makes early-stop
+    cascade: an empty argmax empties every later round via CROSS JOIN.
+    """
+    op, cl = "chr(30)", "chr(31)"
+    parts = [
+        f"""w0 AS (
+      SELECT {op} || array_to_string(string_split(u.w, ''), {cl} || {op})
+               || {cl} AS s,
+             CAST(COUNT(*) AS BIGINT) AS weight
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE text IS NOT NULL AND len(u.w) >= 1
+      GROUP BY 1
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS (
+      SELECT l[i.i] AS a, l[i.i + 1] AS b, SUM(weight) AS cnt
+      FROM (
+        SELECT string_split(trim(s, {op} || {cl}), {cl} || {op}) AS l,
+               weight
+        FROM w{k - 1}
+      ) t, unnest(range(1, len(l))) AS i(i)
+      WHERE len(l) >= 2
+      GROUP BY 1, 2
+    ),
+    m{k} AS (
+      SELECT a, b, CAST(cnt AS BIGINT) AS cnt
+      FROM p{k} WHERE cnt >= {min_count}
+      ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    )""")
+        if k < n_merges:
+            parts.append(f"""w{k} AS (
+      SELECT replace(w.s,
+                     {op} || m.a || {cl} || {op} || m.b || {cl},
+                     {op} || m.a || m.b || {cl}) AS s,
+             w.weight
+      FROM w{k - 1} w CROSS JOIN m{k} m
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, a AS \"left\","
+        f" b AS \"right\", cnt AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM (\n      {union}\n    ) ORDER BY merge_rank"
+    )
+
+
+@query("docs_bpe_vocab", oracle=_bpe_vocab_oracle(n_merges=8))
 def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eight BPE merge rules learned from the documents corpus
     (operators/bpe.py:train_bpe_merges — per-round distributed pair

@@ -116,23 +116,32 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 4 rotates the never-driver-checked
-    queries into that window: the first 50 names are GATE_PRIORITY
-    (46 previously-unchecked + the 2 new lakehouse twins + the new
-    composed IVF-PQ query + 1 canary), every one oracle-backed, and
-    oracle_sql() iterates in the same order so the driver sees
-    identical windows from both."""
+    queries() in dict order.  Round 5 rotates the 17 queries that have
+    never received a green driver row (15 round-4 registrations + the
+    two round-1 casualties) into that window with two long-green
+    canaries; every one is oracle-backed — including ``docs_bpe_vocab``,
+    whose fixed 8-merge loop gained an unrolled DuckDB oracle this
+    round — and oracle_sql() iterates in the same order so the driver
+    sees identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
-    assert len(entry_mod.GATE_PRIORITY) == 50
-    assert names[:50] == entry_mod.GATE_PRIORITY
-    assert all(n in oracles for n in names[:50])
-    assert list(oracles)[:50] == names[:50]
-    # the round's new composed operator + the long-green canary in-window
-    assert "embedding_ivfpq_topk" in names[:50] and "covid_clean" in names[:50]
+    n = len(entry_mod.GATE_PRIORITY)
+    assert n == 20  # 17 never-certified + 1 new sketch-regime + 2 canaries
+    assert names[:n] == entry_mod.GATE_PRIORITY
+    assert all(name in oracles for name in names[:n])
+    assert list(oracles)[:n] == names[:n]
+    # the two r1 casualties the r4 rotation note missed, plus canaries
+    for must in (
+        "daily_event_summary_sketch",
+        "user_event_type_sets",
+        "docs_bpe_vocab",
+        "covid_clean",
+        "docs_dedup_clusters",
+    ):
+        assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)
     from bigdata_covid19_real_time_spark.plans import QUERIES
 
     prio = set(entry_mod.GATE_PRIORITY)
-    assert names[50:] == [n for n in QUERIES if n not in prio]
+    assert names[n:] == [q for q in QUERIES if q not in prio]
