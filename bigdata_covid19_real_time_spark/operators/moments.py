@@ -87,14 +87,39 @@ def covariance_matrix(
     ``(pos_a, pos_b, cov)`` with ``cov = S_ab / n - mean_a * mean_b``.
 
     Means/count come from a narrow posexplode + groupBy(pos) (d rows,
-    broadcast); rows with NULL vectors are excluded everywhere.
+    broadcast); rows with NULL vectors are excluded everywhere.  Ragged
+    vector lengths or NULL elements FAIL LOUDLY up front (one narrow
+    1-row validation agg): the Gram kernel would turn NULL elements
+    into NaN and raggedness into a malformed stack, silently
+    contaminating ``S_ab`` while the mean/count pass kept counting —
+    the two passes must observe the identical sample or the assembled
+    covariance is garbage.
     """
     clean = df.filter(F.col(vec_col).isNotNull())
+    shape = clean.agg(
+        F.min(F.size(vec_col)).alias("mn"),
+        F.max(F.size(vec_col)).alias("mx"),
+        F.max(
+            F.exists(vec_col, lambda x: x.isNull()).cast("int")
+        ).alias("has_null_elem"),
+    ).first()
+    if shape["mn"] is not None and shape["mn"] != shape["mx"]:
+        raise ValueError(
+            f"covariance_matrix: ragged {vec_col!r} lengths "
+            f"({shape['mn']}..{shape['mx']}) — the Gram and mean passes "
+            "cannot agree on a sample; pad or filter to uniform d first"
+        )
+    if shape["has_null_elem"]:
+        raise ValueError(
+            f"covariance_matrix: {vec_col!r} contains NULL elements — "
+            "they would contaminate the Gram sums as NaN; impute or "
+            "drop those vectors first"
+        )
     gram = gram_partials(clean, vec_col=vec_col, id_col=id_col)
     means = (
         clean.select(F.posexplode(vec_col).alias("pos", "val"))
         .groupBy("pos")
-        .agg(F.avg("val").alias("mean"), F.count(F.lit(1)).alias("n"))
+        .agg(F.avg("val").alias("mean"), F.count("val").alias("n"))
     )
     ma = F.broadcast(means.select(F.col("pos").alias("pos_a"),
                                   F.col("mean").alias("mean_a"),

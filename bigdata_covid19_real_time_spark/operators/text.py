@@ -124,6 +124,15 @@ def shingle_sets(
     return out
 
 
+#: Guard threshold for the exact all-pairs Jaccard baseline: above this
+#: many input documents the shingle self-join's hot-shingle fanout makes
+#: the operator super-linear (measured 6.9x time at 10x rows), and the
+#: banded MinHash-LSH operator is the intended path.  50k docs (~sf1)
+#: already costs ~13 s single-node; 100k is the last size where "ran it
+#: by accident" is an acceptable outcome.
+JACCARD_PAIRS_MAX_DOCS = 100_000
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -131,8 +140,18 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_shingles: bool = True,
+    max_docs: int | None = JACCARD_PAIRS_MAX_DOCS,
 ) -> DataFrame:
     """Near-duplicate pairs by exact shingle-set Jaccard >= threshold.
+
+    This is the EXACT all-pairs baseline — deliberately quadratic-ish in
+    corpus size via the shingle self-join, kept as the oracle fixture
+    that gates the scale-path operators.  ``max_docs`` (default
+    ``JACCARD_PAIRS_MAX_DOCS``) raises before any heavy work when the
+    input exceeds the documented size envelope, pointing at
+    ``minhash.minhash_lsh_pairs`` (banded candidates, bounded join);
+    pass ``max_docs=None`` to run the exact baseline regardless (the
+    explicit oracle-fixture escape hatch).
 
     Plan shape (one join + one groupBy — set sizes are computed from the
     shingle array *before* explode and carried through the join, so no
@@ -148,6 +167,17 @@ def jaccard_pairs(
     still fan out the join at scale; the MinHash-LSH operator is the
     bounded-candidates alternative for 100 TB.
     """
+    if max_docs is not None:
+        n_docs = df.select(id_col).count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"jaccard_pairs: {n_docs} input documents exceed the "
+                f"exact-baseline envelope of {max_docs} (the shingle "
+                "self-join is super-linear in corpus size). Use "
+                "operators.minhash.minhash_lsh_pairs for the banded "
+                "scale path, or pass max_docs=None to force the exact "
+                "all-pairs baseline."
+            )
     # Staged projections with aliases, NOT one fused expression tree: if
     # the token split is written inline inside the shingle lambda,
     # Catalyst inlines it per element_at call (~3*positions regex splits

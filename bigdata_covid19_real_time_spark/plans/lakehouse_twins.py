@@ -21,7 +21,9 @@ headline order stays comparable round-over-round).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,16 +32,30 @@ from pyspark.sql import functions as F
 from bigdata_covid19_real_time_spark.plans.registry import query, stable_round
 from bigdata_covid19_real_time_spark.sources.batch import load_table
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
+
+
+atexit.register(_cleanup_scratch)
+
 
 def _scratch_dir(prefix: str) -> str:
     """Fresh scratch directory for a one-shot snapshot table.
 
-    Left behind intentionally: the returned frame reads the published
-    version directories lazily, so deleting them here would race the
-    caller's action.  Size is one small rollup/table per gate run under
-    the OS temp root — the standard disposable-checkpoint contract.
+    Left in place until PROCESS EXIT, not deleted per-call: the returned
+    frame reads the published version directories lazily, so deleting
+    here would race the caller's action.  Every dir is registered for an
+    atexit sweep so repeated bench/selfcheck runs in one process don't
+    accumulate table copies under /tmp beyond the process lifetime.
     """
-    return tempfile.mkdtemp(prefix=prefix, dir=os.environ.get("TMPDIR", "/tmp"))
+    d = tempfile.mkdtemp(prefix=prefix, dir=os.environ.get("TMPDIR", "/tmp"))
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 @query(
@@ -127,8 +143,17 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = F.lit("2024-01-15").cast("timestamp")
     keys = ["event_type", "event_date"]
+    # NULL-ts rows ride with the first epoch (ts IS NULL OR ts < split):
+    # the oracle's full recompute aggregates every row including a NULL
+    # event_date group, so the epoch split must partition ALL rows —
+    # a plain </>= pair would silently drop NULL timestamps from both
+    # batches and break the view-maintenance contract on such data.
     refresh_aggregate(
-        spark, rollup, events.filter(F.col("ts") < split).drop("ts"), keys, "value"
+        spark,
+        rollup,
+        events.filter(F.col("ts").isNull() | (F.col("ts") < split)).drop("ts"),
+        keys,
+        "value",
     )
     refresh_aggregate(
         spark, rollup, events.filter(F.col("ts") >= split).drop("ts"), keys, "value"

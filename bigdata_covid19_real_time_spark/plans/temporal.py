@@ -192,10 +192,10 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Purged temporal train/test split: the last 7 event days are
-    test, the 2 days before them are an EMBARGO (excluded from train)
-    so trailing-window features on train rows cannot leak test-period
-    signal — the time-series counterpart of the cluster-atomic
+    """Purged temporal train/test split: the last 8 calendar days are
+    test (``d >= max_d - 7`` is inclusive on both ends), the 2 days
+    before them are an EMBARGO (excluded from train) so trailing-window
+    features on train rows cannot leak test-period signal — the time-series counterpart of the cluster-atomic
     docs_leakage_free_split.  One broadcast 1-row max-date join, one
     narrow CASE assignment, one partial-agg summary."""
     events = load_table(spark, sf_dir, "events").filter(

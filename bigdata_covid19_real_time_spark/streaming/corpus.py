@@ -204,9 +204,35 @@ class CorpusIngest:
             survivors = survivors.join(corpus_near, "doc_id", "left_anti")
         return survivors, rejects
 
+    @staticmethod
+    def _persisted_rdd_ids(spark: SparkSession) -> set[int]:
+        """Ids of currently-persisted RDDs (cache-tracking helper)."""
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+
+    @staticmethod
+    def _unpersist_new_since(spark: SparkSession, before: set[int]) -> None:
+        """Release caches created since ``before`` was snapshotted.
+
+        The LSH/Jaccard operators persist shingle and bucket tables
+        internally (their documented looping-caller contract is to clear
+        between invocations); a stream runs process_batch indefinitely,
+        so release them per epoch or executor storage grows without
+        bound.  Unpersisting the DELTA (not ``catalog.clearCache()``)
+        leaves caches owned by other workloads sharing the session
+        untouched — the only exposure is a cache another job creates
+        concurrently DURING this epoch, which a shared-session deploy
+        should avoid by serializing foreachBatch epochs anyway.
+        """
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in jmap.keySet().toArray():
+            if int(i) not in before:
+                jmap.get(i).unpersist(False)
+
     def process_batch(self, docs: DataFrame, epoch_id: int) -> None:
         """``docs``: (doc_id string, text, lang, source) batch frame."""
         spark = docs.sparkSession
+        caches_before = self._persisted_rdd_ids(spark)
         cast = docs.withColumn("doc_id", F.col("doc_id").try_cast("long"))
         parseable = F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         # unparseable rows (uncastable id, NULL text, malformed JSON
@@ -303,12 +329,7 @@ class CorpusIngest:
             survivors.unpersist()
             kept_base.unpersist()
             if self.near_dup_threshold is not None:
-                # the LSH/Jaccard operators persist shingle and bucket
-                # tables internally (their documented looping-caller
-                # contract is to clear between invocations); a stream
-                # runs process_batch indefinitely, so release them per
-                # epoch or executor storage grows without bound
-                spark.catalog.clearCache()
+                self._unpersist_new_since(spark, caches_before)
 
     def run(
         self,

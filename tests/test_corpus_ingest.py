@@ -278,3 +278,30 @@ def test_duplicate_ids_and_unparseable_rows_audited(spark, tmp_path):
     # both bad wire rows audited; the uncastable id records NULL doc_id
     assert unparseable.count() == 2
     assert unparseable.filter(F.col("doc_id").isNull()).count() == 1
+
+
+def test_near_dup_epoch_releases_only_its_own_caches(spark, tmp_path):
+    """Cache lifecycle (r4 ADVICE): near-dup epochs must unpersist the
+    LSH/Jaccard internals they created — and ONLY those.  A cache owned
+    by another workload sharing the SparkSession survives the epoch
+    (the old session-global ``catalog.clearCache()`` evicted it)."""
+    inp = tmp_path / "in"
+    _write_batch(inp / "b1.jsonl", [_doc(1, GOOD), _doc(2, DISTINCT)])
+
+    foreign = spark.createDataFrame([(1,)], "x int").persist()
+    foreign.count()
+    assert foreign.is_cached
+
+    ingest = CorpusIngest(
+        str(tmp_path / "corpus"), near_dup_threshold=0.6
+    )
+    q = ingest.run(spark, str(inp), str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    surviving = {int(i) for i in jmap.keySet().toArray()}
+    # the foreign cache survived the epoch, and the epoch's internal
+    # LSH/Jaccard caches are gone: exactly one persisted RDD remains
+    assert foreign.is_cached
+    assert len(surviving) == 1
+    foreign.unpersist()

@@ -129,3 +129,44 @@ def test_streaming_refresh_via_foreachbatch(spark, tmp_path):
     # epoch 1 state is still readable (time travel across epochs)
     v1 = {r.k: r for r in read_aggregate(spark, d, version=1).collect()}
     assert set(v1) == {"a", "b"}
+
+
+def test_null_ts_rows_ride_the_first_epoch(spark, tmp_path):
+    """The events_incremental_rollup twin splits epochs with
+    ``ts IS NULL OR ts < split`` / ``ts >= split``: NULL-timestamp rows
+    must land in exactly one batch (not zero), so the incremental state
+    equals the full recompute INCLUDING the NULL date group."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "rollup_null_ts")
+    rows = [
+        ("click", "2024-01-10 00:00:00", 1.0),
+        ("click", None, 2.0),  # NULL ts — must not be dropped
+        ("view", "2024-01-20 00:00:00", 3.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_type string, ts_s string, v double"
+    ).select(
+        "event_type",
+        F.to_timestamp("ts_s").alias("ts"),
+        F.to_date(F.to_timestamp("ts_s")).alias("event_date"),
+        "v",
+    )
+    split = F.lit("2024-01-15").cast("timestamp")
+    keys = ["event_type", "event_date"]
+    refresh_aggregate(
+        spark,
+        d,
+        events.filter(F.col("ts").isNull() | (F.col("ts") < split)).drop("ts"),
+        keys,
+        "v",
+    )
+    refresh_aggregate(
+        spark, d, events.filter(F.col("ts") >= split).drop("ts"), keys, "v"
+    )
+    state = {
+        (r["event_type"], r["event_date"]): r["cnt"]
+        for r in read_aggregate(spark, d).collect()
+    }
+    assert len(state) == 3  # click/Jan10, click/NULL, view/Jan20
+    assert state[("click", None)] == 1

@@ -74,3 +74,34 @@ class TestPca:
         for i in range(20):
             assert got[i][0] == pytest.approx(V[i, 0])
             assert got[i][1] == pytest.approx(V[i, 2])
+
+
+def test_covariance_rejects_ragged_and_null_elements(spark):
+    """Fail-loudly contract (r4 ADVICE): ragged vector lengths or NULL
+    array elements would desynchronize the Gram and mean/count passes
+    (NaN contamination vs silent counting) — both now raise up front."""
+    import pytest
+    from bigdata_covid19_real_time_spark.operators.moments import (
+        covariance_matrix,
+    )
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        covariance_matrix(ragged)
+
+    with_null = spark.createDataFrame(
+        [(1, [1.0, None]), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL elements"):
+        covariance_matrix(with_null)
+
+    # NULL whole vectors stay allowed (documented exclusion)
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert covariance_matrix(ok).count() == 3  # d=2 upper triangle

@@ -93,14 +93,21 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     for name in args.queries:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name,
-             "--sf-dir", args.sf_dir],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            timeout=600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name,
+                 "--sf-dir", args.sf_dir],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=600,
+            )
+        except subprocess.TimeoutExpired:
+            # one hung query must not abort the sweep and lose every
+            # completed measurement + the output JSON
+            results[name] = {"error": "timeout after 600s"}
+            print(f"{name}: TIMEOUT", flush=True)
+            continue
         line = next(
             (ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{")),
             None,
