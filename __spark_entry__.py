@@ -64,6 +64,9 @@ GATE_PRIORITY = [
     # new this round: approx_top_k certified in its genuinely
     # approximating regime (max_items_tracked << key cardinality)
     "events_skewed_heavy_hitters_sketch",
+    # new this round: the BPE ENCODER (apply_bpe) driver-gated via the
+    # unrolled trainer+encoder oracle
+    "docs_bpe_tokenize",
     # canaries from the long-green set
     "covid_clean",
     "docs_dedup_clusters",

@@ -178,17 +178,46 @@ FROZEN_HEADLINE_ORDER = [
 ]
 
 
+#: Round-4's headline tail, FROZEN at the start of round 5 (round-4
+#: verdict task 7): the 16 queries registered during round 4, in the
+#: exact loop order BENCH_r04.json timed them.  ``FROZEN_HEADLINE_ORDER
+#: + FROZEN_R4_APPENDIX`` (141 queries) is the frozen-142-registry
+#: comparable series — the full r4 headline — reported as
+#: ``frozen142_total_sec`` alongside the older ``frozen_total_sec``
+#: (the r3-comparable 125) and the growing full-headline ``value``.
+FROZEN_R4_APPENDIX = [
+    "orders_time_travel",
+    "events_incremental_rollup",
+    "docs_audio_meta",
+    "events_value_ks",
+    "docs_weighted_sample",
+    "embedding_ivfpq_topk",
+    "covid_trend_ols",
+    "events_dow_seasonality",
+    "events_embargo_split",
+    "docs_media_features",
+    "docs_thumbnail_plan",
+    "embedding_covariance",
+    "events_user_heavy_hitters",
+    "docs_bpe_pair_counts",
+    "docs_bpe_vocab",
+    "docs_source_novelty",
+]
+
+
 def _headline() -> list[str]:
-    """The frozen round-3 order, then any newer registry queries (minus
-    the documented EXCLUDED set) in registration order."""
+    """The frozen round-3 order, the frozen round-4 appendix, then any
+    newer registry queries (minus the documented EXCLUDED set) in
+    registration order."""
     from bigdata_covid19_real_time_spark.plans import QUERIES
 
-    missing = [n for n in FROZEN_HEADLINE_ORDER if n not in QUERIES]
+    pinned = FROZEN_HEADLINE_ORDER + FROZEN_R4_APPENDIX
+    missing = [n for n in pinned if n not in QUERIES]
     if missing:
         raise RuntimeError(f"frozen bench queries left the registry: {missing}")
-    frozen = set(FROZEN_HEADLINE_ORDER)
+    frozen = set(pinned)
     newer = [n for n in QUERIES if n not in frozen and n not in EXCLUDED]
-    return FROZEN_HEADLINE_ORDER + newer
+    return pinned + newer
 
 #: Heaviest queries, re-run at a second scale factor so the driver's
 #: record carries a rows-vs-runtime curve: sf0.01 -> sf0.1 is exactly
@@ -292,6 +321,11 @@ def main() -> None:
     frozen_total = round(
         sum(timings[n] for n in FROZEN_HEADLINE_ORDER if n in timings), 3
     )
+    # comparable-to-r4 subset: the frozen 125 + the r4 appendix (141)
+    frozen142_names = FROZEN_HEADLINE_ORDER + FROZEN_R4_APPENDIX
+    frozen142_total = round(
+        sum(timings[n] for n in frozen142_names if n in timings), 3
+    )
 
     # full detail goes to disk, round-stamped (r2's all-queries stdout
     # line exceeded the driver's tail capture and lost the headline)
@@ -319,7 +353,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "frozen_total_sec": frozen_total,
                 "frozen_n": sum(1 for n in FROZEN_HEADLINE_ORDER if n in timings),
-                "order": "frozen r3 list + newer registrations appended",
+                "frozen142_total_sec": frozen142_total,
+                "frozen142_n": sum(1 for n in frozen142_names if n in timings),
+                "order": "frozen r3 list + frozen r4 appendix + newer registrations appended",
                 "excluded": EXCLUDED,
                 "queries": timings,
                 "scale": {
@@ -348,6 +384,7 @@ def main() -> None:
                 "min_of": 2,
                 "n_queries": len(timings),
                 "frozen_total_sec": frozen_total,
+                "frozen142_total_sec": frozen142_total,
                 "excluded": sorted(EXCLUDED),
                 "queries": heaviest,
                 "detail_file": os.path.basename(detail_path),

@@ -15,14 +15,18 @@ Algorithm (Sennrich et al. 2016, word-internal merges):
    hatch; the corpus itself never shuffles);
 5. repeat for ``n_merges`` rounds.
 
-Scale notes: each round is one narrow map + one pair-count shuffle
-whose key space is the symbol-pair vocabulary (small), and the driver
-reads ONE row per round.  The working set is the DISTINCT-word table
-with multiplicities (count once per distinct word, weight by
-occurrences) — corpus text is touched once at staging.  ``persist`` +
-round-robin ``localCheckpoint`` every few rounds truncates the plan
-lineage the loop would otherwise stack (same discipline as
-operators/pagerank.py).
+Scale notes: the working set is the DISTINCT-word table with
+multiplicities (count once per distinct word, weight by occurrences) —
+corpus text is touched once at staging, which is always distributed.
+The merge LOOP is hybrid: under ``LOCAL_TRAIN_MAX_WORDS`` distinct
+words it collects the word-count table and trains driver-side (the
+production-tokenizer architecture — the distinct-word table is
+~millions of rows even at 100 TB of corpus), otherwise each round is
+one narrow map + one pair-count shuffle whose key space is the
+symbol-pair vocabulary (small), with the driver reading ONE row per
+round.  In the distributed loop, ``persist`` + round-robin
+``localCheckpoint`` every few rounds truncates the plan lineage the
+loop would otherwise stack (same discipline as operators/pagerank.py).
 """
 
 from __future__ import annotations
@@ -106,22 +110,87 @@ def _merge_kernel(a: str, b: str):
     return kernel
 
 
+def _train_local(
+    words: list[tuple[list[str], int]], n_merges: int, min_count: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side merge loop over a collected (syms, weight) word
+    table — bit-identical semantics to the distributed loop (same
+    pair-count weighting, same (cnt desc, left asc, right asc) argmax,
+    same greedy left-to-right merge, same ``min_count`` early stop)."""
+    merges: list[tuple[str, str, int]] = []
+    words = [(list(s), int(w)) for s, w in words]
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, w in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + w
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        if len(merges) == n_merges:
+            break
+        merged = a + b
+        for idx, (syms, w) in enumerate(words):
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[idx] = (res, w)
+    return merges
+
+
+#: Distinct-word count under which the merge loop runs driver-side.
+#: The working set of BPE training is the DISTINCT-word table with
+#: weights — ~millions of rows even for a 100 TB corpus (this is why
+#: production tokenizer trainers are single-node over a word-count
+#: table).  Staging (the full corpus scan + word count) stays
+#: distributed either way; only the loop moves.  1M rows of short
+#: symbol lists is tens of MB — far inside any driver, and it replaces
+#: ~2 Spark jobs per merge round with an in-memory pass.
+LOCAL_TRAIN_MAX_WORDS = 1_000_000
+
+
 def train_bpe_merges(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_count: int = 2,
     checkpoint_every: int = 4,
+    local_threshold: int = LOCAL_TRAIN_MAX_WORDS,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merge rules from a text column.
 
     Returns ``[(left, right, count), ...]`` in merge order.  Stops early
     when no pair reaches ``min_count``.  Deterministic: ties break
     lexicographically on (left, right).
+
+    Hybrid execution: corpus scan + distinct-word staging is always
+    distributed; the merge LOOP runs driver-side when the distinct-word
+    table has at most ``local_threshold`` rows (the common case — see
+    ``LOCAL_TRAIN_MAX_WORDS``), and falls back to the per-round
+    distributed pair-count + broadcast-merge loop above that.  Both
+    paths are deterministic and produce identical merges
+    (``tests/test_bpe.py`` pins the parity).
     """
     words = _stage_words(df, text_col).persist()
     merges: list[tuple[str, str, int]] = []
     try:
+        if local_threshold is not None:
+            n_words = words.count()  # also materializes the cache
+            if n_words <= local_threshold:
+                return _train_local(
+                    [(r["syms"], r["weight"]) for r in words.collect()],
+                    n_merges,
+                    min_count,
+                )
         for r in range(n_merges):
             top = (
                 _pair_counts(words)

@@ -67,24 +67,34 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_vocab_oracle(n_merges: int = 8, min_count: int = 2) -> str:
-    """Unrolled ``n_merges``-round BPE trainer in pure DuckDB SQL.
+#: Bracket codepoints for the unrolled BPE oracles — both below the
+#: corpus char range (32..121), so symbols never contain them.
+_OP, _CL = "chr(30)", "chr(31)"
 
-    ``n_merges`` is a fixed constant of the query, so the driver loop is
-    finitely unrollable as chained CTEs (the same fixed-iteration
-    pattern the PageRank and IVF-PQ oracles use).  Encoding: each word's
-    symbol sequence is a string of bracket-wrapped symbols
-    ``chr(30)+sym+chr(31)`` (both codepoints below the corpus's char
-    range, 32..121).  With that encoding the merge step — replace
-    adjacent pair (a,b) with a||b, greedy left-to-right non-overlapping,
-    exactly operators/bpe.py:_merge_kernel — is a single SQL
-    ``replace(s, ⟨a⟩⟨b⟩, ⟨ab⟩)``: the brackets anchor both match ends at
-    symbol boundaries (no mid-symbol matches), and SQL ``replace`` scans
-    greedy left-to-right non-overlapping like the kernel.  The
-    ``cnt >= min_count`` guard inside each argmax CTE makes early-stop
-    cascade: an empty argmax empties every later round via CROSS JOIN.
+
+def _bpe_round_ctes(n_merges: int, min_count: int, final_table: bool) -> list[str]:
+    """CTE chain for an unrolled ``n_merges``-round BPE trainer.
+
+    ``n_merges`` is a fixed constant of each gated query, so the driver
+    loop is finitely unrollable as chained CTEs (the same
+    fixed-iteration pattern the PageRank and IVF-PQ oracles use).
+    Encoding: each word's symbol sequence is a string of bracket-wrapped
+    symbols ``chr(30)+sym+chr(31)``.  With that encoding the merge step
+    — replace adjacent pair (a,b) with a||b, greedy left-to-right
+    non-overlapping, exactly operators/bpe.py:_merge_kernel — is a
+    single SQL ``replace(s, ⟨a⟩⟨b⟩, ⟨ab⟩)``: the brackets anchor both
+    match ends at symbol boundaries (no mid-symbol matches), and SQL
+    ``replace`` scans greedy left-to-right non-overlapping like the
+    kernel.  The ``cnt >= min_count`` guard inside each argmax CTE makes
+    early-stop cascade: an empty argmax empties every later round via
+    CROSS JOIN.
+
+    ``final_table=True`` additionally emits ``w{n_merges}`` (the word
+    table with ALL merges applied) — which is precisely the
+    ``apply_bpe`` tokenization of the corpus, since applying the learned
+    rules in training order to each word is the encoder's definition.
     """
-    op, cl = "chr(30)", "chr(31)"
+    op, cl = _OP, _CL
     parts = [
         f"""w0 AS (
       SELECT {op} || array_to_string(string_split(u.w, ''), {cl} || {op})
@@ -111,7 +121,7 @@ def _bpe_vocab_oracle(n_merges: int = 8, min_count: int = 2) -> str:
       FROM p{k} WHERE cnt >= {min_count}
       ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
     )""")
-        if k < n_merges:
+        if k < n_merges or final_table:
             parts.append(f"""w{k} AS (
       SELECT replace(w.s,
                      {op} || m.a || {cl} || {op} || m.b || {cl},
@@ -119,6 +129,12 @@ def _bpe_vocab_oracle(n_merges: int = 8, min_count: int = 2) -> str:
              w.weight
       FROM w{k - 1} w CROSS JOIN m{k} m
     )""")
+    return parts
+
+
+def _bpe_vocab_oracle(n_merges: int = 8, min_count: int = 2) -> str:
+    """Unrolled BPE-trainer oracle: the 8 learned merge rules."""
+    parts = _bpe_round_ctes(n_merges, min_count, final_table=False)
     union = "\n      UNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS merge_rank, a AS \"left\","
         f" b AS \"right\", cnt AS pair_count FROM m{k}"
@@ -131,13 +147,34 @@ def _bpe_vocab_oracle(n_merges: int = 8, min_count: int = 2) -> str:
     )
 
 
+def _bpe_tokenize_oracle(n_merges: int = 8, min_count: int = 2) -> str:
+    """Unrolled trainer + encoder oracle: corpus-wide token counts
+    after applying all learned merges (top-25, deterministic order)."""
+    parts = _bpe_round_ctes(n_merges, min_count, final_table=True)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    toks AS (
+      SELECT unnest(string_split(trim(s, {_OP} || {_CL}),
+                                 {_CL} || {_OP})) AS token,
+             weight
+      FROM w{n_merges}
+    )
+    SELECT token, CAST(SUM(weight) AS BIGINT) AS cnt
+    FROM toks GROUP BY 1
+    ORDER BY cnt DESC, token ASC LIMIT 25"""
+    )
+
+
 @query("docs_bpe_vocab", oracle=_bpe_vocab_oracle(n_merges=8))
 def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eight BPE merge rules learned from the documents corpus
-    (operators/bpe.py:train_bpe_merges — per-round distributed pair
-    count + broadcast merge kernel over the distinct-word table;
-    deterministic tie-breaks, so the output is a pure function of the
-    corpus)."""
+    (operators/bpe.py:train_bpe_merges — distributed corpus scan +
+    distinct-word staging, then the hybrid merge loop: driver-side
+    under LOCAL_TRAIN_MAX_WORDS distinct words, per-round distributed
+    pair count + broadcast merge kernel above it; deterministic
+    tie-breaks, so the output is a pure function of the corpus)."""
     from bigdata_covid19_real_time_spark.operators.bpe import train_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
@@ -148,4 +185,31 @@ def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b, cnt) in enumerate(merges)
         ],
         "merge_rank int, left string, right string, pair_count long",
+    )
+
+
+@query("docs_bpe_tokenize", oracle=_bpe_tokenize_oracle(n_merges=8))
+def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 BPE merges, ENCODE the whole corpus with them
+    (operators/bpe.py:apply_bpe — one Arrow map, rules
+    closure-captured), and return the top-25 tokens by corpus count.
+    Gates the encoder half of the BPE pair: the oracle replays the
+    unrolled trainer AND applies the merges to the distinct-word table
+    (training-order rule application to each word IS the encoder), so a
+    wrong merge order, a non-greedy scan, or a phantom symbol in
+    apply_bpe all surface as a hash mismatch."""
+    from bigdata_covid19_real_time_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=8)
+    encoded = apply_bpe(docs, merges)
+    return (
+        encoded.select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(25)
     )

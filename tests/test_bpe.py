@@ -93,3 +93,22 @@ class TestBpe:
         for i, t in enumerate(TEXTS):
             want = [s for w in t.split(" ") if w for s in ref_seqs[w]]
             assert out[i] == want, (i, out[i], want)
+
+    def test_distributed_and_local_paths_identical(self, spark):
+        """The hybrid fast path (driver-side loop under
+        LOCAL_TRAIN_MAX_WORDS) must be bit-identical to the distributed
+        per-round loop: same merges, same counts, same order."""
+        df = spark.createDataFrame([Row(doc_id=i, text=t)
+                                    for i, t in enumerate(TEXTS)])
+        local = train_bpe_merges(df, n_merges=6)
+        distributed = train_bpe_merges(
+            df, n_merges=6, checkpoint_every=3, local_threshold=0
+        )
+        want, _ = _reference_bpe(TEXTS, 6)
+        assert local == distributed == want
+
+    def test_distributed_path_early_stop(self, spark):
+        df = spark.createDataFrame([Row(doc_id=0, text="ab cd ef")])
+        got = train_bpe_merges(df, n_merges=10, min_count=2,
+                               local_threshold=0)
+        assert got == []
