@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (142 queries covering SURVEY.md §2 plus
+engine's registered query surface (144 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -30,7 +30,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries surfaced FIRST to the driver's correctness gate this round.
 #: The gate checks the first ~50 entries in dict order.  Rounds 1-4
-#: cumulatively driver-certified 125/142 registered queries with zero
+#: cumulatively driver-certified 125/142 pre-round-5 registered queries with zero
 #: oracle failures; the 17 below are the only queries that have never
 #: received a green driver row (the 15 round-4 registrations plus two
 #: round-1 casualties: `daily_event_summary_sketch`, whose oracle was
