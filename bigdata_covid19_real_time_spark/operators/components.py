@@ -38,17 +38,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Distinct directed-edge count under which the closure runs driver-side
+#: via union-find.  Near-dup edge lists are SPARSE by construction (LSH
+#: banding + bucket caps bound candidate pairs), so even very large
+#: corpora commonly produce edge tables of a few million rows — 2M
+#: (long, long) rows is ~32 MB on the driver, and a python union-find
+#: pass replaces ~3 Spark jobs per pointer-jumping round.  Above the
+#: threshold the distributed loop below takes over unchanged.
+LOCAL_CC_MAX_EDGES = 2_000_000
+
+
+def _cc_local(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Driver-side union-find with path compression — same output
+    contract as the distributed loop: one (node, component) row per
+    distinct node, component = min id of the node's component
+    (deterministic regardless of union order)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-root union
+    # min-root union keeps every root the minimum of its set already
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    local_threshold: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Resolve an undirected pair list into connected components.
 
     Returns ``(node, component)`` — one row per distinct id appearing in
     ``pairs``, where ``component`` is the minimum id of the node's
     component (a deterministic, join-stable cluster key).
+
+    Hybrid execution: the (possibly expensive) pair pipeline and edge
+    dedup always run distributed; the CLOSURE runs driver-side
+    union-find when the distinct edge table has at most
+    ``local_threshold`` rows (see ``LOCAL_CC_MAX_EDGES`` — near-dup
+    graphs are sparse by construction), else the pointer-jumping loop.
+    Both paths produce identical labels (``tests/test_components.py``
+    pins the parity).
 
     Raises ``RuntimeError`` if ``max_iter`` rounds don't reach the
     fixpoint — with pointer jumping that would take a component of
@@ -84,6 +130,16 @@ def connected_components(
         ).alias("e")
     ).select("e.src", "e.dst")
     edges = _truncate(edges.distinct())
+
+    if local_threshold is not None:
+        n_edges = edges.count()  # also materializes the truncated edges
+        if n_edges <= local_threshold:
+            rows = _cc_local(
+                [(r["src"], r["dst"]) for r in edges.collect()]
+            )
+            return pairs.sparkSession.createDataFrame(
+                rows or [], "node long, component long"
+            )
 
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")

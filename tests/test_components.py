@@ -44,8 +44,26 @@ def test_edge_order_and_direction_invariance(spark):
 def test_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        # one round cannot close a 41-node path
-        connected_components(pairs, max_iter=1)
+        # one round cannot close a 41-node path (distributed path forced:
+        # the union-find fast path has no iteration count to exhaust)
+        connected_components(pairs, max_iter=1, local_threshold=0)
+
+
+def test_local_and_distributed_paths_identical(spark):
+    """The union-find fast path (edge count under LOCAL_CC_MAX_EDGES)
+    must label identically to the pointer-jumping loop: chain + cycle +
+    isolated pair + singleton-heavy shapes."""
+    edges = (
+        [(i, i + 1) for i in range(15)]          # 16-node path
+        + [(100, 101), (101, 102), (102, 100)]   # cycle
+        + [(200, 201)]                           # isolated pair
+        + [(300, 300)]                           # self-loop
+    )
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    local = _cc_map(connected_components(pairs))
+    dist = _cc_map(connected_components(pairs, local_threshold=0))
+    assert local == dist
+    assert local[15] == 0 and local[102] == 100 and local[300] == 300
 
 
 def test_dedup_clusters_survivor_flags(spark):

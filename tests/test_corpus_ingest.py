@@ -288,6 +288,12 @@ def test_near_dup_epoch_releases_only_its_own_caches(spark, tmp_path):
     inp = tmp_path / "in"
     _write_batch(inp / "b1.jsonl", [_doc(1, GOOD), _doc(2, DISTINCT)])
 
+    # delta-based: earlier tests in the shared session may legitimately
+    # leave their own caches behind — only NEW ids matter here
+    before = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
     foreign = spark.createDataFrame([(1,)], "x int").persist()
     foreign.count()
     assert foreign.is_cached
@@ -301,7 +307,8 @@ def test_near_dup_epoch_releases_only_its_own_caches(spark, tmp_path):
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     surviving = {int(i) for i in jmap.keySet().toArray()}
     # the foreign cache survived the epoch, and the epoch's internal
-    # LSH/Jaccard caches are gone: exactly one persisted RDD remains
+    # LSH/Jaccard caches are gone: exactly one NEW persisted RDD remains
+    # (the foreign frame's), nothing from the ingest
     assert foreign.is_cached
-    assert len(surviving) == 1
+    assert len(surviving - before) == 1
     foreign.unpersist()
