@@ -40,6 +40,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: self-certified — guarded by two long-green canaries (`covid_clean`
 #: from the reference-parity family and `docs_dedup_clusters` from the
 #: dedup family).  Every other query follows in registration order.
+#:
+#: ROUND-6 ROTATION NOTE: if CORRECTNESS_r05 certifies this window,
+#: every registered query has a green driver row.  Round 6 should keep
+#: any NEW registrations first, then rotate a fresh slice of the
+#: long-certified set (oldest driver row first) as re-validation
+#: canaries — there are no known uncertified queries left to prioritize.
 GATE_PRIORITY = [
     # round-4 registrations, never driver-checked (selfcheck-green x2 SFs)
     "covid_trend_ols",

@@ -124,9 +124,13 @@ def docs_prefix_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle-set Jaccard near-dup pairs at threshold 0.6 (the
-    corpus has injected near-dups at ~0.9; background pairs sit <0.1)."""
+    corpus has injected near-dups at ~0.9; background pairs sit <0.1).
+    This registered query IS the documented exact-baseline oracle
+    fixture, so it uses the explicit ``max_docs=None`` escape hatch —
+    user-facing calls to ``jaccard_pairs`` get the size guard (raises
+    above 100k docs, pointing at minhash_lsh_pairs) by default."""
     docs = load_table(spark, sf_dir, "documents")
-    out = jaccard_pairs(docs, threshold=0.6, n=3)
+    out = jaccard_pairs(docs, threshold=0.6, n=3, max_docs=None)
     return out.select(
         "doc_a",
         "doc_b",
