@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (144 queries covering SURVEY.md §2 plus
+engine's registered query surface (145 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -73,6 +73,9 @@ GATE_PRIORITY = [
     # new this round: the BPE ENCODER (apply_bpe) driver-gated via the
     # unrolled trainer+encoder oracle
     "docs_bpe_tokenize",
+    # new this round: corpus-wide exact-substring dedup (Lee et al.),
+    # full SQL replication oracle
+    "docs_global_span_dedup",
     # canaries from the long-green set
     "covid_clean",
     "docs_dedup_clusters",

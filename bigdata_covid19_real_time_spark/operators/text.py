@@ -611,3 +611,133 @@ def bm25_topk(
         .filter(F.col("rank") <= k_top)
         .select("query_id", id_col, "rank", "bm25")
     )
+
+
+def remove_global_repeated_spans(
+    df: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-document exact-substring dedup (the Lee et al. 2021
+    "Deduplicating Training Data" recipe): drop every occurrence of a
+    duplicated word ``n``-gram EXCEPT the corpus-wide first one — the
+    global complement of ``remove_repeated_spans`` (within one doc) and
+    of ``duplicate_spans`` (which only MINES cross-doc spans).  Shared
+    boilerplate, license headers, and copied passages survive exactly
+    once in the whole corpus.
+
+    "First" is the lexicographic minimum of (doc id, start position) —
+    fully deterministic, no tie ambiguity.  A doc holding the global
+    first occurrence still loses its own LATER copies of that span.
+
+    Shape: explode to (doc, pos, token) and (doc, start, gram-hash)
+    rows; ONE global groupBy on the 8-byte gram hash takes the
+    min (doc, start) struct (map-side partial min — the only
+    corpus-wide shuffle, and its key space is the distinct-gram count);
+    non-first occurrences explode to covered positions; an anti-join
+    rebuilds the survivors.  This replaces the suffix-array global sort
+    of the reference recipe with a hash partial-aggregate — same
+    result for fixed n, linear shuffle volume, no ordered structure to
+    maintain.
+
+    Output: ``(id_col, tokens_before, tokens_removed, tokens_after,
+    cleaned_hash)`` — the same contract as ``remove_repeated_spans``.
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
+        F.size("__t") > 0
+    )
+    tok_rows = base.select(
+        id_col, F.posexplode("__t").alias("__pos", "__tok")
+    )
+    gram_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(" ", *[F.col(f"__g{j}") for j in range(n)])), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.size("__t") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - n),
+                    lambda i: F.slice(F.col("__t"), i + 1, n),
+                ),
+            ).otherwise(F.array().cast("array<array<string>>"))
+        ).alias("__start", "__gram"),
+    ).select(
+        id_col,
+        "__start",
+        *[F.col("__gram")[j].alias(f"__g{j}") for j in range(n)],
+    ).select(id_col, "__start", gram_hash.alias("__gh"))
+    # the one corpus-wide shuffle: global first occurrence per gram,
+    # as a min over (doc, start) structs (struct ordering = field order)
+    firsts = grams.groupBy("__gh").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("__start").alias("s"))
+        ).alias("__f")
+    )
+    removed = (
+        grams.join(firsts, "__gh")
+        .filter(
+            (F.col(id_col) != F.col("__f.d"))
+            | (F.col("__start") != F.col("__f.s"))
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__start") + (n - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(removed, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("tokens_after"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("__pos").alias("p"),
+                                        F.col("__tok").alias("t"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["t"],
+                        ),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("cleaned_hash"),
+    )
+    before = base.select(id_col, F.size("__t").alias("tokens_before"))
+    return (
+        before.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("tokens_before").cast("long").alias("tokens_before"),
+            (
+                F.col("tokens_before") - F.coalesce(F.col("tokens_after"), F.lit(0))
+            )
+            .cast("long")
+            .alias("tokens_removed"),
+            F.coalesce(F.col("tokens_after"), F.lit(0))
+            .cast("long")
+            .alias("tokens_after"),
+            "cleaned_hash",
+        )
+    )

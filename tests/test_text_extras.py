@@ -229,3 +229,64 @@ class TestBm25:
                for r in bm25_topk(docs, {"q": ["common", "rare"]}, k_top=9).collect()}
         # the rare-term doc beats any common-only doc
         assert out[9] > max(v for k, v in out.items() if k != 9)
+
+
+class TestGlobalSpanDedup:
+    """Cross-document exact-substring dedup (Lee et al. recipe):
+    remove_global_repeated_spans keeps only the corpus-wide first
+    (doc, start) occurrence of each duplicated n-gram."""
+
+    def _run(self, spark, rows, n=3):
+        from bigdata_covid19_real_time_spark.operators.text import (
+            remove_global_repeated_spans,
+        )
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in remove_global_repeated_spans(docs, n=n).collect()
+        }
+
+    def test_cross_doc_copy_removed_from_later_doc_only(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, "shared boiler plate tail one"),
+                (2, "shared boiler plate tail two"),  # copies doc 1's 4-gram run
+                (3, "totally different words here now"),
+            ],
+        )
+        # doc 1 holds every global-first occurrence: untouched
+        assert got[1]["tokens_removed"] == 0 and got[1]["tokens_after"] == 5
+        # doc 2 loses the 4 tokens covered by the shared 3-gram spans
+        # ("shared boiler plate" + "boiler plate tail" cover positions 0-3)
+        assert got[2]["tokens_removed"] == 4 and got[2]["tokens_after"] == 1
+        assert got[3]["tokens_removed"] == 0
+
+    def test_doc_with_global_first_still_loses_its_own_later_copies(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a b c x a b c"), (2, "a b c y z")],
+        )
+        # doc 1: first "a b c" (pos 0-2) survives, its second copy
+        # (pos 4-6) is removed
+        assert got[1]["tokens_removed"] == 3 and got[1]["tokens_after"] == 4
+        # doc 2's copy is also a later occurrence of the same gram
+        assert got[2]["tokens_removed"] == 3 and got[2]["tokens_after"] == 2
+
+    def test_deterministic_first_is_min_doc_then_pos(self, spark):
+        # the SAME rows in reverse insertion order give identical output
+        rows = [(5, "p q r s"), (2, "p q r t")]
+        a = self._run(spark, rows)
+        b = self._run(spark, list(reversed(rows)))
+        assert {k: tuple(v) for k, v in a.items()} == {
+            k: tuple(v) for k, v in b.items()
+        }
+        # doc 2 (min id) keeps the shared "p q r"; doc 5 loses it
+        assert a[2]["tokens_removed"] == 0
+        assert a[5]["tokens_removed"] == 3 and a[5]["tokens_after"] == 1
+
+    def test_short_docs_pass_through(self, spark):
+        got = self._run(spark, [(1, "only two"), (2, "only two")], n=3)
+        # below span length: nothing to hash, nothing removed
+        assert got[1]["tokens_removed"] == 0 and got[2]["tokens_removed"] == 0
