@@ -98,6 +98,14 @@ def generate(out_dir: str) -> None:
             }
         ),
         os.path.join(out_dir, "documents.parquet"),
+        # small row groups make the single test file SPLITTABLE: Spark
+        # assigns row groups to byte-range splits, so a compute-heavy
+        # narrow map over this corpus can use every core once
+        # maxPartitionBytes is sized below the file size (the
+        # sf1_timing.py session does this).  A one-row-group 15 MB file
+        # reads as ~2 splits and serializes 32 cores down to 2 — the
+        # measured 5x slowdown documented in SCALE.md's sf1 section.
+        row_group_size=2000,
     )
 
     nrng = np.random.default_rng(420)
@@ -120,6 +128,7 @@ def generate(out_dir: str) -> None:
             }
         ),
         os.path.join(out_dir, "embeddings.parquet"),
+        row_group_size=1000,
     )
 
 

@@ -37,13 +37,22 @@ SF1_DIR = os.environ.get("SF1_DIR", "/tmp/sf1_neardup")
 SF01_DIR = "/root/testdata/sf0.1"
 WARM_DIR = "/root/testdata/sf0.001"
 
-#: Top-5 most expensive headline queries in BENCH_DETAIL_r4.json.
+#: Top-5 most expensive headline queries in BENCH_DETAIL_r4.json, plus
+#: (r5 extension) the next tier of documents/embeddings-table heavies
+#: and the new global span dedup — every query whose tables exist in
+#: the sf1 corpus (events-table queries are excluded: the generator
+#: only produces documents + embeddings).
 TOP5 = [
     "docs_bpe_vocab",
     "docs_dedup_clusters",
     "docs_leakage_free_split",
     "embedding_rrf_topk",
     "docs_minhash_lsh",
+    "embedding_ivfpq_topk",
+    "docs_winnow_fingerprints",
+    "docs_repeated_span_removal",
+    "docs_cdc_chunks",
+    "docs_global_span_dedup",
 ]
 
 
@@ -63,7 +72,17 @@ def main() -> int:
         master="local[" + os.environ.get("SPARK_GRAFT_CPUS", "32") + "]",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
-        extra_conf={"spark.cleaner.periodicGC.interval": "60s"},
+        extra_conf={
+            "spark.cleaner.periodicGC.interval": "60s",
+            # the sf1 corpus is ONE ~15 MB parquet file: at the default
+            # 128 MB maxPartitionBytes it reads as 2 splits and every
+            # compute-heavy narrow map serializes 32 cores down to 2
+            # (measured: winnow 33.6 s on 2 splits vs 6.9 s on 32).
+            # 1 MB splits + the generator's 2k-row row groups restore
+            # scan parallelism — the exact files.maxPartitionBytes
+            # sizing lesson SCALE.md documents for real deployments.
+            "spark.sql.files.maxPartitionBytes": "1m",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
