@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (145 queries covering SURVEY.md §2 plus
+engine's registered query surface (151 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -76,6 +76,16 @@ GATE_PRIORITY = [
     # new this round: corpus-wide exact-substring dedup (Lee et al.),
     # full SQL replication oracle
     "docs_global_span_dedup",
+    # new this round (second batch): sketch error-bound certifications
+    # (GK quantiles, HLL++ distinct), sequence analytics (Markov
+    # transitions, CUSUM changepoint), market-basket affinity, and
+    # k-anonymity profiling
+    "events_value_quantile_sketch",
+    "events_userday_hll_distinct",
+    "event_type_transitions",
+    "events_value_cusum",
+    "brand_pair_affinity",
+    "docs_k_anonymity",
     # canaries from the long-green set
     "covid_clean",
     "docs_dedup_clusters",

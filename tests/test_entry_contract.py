@@ -127,7 +127,9 @@ def test_gate_window_prioritizes_unverified_queries():
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    assert n == 22  # 17 never-certified + 3 new r5 queries + 2 canaries
+    # 17 never-certified + 3 new r5 queries + 6 second-batch r5 queries
+    # + 2 canaries
+    assert n == 28
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
