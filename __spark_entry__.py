@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (151 queries covering SURVEY.md §2 plus
+engine's registered query surface (156 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -86,6 +86,14 @@ GATE_PRIORITY = [
     "events_value_cusum",
     "brand_pair_affinity",
     "docs_k_anonymity",
+    # new this round (third batch): behavioral feature engineering —
+    # RFM segmentation, time-decay features, interval-counting backlog,
+    # YoY growth, hourly profiles
+    "customer_rfm_segments",
+    "user_recency_weighted_value",
+    "orders_open_backlog",
+    "nation_revenue_yoy",
+    "events_hourly_profile",
     # canaries from the long-green set
     "covid_clean",
     "docs_dedup_clusters",
