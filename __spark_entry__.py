@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (156 queries covering SURVEY.md §2 plus
+engine's registered query surface (161 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -94,6 +94,14 @@ GATE_PRIORITY = [
     "orders_open_backlog",
     "nation_revenue_yoy",
     "events_hourly_profile",
+    # new this round (fourth batch): curation diagnostics — filter
+    # funnel, cross-source shingle overlap, dup-cluster sizes,
+    # embedding-norm outliers, gaps-and-islands run stats
+    "docs_filter_funnel",
+    "source_overlap_matrix",
+    "docs_dup_cluster_sizes",
+    "embedding_norm_outliers",
+    "user_event_runs",
     # canaries from the long-green set
     "covid_clean",
     "docs_dedup_clusters",
