@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -224,6 +225,131 @@ def streaming_heavy_hitters(
         _mg_update(capacity),
         outputStructType=MG_OUTPUT_SCHEMA,
         stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: (n, mean, M2, cusum_pos, cusum_neg, n_batches)
+DRIFT_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+        StructField("cusum_pos", DoubleType()),
+        StructField("cusum_neg", DoubleType()),
+        StructField("n_batches", LongType()),
+    ]
+)
+
+DRIFT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_total", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("sd", DoubleType()),
+        StructField("batch_n", LongType()),
+        StructField("batch_mean", DoubleType()),
+        StructField("z", DoubleType()),
+        StructField("cusum_pos", DoubleType()),
+        StructField("cusum_neg", DoubleType()),
+        StructField("drift", BooleanType()),
+    ]
+)
+
+
+def _drift_update(k_slack: float, h_threshold: float):
+    """Build the per-key drift update function (constants captured)."""
+
+    def update(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        if state.exists:
+            n, mean, m2, s_pos, s_neg, n_batches = state.get
+        else:
+            n, mean, m2, s_pos, s_neg, n_batches = 0, 0.0, 0.0, 0.0, 0.0, 0
+
+        # the PRE-batch baseline standardizes this batch's mean
+        base_n, base_mean = n, mean
+        base_sd = _math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+
+        batch_n, batch_sum = 0, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["value"], kind="mergesort")
+            for v in pdf["value"]:
+                if pd.isna(v):
+                    continue
+                v = float(v)
+                batch_n += 1
+                batch_sum += v
+                # Welford running moments (the cross-batch baseline)
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+
+        batch_mean = batch_sum / batch_n if batch_n else 0.0
+        if base_n > 1 and base_sd > 0 and batch_n > 0:
+            z = (batch_mean - base_mean) / (base_sd / _math.sqrt(batch_n))
+        else:
+            z = 0.0
+        s_pos = max(0.0, s_pos + z - k_slack)
+        s_neg = max(0.0, s_neg - z - k_slack)
+        n_batches += 1
+        state.update((n, mean, m2, s_pos, s_neg, n_batches))
+
+        sd = _math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_total": [n],
+                "mean": [mean],
+                "sd": [sd],
+                "batch_n": [batch_n],
+                "batch_mean": [batch_mean],
+                "z": [z],
+                "cusum_pos": [s_pos],
+                "cusum_neg": [s_neg],
+                "drift": [s_pos > h_threshold or s_neg > h_threshold],
+            }
+        )
+
+    return update
+
+
+def streaming_drift_monitor(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k_slack: float = 0.5,
+    h_threshold: float = 5.0,
+) -> DataFrame:
+    """Cross-batch distribution-drift monitor: per key, Welford running
+    moments form the baseline, and each micro-batch's standardized mean
+    feeds a two-sided Page CUSUM (``S+ = max(0, S+ + z - k)``,
+    ``S- = max(0, S- - z - k)``); ``drift`` flips when either side
+    crosses ``h_threshold`` — the streaming twin of the batch
+    ``events_value_cusum`` changepoint query.
+
+    Why stateful: both the baseline (unbounded-history moments) and the
+    CUSUM recursion are order-dependent across batches — not
+    expressible as a commutative streaming aggregate.  State is O(1)
+    per key (6 numbers), so the state store is bounded by key
+    cardinality regardless of volume.  Output mode ``update``; one row
+    per key per epoch.
+    """
+    from pyspark.sql import functions as F
+
+    projected = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("key").isNotNull())
+    return projected.groupBy("key").applyInPandasWithState(
+        _drift_update(k_slack, h_threshold),
+        outputStructType=DRIFT_OUTPUT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
