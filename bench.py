@@ -204,14 +204,43 @@ FROZEN_R4_APPENDIX = [
     "docs_source_novelty",
 ]
 
+#: Round-5's headline tail, FROZEN at the end of round 5: the 19
+#: queries registered during round 5 in their registration (= bench
+#: loop) order.  ``FROZEN_HEADLINE_ORDER + FROZEN_R4_APPENDIX +
+#: FROZEN_R5_APPENDIX`` (160 timed; the 161-registry series minus the
+#: documented EXCLUDED fixture) is reported as ``frozen161_total_sec``
+#: so round 6 has a clean comparable even as the registry keeps
+#: growing.
+FROZEN_R5_APPENDIX = [
+    "events_skewed_heavy_hitters_sketch",
+    "docs_bpe_tokenize",
+    "docs_global_span_dedup",
+    "events_value_quantile_sketch",
+    "events_userday_hll_distinct",
+    "event_type_transitions",
+    "events_value_cusum",
+    "brand_pair_affinity",
+    "docs_k_anonymity",
+    "customer_rfm_segments",
+    "user_recency_weighted_value",
+    "orders_open_backlog",
+    "nation_revenue_yoy",
+    "events_hourly_profile",
+    "docs_filter_funnel",
+    "source_overlap_matrix",
+    "docs_dup_cluster_sizes",
+    "embedding_norm_outliers",
+    "user_event_runs",
+]
+
 
 def _headline() -> list[str]:
-    """The frozen round-3 order, the frozen round-4 appendix, then any
-    newer registry queries (minus the documented EXCLUDED set) in
-    registration order."""
+    """The frozen round-3 order, the frozen round-4 and round-5
+    appendices, then any newer registry queries (minus the documented
+    EXCLUDED set) in registration order."""
     from bigdata_covid19_real_time_spark.plans import QUERIES
 
-    pinned = FROZEN_HEADLINE_ORDER + FROZEN_R4_APPENDIX
+    pinned = FROZEN_HEADLINE_ORDER + FROZEN_R4_APPENDIX + FROZEN_R5_APPENDIX
     missing = [n for n in pinned if n not in QUERIES]
     if missing:
         raise RuntimeError(f"frozen bench queries left the registry: {missing}")
@@ -326,6 +355,11 @@ def main() -> None:
     frozen142_total = round(
         sum(timings[n] for n in frozen142_names if n in timings), 3
     )
+    # comparable-to-r5 subset: the r4 series + the r5 appendix (160)
+    frozen161_names = frozen142_names + FROZEN_R5_APPENDIX
+    frozen161_total = round(
+        sum(timings[n] for n in frozen161_names if n in timings), 3
+    )
 
     # full detail goes to disk, round-stamped (r2's all-queries stdout
     # line exceeded the driver's tail capture and lost the headline)
@@ -355,7 +389,9 @@ def main() -> None:
                 "frozen_n": sum(1 for n in FROZEN_HEADLINE_ORDER if n in timings),
                 "frozen142_total_sec": frozen142_total,
                 "frozen142_n": sum(1 for n in frozen142_names if n in timings),
-                "order": "frozen r3 list + frozen r4 appendix + newer registrations appended",
+                "frozen161_total_sec": frozen161_total,
+                "frozen161_n": sum(1 for n in frozen161_names if n in timings),
+                "order": "frozen r3 list + frozen r4/r5 appendices + newer registrations appended",
                 "excluded": EXCLUDED,
                 "queries": timings,
                 "scale": {
@@ -385,6 +421,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "frozen_total_sec": frozen_total,
                 "frozen142_total_sec": frozen142_total,
+                "frozen161_total_sec": frozen161_total,
                 "excluded": sorted(EXCLUDED),
                 "queries": heaviest,
                 "detail_file": os.path.basename(detail_path),
