@@ -291,8 +291,13 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nrm.join(F.broadcast(st), "label")
         .withColumn(
+            # when/otherwise (not a boolean cast): a singleton label has
+            # sd = NULL (stddev_samp of one row), and NULL.cast(long)
+            # would sum to NULL while the oracle's CASE yields 0
             "is_out",
-            ((F.col("sd") > 0) & (z >= 3.0)).cast("long"),
+            F.when((F.col("sd") > 0) & (z >= 3.0), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
         )
         .groupBy("label")
         .agg(

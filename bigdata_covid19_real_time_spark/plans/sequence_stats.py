@@ -103,7 +103,8 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk AS (
       SELECT event_type, d, cusum,
              ROW_NUMBER() OVER (
-               PARTITION BY event_type ORDER BY ABS(cusum) DESC, d ASC
+               PARTITION BY event_type
+               ORDER BY ROUND(ABS(cusum) + 1e-9, 4) DESC, d ASC
              ) AS r
       FROM cs
     )
@@ -136,8 +137,11 @@ def events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = daily.withColumn("dv", F.col("m") - F.avg("m").over(typ))
     cs = dev.withColumn("cusum", F.sum("dv").over(cum))
+    # argmax over the ROUNDED |cusum| so FP accumulation-order noise
+    # cannot flip near-tied peaks across engines/partition counts; the
+    # earliest-day tie-break then engages identically in both
     peak = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("cusum")).desc(), F.col("d").asc()
+        stable_round(F.abs(F.col("cusum")), 4).desc(), F.col("d").asc()
     )
     return (
         cs.withColumn("r", F.row_number().over(peak))

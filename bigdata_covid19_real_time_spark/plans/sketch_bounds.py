@@ -48,6 +48,26 @@ QUANTILE_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
 HLL_RSD = 0.04
 
 
+def gk_rank_contract_ok(p_col, n_col, lt_col, le_col, eps: float):
+    """Column: the documented GK rank contract — the returned element's
+    rank interval ``[lt+1, le]`` intersects the target interval
+    ``[floor((p-eps)*n), ceil((p+eps)*n)]``.  Single source of truth for
+    the gate query, its tests, and the sf1 certifier
+    (tools/sf1_sketch_check.py)."""
+    return (le_col >= F.floor((p_col - eps) * n_col)) & (
+        lt_col + 1 <= F.ceil((p_col + eps) * n_col)
+    )
+
+
+def hll_within_bound(approx_col, exact_col, rsd: float):
+    """Column: the HLL++ 3-sigma bound
+    ``|approx - exact| <= ceil(3 * rsd * exact)`` — shared by the gate
+    query and the sf1 certifier."""
+    return F.abs(approx_col - exact_col) <= F.ceil(
+        F.lit(3.0 * rsd) * exact_col
+    )
+
+
 @query(
     "events_value_quantile_sketch",
     oracle="""
@@ -96,11 +116,8 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "event_type",
         F.col("p").cast("double").alias("p"),
-        (
-            # rank interval of the returned element intersects the
-            # documented GK target interval [floor((p-eps)n), ceil((p+eps)n)]
-            (F.col("le") >= F.floor((F.col("p") - eps) * F.col("n")))
-            & (F.col("lt") + 1 <= F.ceil((F.col("p") + eps) * F.col("n")))
+        gk_rank_contract_ok(
+            F.col("p"), F.col("n"), F.col("lt"), F.col("le"), eps
         ).alias("within_bound"),
     )
 
@@ -151,9 +168,8 @@ def events_userday_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("exact_ud").cast("long").alias("exact_ud"),
-            (
-                F.abs(F.col("approx_ud") - F.col("exact_ud"))
-                <= F.ceil(F.lit(3.0 * HLL_RSD) * F.col("exact_ud"))
+            hll_within_bound(
+                F.col("approx_ud"), F.col("exact_ud"), HLL_RSD
             ).alias("within_bound"),
         )
     )

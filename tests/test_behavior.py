@@ -58,12 +58,6 @@ def test_recency_weighted_value_half_life(spark):
     half-life earlier (weight 0.5): decayed 10 + 5 = 15."""
     hl = int(DECAY_HALF_LIFE_DAYS)
     rows = [
-        (1, 7, "2024-03-01 12:00:00", "click", 10.0),
-        (2, 7, f"2024-{3 if hl < 29 else 4:02d}-01 12:00:00", "click", 10.0),
-    ]
-    # place the second event exactly hl days before 2024-03-15? simpler:
-    # event A on day X, event B on day X - hl.
-    rows = [
         (1, 7, "2024-03-15 12:00:00", "click", 10.0),
         (2, 7, "2024-03-01 08:00:00", "click", 10.0),  # 14 days earlier
     ]

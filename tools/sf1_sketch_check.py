@@ -46,6 +46,10 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from bigdata_covid19_real_time_spark import get_spark
+    from bigdata_covid19_real_time_spark.plans.sketch_bounds import (
+        gk_rank_contract_ok,
+        hll_within_bound,
+    )
 
     spark = get_spark(
         app_name="sf1-sketch-check",
@@ -102,12 +106,10 @@ def main() -> int:
         )
         .select(
             "g", "p", "n",
-            (F.col("le") >= F.floor((F.col("p") - eps) * F.col("n"))).alias(
-                "lo_ok"
-            ),
-            (F.col("lt") + 1 <= F.ceil((F.col("p") + eps) * F.col("n"))).alias(
-                "hi_ok"
-            ),
+            # the SAME contract predicate the gate query emits
+            gk_rank_contract_ok(
+                F.col("p"), F.col("n"), F.col("lt"), F.col("le"), eps
+            ).alias("ok"),
             # observed rank error (for the record, beyond the boolean)
             F.greatest(
                 F.col("lt") / F.col("n") - F.col("p"),
@@ -120,7 +122,7 @@ def main() -> int:
     worst = max(r["rank_err"] for r in stats)
     out["checks"]["gk_quantiles"] = {
         "n_contract_rows": len(stats),
-        "all_within_bound": all(r["lo_ok"] and r["hi_ok"] for r in stats),
+        "all_within_bound": all(r["ok"] for r in stats),
         "worst_rank_err": round(worst, 6),
         "eps_bound": eps,
         "group_n": stats[0]["n"],
@@ -136,16 +138,15 @@ def main() -> int:
             F.approx_count_distinct("ud", HLL_RSD).alias("a"),
             F.countDistinct("ud").alias("e"),
         )
+        # the SAME bound predicate the gate query emits
+        .withColumn("ok", hll_within_bound(F.col("a"), F.col("e"), HLL_RSD))
         .collect()
     )
     worst_rel = max(abs(r["a"] - r["e"]) / r["e"] for r in hll)
     out["checks"]["hll_distinct"] = {
         "groups": len(hll),
         "min_exact_cardinality": min(r["e"] for r in hll),
-        "all_within_3rsd": all(
-            abs(r["a"] - r["e"]) <= math.ceil(3 * HLL_RSD * r["e"])
-            for r in hll
-        ),
+        "all_within_3rsd": all(r["ok"] for r in hll),
         "worst_rel_err": round(worst_rel, 6),
         "bound_3rsd": 3 * HLL_RSD,
         "sec": round(time.time() - t0, 2),
