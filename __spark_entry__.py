@@ -102,6 +102,16 @@ GATE_PRIORITY = [
     "docs_dup_cluster_sizes",
     "embedding_norm_outliers",
     "user_event_runs",
+    # new this round (fifth batch): distribution-audit / feature
+    # statistics — lag-k autocorrelation, Benford leading-digit audit,
+    # smoothed target encoding, categorical mutual information, Gini
+    # revenue concentration, equi-width histogram
+    "events_daily_autocorr",
+    "orders_benford_audit",
+    "nation_order_target_encoding",
+    "events_type_dow_mutual_info",
+    "nation_customer_gini",
+    "lineitem_qty_histogram",
     # canaries from the long-green set
     "covid_clean",
     "docs_dedup_clusters",
