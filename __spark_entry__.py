@@ -112,6 +112,11 @@ GATE_PRIORITY = [
     "events_type_dow_mutual_info",
     "nation_customer_gini",
     "lineitem_qty_histogram",
+    # new this round (sixth batch): Kaplan-Meier fulfillment survival,
+    # WoE/IV categorical scorecard, PMI collocation mining
+    "orders_fulfillment_survival",
+    "brand_return_woe",
+    "docs_bigram_pmi",
     # canaries from the long-green set
     "covid_clean",
     "docs_dedup_clusters",

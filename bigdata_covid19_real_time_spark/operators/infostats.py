@@ -151,6 +151,109 @@ def autocorr_by_group(
     )
 
 
+def kaplan_meier(
+    df: DataFrame, group: str, duration: str, event: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group from one row per subject.
+
+    ``duration`` is a non-negative integer time-to-outcome; ``event`` is
+    1 for an observed event, 0 for right-censored.  Returns one row per
+    (group, observed time): (group, t, n_risk, d_events, c_censored,
+    survival double — unrounded), where n_risk counts subjects with
+    duration >= t and S(t) is the product-limit estimator.
+
+    Distributed form: one groupBy to (group, t) tallies, then three
+    windows per group over the |times|-row frame — at-risk via a
+    1-preceding cumulative, the product via exp(sum(ln(1 - d/n))) (a
+    cumulative SUM, unlike a product, is a built-in window aggregate),
+    and a cumulative max flag that pins S(t) to exactly 0 from the
+    first time where the whole risk set dies (ln(0) never evaluates —
+    the CASE guard skips it, matching the oracle's guard).
+    """
+    tallies = df.groupBy(group, F.col(duration).alias("t")).agg(
+        F.sum(F.col(event)).alias("d_events"),
+        F.sum(F.lit(1) - F.col(event)).alias("c_censored"),
+    )
+    wg = Window.partitionBy(group)
+    prev = (
+        Window.partitionBy(group)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        Window.partitionBy(group)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = tallies.withColumn(
+        "n_risk",
+        F.sum(F.col("d_events") + F.col("c_censored")).over(wg)
+        - F.coalesce(
+            F.sum(F.col("d_events") + F.col("c_censored")).over(prev),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "__term",
+        F.when(
+            F.col("d_events") < F.col("n_risk"),
+            F.log(F.lit(1.0) - F.col("d_events") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "__dead", F.max((F.col("d_events") >= F.col("n_risk")).cast("int")).over(cum)
+    )
+    return stepped.select(
+        group,
+        F.col("t").cast("long").alias("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_events").cast("long").alias("d_events"),
+        F.col("c_censored").cast("long").alias("c_censored"),
+        F.when(F.col("__dead") == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum("__term").over(cum)))
+        .alias("survival"),
+    )
+
+
+def woe_iv(df: DataFrame, cat: str, target: Column) -> DataFrame:
+    """Weight-of-evidence / information-value stats per category.
+
+    ``target`` is a boolean Column (TRUE = "bad"/positive class).
+    Returns (cat, n, n_bad bigint, bad_share, good_share, woe,
+    iv_contrib — unrounded doubles; WoE and IV are NULL for categories
+    missing one of the classes, where the log-odds are undefined).  The
+    dataset IV is the sum of ``iv_contrib``.  One fact shuffle (the
+    category groupBy); class totals are window sums over the category
+    frame — same single-scan shape as ``mutual_info_by_x``.
+    """
+    per_cat = df.groupBy(cat).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(target.cast("int")).alias("n_bad"),
+    )
+    wall = Window.partitionBy()
+    enriched = per_cat.select(
+        cat,
+        "n",
+        "n_bad",
+        (F.col("n") - F.col("n_bad")).alias("__n_good"),
+        F.sum("n_bad").over(wall).alias("__bad_tot"),
+        F.sum(F.col("n") - F.col("n_bad")).over(wall).alias("__good_tot"),
+    )
+    bad_share = F.col("n_bad") / F.col("__bad_tot")
+    good_share = F.col("__n_good") / F.col("__good_tot")
+    woe = F.when(
+        (F.col("n_bad") > 0) & (F.col("__n_good") > 0),
+        F.log(bad_share / good_share),
+    )
+    return enriched.select(
+        cat,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        bad_share.alias("bad_share"),
+        good_share.alias("good_share"),
+        woe.alias("woe"),
+        ((bad_share - good_share) * woe).alias("iv_contrib"),
+    )
+
+
 def _pair_corr(v: str, l: str) -> Column:
     """Pearson correlation over rows where BOTH columns are non-null,
     from when-guarded mergeable moments.

@@ -41,9 +41,12 @@ from pyspark.sql.window import Window
 from bigdata_covid19_real_time_spark.operators.infostats import (
     autocorr_by_group,
     gini_by_group,
+    kaplan_meier,
     leading_digit,
     mutual_info_by_x,
+    woe_iv,
 )
+from bigdata_covid19_real_time_spark.operators.text import tokens
 from bigdata_covid19_real_time_spark.plans.registry import query, stable_round
 from bigdata_covid19_real_time_spark.sources.batch import load_table
 
@@ -371,3 +374,244 @@ def lineitem_qty_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(cum) / F.sum("n").over(flag_tot), 6
         ).alias("cum_share"),
     )
+
+
+#: Minimum corpus support for a bigram to be a PMI collocation candidate.
+PMI_MIN_SUPPORT = 3
+
+#: Collocation report size.
+PMI_TOP_K = 50
+
+
+@query(
+    "orders_fulfillment_survival",
+    oracle="""
+    WITH subj AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(MAX(l.l_shipdate) AS DATE)) AS t,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderstatus,
+               o.o_orderdate
+    ),
+    tal AS (
+      SELECT o_orderpriority, t, SUM(ev) AS d, SUM(1 - ev) AS c
+      FROM subj GROUP BY 1, 2
+    ),
+    step AS (
+      SELECT o_orderpriority, t, d, c,
+             SUM(d + c) OVER (PARTITION BY o_orderpriority)
+             - COALESCE(SUM(d + c) OVER (
+                 PARTITION BY o_orderpriority ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM tal
+    ),
+    km AS (
+      SELECT o_orderpriority, t, d, c, n_risk,
+             CASE WHEN d < n_risk THEN LN(1.0 - d * 1.0 / n_risk)
+                  ELSE 0.0 END AS term,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+               PARTITION BY o_orderpriority ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+      FROM step
+    )
+    SELECT o_orderpriority, CAST(t AS BIGINT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(c AS BIGINT) AS c_censored,
+           ROUND(CASE WHEN dead = 1 THEN 0.0
+                 ELSE EXP(SUM(term) OVER (
+                   PARTITION BY o_orderpriority ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 END + 1e-9, 6) AS survival
+    FROM km
+    """,
+)
+def orders_fulfillment_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve of order fulfillment time per priority class:
+    duration = days from order date to last line-item shipment, with
+    non-finalized orders (status != 'F') right-censored at their last
+    observed shipment.  The product-limit estimator runs as
+    exp(cumulative-sum(ln(1 - d/n))) — a window SUM, since a window
+    PRODUCT isn't a built-in — with S(t) pinned to exactly 0 from the
+    first time the whole risk set dies (``operators/infostats.py:
+    kaplan_meier``).  One orders-lineitem shuffle join feeds the
+    subject frame; everything after runs on the tiny (priority x
+    duration) tally."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    subj = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate"
+        )
+        .agg(F.max("l_shipdate").alias("__ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("__ship", "o_orderdate").alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+        )
+    )
+    km = kaplan_meier(subj, "o_orderpriority", "t", "ev")
+    return km.select(
+        "o_orderpriority",
+        "t",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        stable_round(F.col("survival"), 6).alias("survival"),
+    )
+
+
+@query(
+    "brand_return_woe",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    per_cat AS (
+      SELECT p_brand, COUNT(*) AS n, SUM(bad) AS n_bad FROM j GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n_bad) AS bad_tot, SUM(n - n_bad) AS good_tot FROM per_cat
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_bad AS BIGINT) AS n_bad,
+           ROUND(n_bad * 1.0 / bad_tot + 1e-9, 6) AS bad_share,
+           ROUND((n - n_bad) * 1.0 / good_tot + 1e-9, 6) AS good_share,
+           ROUND(CASE WHEN n_bad > 0 AND n - n_bad > 0
+                 THEN LN((n_bad * 1.0 / bad_tot)
+                         / ((n - n_bad) * 1.0 / good_tot)) END
+                 + 1e-9, 6) AS woe,
+           ROUND(CASE WHEN n_bad > 0 AND n - n_bad > 0
+                 THEN (n_bad * 1.0 / bad_tot - (n - n_bad) * 1.0 / good_tot)
+                      * LN((n_bad * 1.0 / bad_tot)
+                           / ((n - n_bad) * 1.0 / good_tot)) END
+                 + 1e-9, 8) AS iv_contrib
+    FROM per_cat CROSS JOIN tot
+    """,
+)
+def brand_return_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence scorecard of part brand against the
+    line-item-returned target (l_returnflag = 'R'): per-brand WoE
+    log-odds and information-value contribution (sum = the feature's
+    IV).  The credit-scoring-style categorical relevance stat that
+    complements ``nation_order_target_encoding``'s mean encoding.  One
+    lineitem-part join and ONE category shuffle; class totals are
+    window sums over the 25-row brand frame
+    (``operators/infostats.py:woe_iv``)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand", (F.col("l_returnflag") == "R").alias("__bad")
+    )
+    w = woe_iv(j, "p_brand", F.col("__bad"))
+    return w.select(
+        "p_brand",
+        "n",
+        "n_bad",
+        stable_round(F.col("bad_share"), 6).alias("bad_share"),
+        stable_round(F.col("good_share"), 6).alias("good_share"),
+        stable_round(F.col("woe"), 6).alias("woe"),
+        stable_round(F.col("iv_contrib"), 8).alias("iv_contrib"),
+    )
+
+
+@query(
+    "docs_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+    ),
+    pairs AS (
+      SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
+      FROM toks, unnest(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY 1, 2),
+    alltoks AS (SELECT u.x AS term FROM toks, unnest(tk) AS u(x)),
+    uni AS (SELECT term, COUNT(*) AS c1 FROM alltoks GROUP BY 1),
+    tot AS (SELECT SUM(c1) AS n FROM uni)
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(LN(n_pair * 1.0 * t.n / (u1.c1 * u2.c1)) + 1e-9, 6) AS pmi
+    FROM c12
+    JOIN uni u1 ON u1.term = c12.w1
+    JOIN uni u2 ON u2.term = c12.w2
+    CROSS JOIN tot t
+    WHERE n_pair >= {PMI_MIN_SUPPORT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def docs_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: corpus bigrams
+    with support >= {PMI_MIN_SUPPORT}, scored ln(c12 * N / (c1 * c2))
+    — the classic collocation miner (Church & Hanks) a tokenizer
+    pipeline uses to pick merge-worthy phrases.  Two corpus explodes
+    (pair counts + unigram marginals — an honest two-pass; persisting
+    the token frame would trade memory for the second scan), two
+    term-keyed joins, broadcast total.  The top-k cut sorts on the
+    ROUNDED score (both engines), so cross-engine libm noise in ln
+    cannot flip the boundary; ties break lexicographically, and Spark
+    plans it as TakeOrderedAndProject (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(tokens("text").alias("__t"))
+    pairs = (
+        toks.filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i).alias("w1"),
+                        F.element_at("__t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_SUPPORT)
+    )
+    uni = (
+        toks.select(F.explode("__t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").alias("n"))
+    scored = (
+        c12.join(uni.select(F.col("term").alias("w1"), F.col("c1").alias("__c1w1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c1").alias("__c1w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            stable_round(
+                F.log(
+                    F.col("n_pair")
+                    * F.lit(1.0)
+                    * F.col("n")
+                    / (F.col("__c1w1") * F.col("__c1w2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(PMI_TOP_K)

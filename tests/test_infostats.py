@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 from bigdata_covid19_real_time_spark.operators.infostats import (
     autocorr_by_group,
     gini_by_group,
+    kaplan_meier,
     leading_digit,
     mutual_info_by_x,
+    woe_iv,
 )
 
 
@@ -113,3 +115,44 @@ def test_autocorr_constant_series_is_null_and_lag7_periodicity(spark):
     }
     assert got["c"]["ac_lag1"] is None  # zero variance
     assert got["p"]["ac_lag7"] == pytest.approx(1.0, abs=1e-12)
+
+
+# ----------------------------------------------------- Kaplan-Meier
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    # subjects: t=1 event, t=2 censored, t=3 event, t=4 censored
+    rows = [("g", 1, 1), ("g", 2, 0), ("g", 3, 1), ("g", 4, 0)]
+    df = spark.createDataFrame(rows, "grp string, t int, ev int")
+    got = {r["t"]: r for r in kaplan_meier(df, "grp", "t", "ev").collect()}
+    assert [got[t]["n_risk"] for t in (1, 2, 3, 4)] == [4, 3, 2, 1]
+    assert got[1]["survival"] == pytest.approx(0.75)
+    assert got[2]["survival"] == pytest.approx(0.75)  # censor: flat
+    assert got[3]["survival"] == pytest.approx(0.375)  # 3/4 * 1/2
+    assert got[4]["survival"] == pytest.approx(0.375)
+
+
+def test_kaplan_meier_whole_risk_set_dies_pins_zero(spark):
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 2, 1), ("g", 2, 1)]
+    df = spark.createDataFrame(rows, "grp string, t int, ev int")
+    got = {r["t"]: r for r in kaplan_meier(df, "grp", "t", "ev").collect()}
+    assert got[1]["survival"] == pytest.approx(0.75)
+    assert got[2]["survival"] == 0.0  # exactly 0, not exp(ln(0))
+
+
+# ------------------------------------------------------------- WoE/IV
+
+
+def test_woe_known_answer_and_single_class_null(spark):
+    # A: 5 bad / 5 good; B: 0 bad / 10 good -> B has no log-odds
+    rows = [("A", True)] * 5 + [("A", False)] * 5 + [("B", False)] * 10
+    df = spark.createDataFrame(rows, "cat string, bad boolean")
+    got = {r["cat"]: r for r in woe_iv(df, "cat", F.col("bad")).collect()}
+    assert got["B"]["woe"] is None and got["B"]["iv_contrib"] is None
+    # A: bad_share = 5/5 = 1, good_share = 5/15 -> woe = ln(3)
+    assert got["A"]["bad_share"] == pytest.approx(1.0)
+    assert got["A"]["good_share"] == pytest.approx(1.0 / 3.0)
+    assert got["A"]["woe"] == pytest.approx(math.log(3.0), abs=1e-12)
+    assert got["A"]["iv_contrib"] == pytest.approx(
+        (1.0 - 1.0 / 3.0) * math.log(3.0), abs=1e-12
+    )
