@@ -353,3 +353,130 @@ def streaming_drift_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: sessionize state: open session (start, last_ts, n_events, sum_value)
+#: plus the next session sequence number; n_events = 0 <=> no open session.
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", DoubleType()),
+        StructField("last_ts", DoubleType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("next_seq", LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_seq", LongType()),
+        StructField("session_start", DoubleType()),
+        StructField("session_end", DoubleType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("duration_sec", DoubleType()),
+    ]
+)
+
+
+def _sessionize_update(gap_sec: float):
+    """Build the per-key sessionize update function (gap captured)."""
+
+    def update(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            start, last, n_ev, s_val, seq = state.get
+        else:
+            start, last, n_ev, s_val, seq = 0.0, 0.0, 0, 0.0, 0
+
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                if pd.isna(ts):
+                    continue
+                ts = float(ts)
+                v = 0.0 if pd.isna(v) else float(v)
+                if n_ev == 0:
+                    start, last, n_ev, s_val = ts, ts, 1, v
+                elif ts - last > gap_sec:
+                    closed.append(
+                        (key[0], seq, start, last, n_ev, s_val, last - start)
+                    )
+                    seq += 1
+                    start, last, n_ev, s_val = ts, ts, 1, v
+                else:
+                    # late rows (ts <= last) fold into the open session
+                    last = max(last, ts)
+                    n_ev += 1
+                    s_val += v
+        state.update((start, last, n_ev, s_val, seq))
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "key",
+                "session_seq",
+                "session_start",
+                "session_end",
+                "n_events",
+                "sum_value",
+                "duration_sec",
+            ],
+        ).astype(
+            {
+                "key": "string",
+                "session_seq": "int64",
+                "session_start": "float64",
+                "session_end": "float64",
+                "n_events": "int64",
+                "sum_value": "float64",
+                "duration_sec": "float64",
+            }
+        )
+
+    return update
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_sec: float = 1800.0,
+) -> DataFrame:
+    """Cross-batch gap sessionization: per key, events closer than
+    ``gap_sec`` chain into one session; a larger gap closes the open
+    session (emitted with start/end/count/sum/duration) and opens a new
+    one.  Sessions SURVIVE micro-batch boundaries — the open session
+    rides the state store until a gap-exceeding event closes it, which
+    the built-in ``session_window`` aggregate also achieves, but this
+    operator additionally emits the per-session event count, value sum,
+    and a stable per-key session sequence number, and tolerates
+    unordered arrivals by folding late rows (ts <= last seen) into the
+    open session instead of corrupting the window assignment.
+
+    Why stateful: session membership is an order-dependent recurrence
+    over unbounded history (exactly like the EWMA above).  State is
+    O(1) per key — the OPEN session's 5 numbers, never the event list —
+    so the store is bounded by key cardinality.  Output mode
+    ``append``: closed sessions are immutable facts.  The final open
+    session is deliberately never emitted (no timeout) — at 100 TB the
+    operator runs with a watermark-driven close in the caller's
+    trigger cadence or a terminal flush batch.
+    """
+    from pyspark.sql import functions as F
+
+    projected = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("key").isNotNull())
+    return projected.groupBy("key").applyInPandasWithState(
+        _sessionize_update(gap_sec),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
