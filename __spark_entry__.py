@@ -117,6 +117,11 @@ GATE_PRIORITY = [
     "orders_fulfillment_survival",
     "brand_return_woe",
     "docs_bigram_pmi",
+    # new this round (seventh batch): Zipf rank-frequency fit, Welch
+    # pairwise two-sample tests, cohort LTV curve
+    "docs_zipf_fit",
+    "event_value_welch",
+    "cohort_ltv_curve",
     # canaries from the long-green set
     "covid_clean",
     "docs_dedup_clusters",

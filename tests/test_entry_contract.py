@@ -129,8 +129,8 @@ def test_gate_window_prioritizes_unverified_queries():
     n = len(entry_mod.GATE_PRIORITY)
     # 17 never-certified + 3 new r5 queries + 6 second-batch + 5
     # third-batch + 5 fourth-batch + 6 fifth-batch + 3 sixth-batch
-    # r5 queries + 2 canaries
-    assert n == 47
+    # + 3 seventh-batch r5 queries + 2 canaries
+    assert n == 50
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
