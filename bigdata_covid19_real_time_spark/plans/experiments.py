@@ -151,10 +151,10 @@ def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade relevance against redundancy — round t picks
     argmax lambda*cos(q,d) - (1-lambda)*max_s cos(d,s) over the
     already-selected set.  The corpus-wide pass is one broadcast-query
-    cosine scan + TakeOrderedAndProject top-{MMR_POOL}; the fixed
-    {MMR_ROUNDS}-round greedy loop then runs on the pool-sized frame
-    (pairwise grid {MMR_POOL}^2 rows), unrolled — no collect, no UDF.
-    Diversification cost is independent of corpus size."""
+    cosine scan + TakeOrderedAndProject top-{MMR_POOL}; the greedy
+    {MMR_ROUNDS}-round rerank then runs driver-side on the collected
+    pool — bounded at {MMR_POOL} rows by construction (see the inline
+    note).  Diversification cost is independent of corpus size."""
     lam = MMR_LAMBDA
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -178,64 +178,62 @@ def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_r").desc(), F.col("vec_id").asc())
         .limit(MMR_POOL)
     )
-    a = cand.select(
-        F.col("vec_id").alias("ai"), F.col("v").alias("av"), "cos_r"
-    )
-    b = cand.select(F.col("vec_id").alias("bi"), F.col("v").alias("bv"))
-    pair = (
-        a.join(b, F.col("ai") != F.col("bi"))
-        .select(
-            "ai",
-            "bi",
-            stable_round(
-                dot(F.col("av"), F.col("bv"))
-                / (l2_norm(F.col("av")) * l2_norm(F.col("bv"))),
-                6,
-            ).alias("pc"),
-        )
-    )
-    scored = cand.select("vec_id", "cos_r")
+    # ONE corpus scan ends the distributed part: the pool is bounded at
+    # MMR_POOL rows by the constant above, so the greedy rerank is a
+    # driver-side loop over <= MMR_POOL^2 pairwise cosines (the
+    # documented bounded-driver-fast-path pattern of operators/bpe.py /
+    # components.py — a fully-lazy DataFrame unroll re-planned the
+    # corpus-cosine subtree once per round, 44 exchanges for a 10-row
+    # rerank, and a re-parallelized local frame pays the Python
+    # data-shipping cost on every job).  Arithmetic replicates the
+    # oracle exactly: every cosine is rounded to 6dp (the +1e-9 shift
+    # keeps all three engines off round-half boundaries) before any
+    # comparison, and ties break on vec_id.
+    pool = cand.collect()
+    cos_r = {r["vec_id"]: r["cos_r"] for r in pool}
+    vecs = {r["vec_id"]: r["v"] for r in pool}
 
-    def _argmax(df: DataFrame) -> DataFrame:
-        return df.orderBy(
-            F.col("mmr_score").desc(), F.col("vec_id").asc()
-        ).limit(1)
+    def _pc(x: list[float], y: list[float]) -> float:
+        dp = sum(a * b for a, b in zip(x, y))
+        nx = sum(a * a for a in x) ** 0.5
+        ny = sum(b * b for b in y) ** 0.5
+        raw = dp / (nx * ny) if nx > 0 and ny > 0 else 0.0
+        return round(raw + 1e-9, 6)
 
-    s1 = _argmax(
-        scored.select(
-            "vec_id", "cos_r", stable_round(F.lit(lam) * F.col("cos_r"), 6).alias("mmr_score")
-        )
-    )
-    picks = [s1]
-    for _ in range(MMR_ROUNDS - 1):
-        sel = picks[0]
-        for p in picks[1:]:
-            sel = sel.unionByName(p)
-        sel_ids = sel.select(F.col("vec_id").alias("bi"))
-        nxt = _argmax(
-            scored.join(sel_ids.withColumnRenamed("bi", "vec_id"), "vec_id", "left_anti")
-            .join(pair.join(sel_ids, "bi").select("ai", "pc"), F.col("vec_id") == F.col("ai"))
-            .groupBy("vec_id", "cos_r")
-            .agg(F.max("pc").alias("pen"))
-            .select(
-                "vec_id",
-                "cos_r",
-                stable_round(
-                    F.lit(lam) * F.col("cos_r") - F.lit(1 - lam) * F.col("pen"), 6
-                ).alias("mmr_score"),
+    selected: list[tuple[int, float]] = []  # (vec_id, mmr_score)
+    remaining = sorted(cos_r)
+    for _ in range(min(MMR_ROUNDS, len(remaining))):
+        best = None
+        for vid in remaining:
+            if not selected:
+                score = round(lam * cos_r[vid] + 1e-9, 6)
+            else:
+                pen = max(_pc(vecs[vid], vecs[sid]) for sid, _ in selected)
+                score = round(lam * cos_r[vid] - (1 - lam) * pen + 1e-9, 6)
+            if best is None or score > best[1] or (score == best[1] and vid < best[0]):
+                best = (vid, score)
+        selected.append(best)
+        remaining.remove(best[0])
+    # Return a JVM-side literal plan (explode of a literal struct
+    # array): unlike a re-parallelized Python frame, actions on it do
+    # not re-ship pickled data, so downstream consumers pay no
+    # per-job overhead.
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("rank"),
+                F.lit(vid).cast("long").alias("vec_id"),
+                F.lit(cos_r[vid]).alias("cosine"),
+                F.lit(score).alias("mmr_score"),
             )
-        )
-        picks.append(nxt)
-    out = None
-    for i, p in enumerate(picks, start=1):
-        row = p.select(
-            F.lit(i).cast("long").alias("rank"),
-            "vec_id",
-            F.col("cos_r").alias("cosine"),
-            "mmr_score",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+            for i, (vid, score) in enumerate(selected)
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(rows).alias("x"))
+        .select("x.rank", "x.vec_id", "x.cosine", "x.mmr_score")
+    )
 
 
 @query(
