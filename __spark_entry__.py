@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (192 queries covering SURVEY.md §2 plus
+engine's registered query surface (194 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -43,7 +43,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #:
 #: ROUND-6 ROTATION NOTE: if CORRECTNESS_r05 certifies this window,
 #: every query registered BEFORE the late-round-5 batches has a green
-#: driver row.  Round 6 must put the 19 late-round-5 registrations
+#: driver row.  Round 6 must put the 21 late-round-5 registrations
 #: first (selfcheck-green x2 SFs, never driver-checked):
 #: `events_value_ewma`, `customer_priority_scd2`,
 #: `brand_winsorized_stats`, `customer_kfold_balance`,
@@ -53,7 +53,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: `docs_langid_confusion`, `docs_shard_manifest`,
 #: `events_entropy_rate`, `events_power_analysis`,
 #: `events_session_bounce`, `star_schema_integrity`,
-#: `events_wau_mau_stickiness`, `orders_repeat_intervals` — then
+#: `events_wau_mau_stickiness`, `orders_repeat_intervals`,
+#: `events_theilsen_trend`, `brand_item_cf_similarity` — then
 #: rotate a
 #: fresh slice of the long-certified set (oldest driver row first) as
 #: re-validation canaries.
