@@ -1,0 +1,245 @@
+#!/usr/bin/env python3
+"""sf0.1 -> sf1 timing audit for the late-round-5 query families
+(feature engineering, experimentation, evaluation, product metrics,
+governance, mining).
+
+SF1TIMING.json covers the documents/embeddings heavies; this tool
+extends the scaling evidence to the families that read the
+events/orders/lineitem tables, which the driver ships only up to
+sf0.1.  It generates a seeded 10x synthetic twin of the relational
+tables (row counts 10x sf0.1; value/date/key distributions modeled on
+the driver corpus: 30-day event span, uniform keys, 25 brands, 5
+segments/priorities/event types) plus the existing sf1 document
+corpus (sf1_neardup_check.generate — 310-word vocab caveat recorded
+there), then times each query at sf0.1 and sf1 with bench.py's
+methodology: warmed session, per-query warm-up at sf0.001, min-of-2,
+collect-to-noop.
+
+The honest-ratio caveat from sf1_timing.py applies: distributions are
+approximate, so ratios certify the SCALING SHAPE (a quadratic plan
+shows far above 10x; the ~2 s fixed job overhead at these sizes pulls
+honest linear ratios well BELOW 10), not absolute parity with driver
+data.
+
+Writes SF1NEW.json at the repo root; run with the repo on PYTHONPATH:
+    python tools/sf1_extended_check.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+SF1_DIR = os.environ.get("SF1X_DIR", "/tmp/sf1_extended")
+SF01_DIR = "/root/testdata/sf0.1"
+WARM_DIR = "/root/testdata/sf0.001"
+
+#: The late-round-5 registrations (see __spark_entry__.py's rotation
+#: note) — every query new since the frozen-161 series.
+NEW_QUERIES = [
+    "events_value_ewma",
+    "customer_priority_scd2",
+    "brand_winsorized_stats",
+    "customer_kfold_balance",
+    "docs_readability",
+    "docs_posting_lists",
+    "embedding_mmr_topk",
+    "events_walkforward_folds",
+    "events_value_bootstrap_ci",
+    "events_cuped_adjustment",
+    "embedding_hard_negatives",
+    "docs_langid_confusion",
+    "docs_shard_manifest",
+    "events_entropy_rate",
+    "events_power_analysis",
+    "events_session_bounce",
+    "star_schema_integrity",
+    "events_wau_mau_stickiness",
+    "orders_repeat_intervals",
+    "events_theilsen_trend",
+    "brand_item_cf_similarity",
+]
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+ETYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def generate_relational(out_dir: str) -> float:
+    """10x-sf0.1 synthetic relational twin (seeded, numpy-vectorized)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = time.time()
+    rng = np.random.default_rng(77)
+    os.makedirs(out_dir, exist_ok=True)
+
+    n_cust, n_supp, n_part = 150_000, 10_000, 200_000
+    n_orders, n_li_per = 1_500_000, 4
+    n_events, n_users, span_days = 1_000_000, 15_000, 30
+
+    def w(name, table):
+        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+
+    w("region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": [f"REGION{i}" for i in range(5)],
+    }))
+    w("nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+    w("customer", pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": [f"Customer#{i}" for i in range(n_cust)],
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+        "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]),
+    }))
+    w("supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": [f"Supplier#{i}" for i in range(n_supp)],
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
+    }))
+    w("part", pa.table({
+        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        "p_name": [f"part name {i}" for i in range(n_part)],
+        "p_brand": pa.array([f"Brand#{(i % 25) + 11}" for i in
+                             rng.integers(0, 25, n_part)]),
+        "p_type": pa.array([f"TYPE {i}" for i in rng.integers(0, 6, n_part)]),
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": np.round(rng.uniform(900, 2000, n_part), 2),
+    }))
+
+    base = np.datetime64("1995-01-01", "us")
+    odate = base + (
+        rng.integers(0, 2400, n_orders) * np.int64(86_400_000_000)
+    ).astype("timedelta64[us]")
+    w("orders", pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_orders), pa.int64()),
+        "o_orderstatus": pa.array(np.array(["F", "O", "P"])[
+            rng.integers(0, 3, n_orders)]),
+        "o_totalprice": np.round(rng.uniform(1000, 500_000, n_orders), 2),
+        "o_orderdate": pa.array(odate, pa.timestamp("us")),
+        "o_orderpriority": pa.array(np.array(PRIORITIES)[
+            rng.integers(0, 5, n_orders)]),
+    }))
+
+    n_li = n_orders * n_li_per
+    li_ok = np.repeat(np.arange(n_orders), n_li_per)
+    shipd = odate[li_ok] + (
+        rng.integers(1, 121, n_li) * np.int64(86_400_000_000)
+    ).astype("timedelta64[us]")
+    w("lineitem", pa.table({
+        "l_orderkey": pa.array(li_ok, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(np.tile(np.arange(1, n_li_per + 1), n_orders),
+                                 pa.int32()),
+        "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
+        "l_extendedprice": np.round(rng.uniform(900, 100_000, n_li), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2),
+        "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[
+            rng.integers(0, 3, n_li)]),
+        "l_linestatus": pa.array(np.array(["F", "O"])[
+            rng.integers(0, 2, n_li)]),
+        "l_shipdate": pa.array(shipd, pa.timestamp("us")),
+    }))
+
+    ebase = np.datetime64("2024-01-01", "us")
+    ets = ebase + rng.integers(
+        0, span_days * 86_400_000_000, n_events
+    ).astype("timedelta64[us]")
+    w("events", pa.table({
+        "event_id": pa.array(np.arange(n_events), pa.int64()),
+        "ts": pa.array(ets, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
+        "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, n_events)]),
+        "value": np.round(np.abs(rng.normal(40, 35, n_events)), 2),
+        "props": pa.array([f'{{"k": {int(k)}}}' for k in
+                           rng.integers(0, 100, n_events)]),
+    }))
+    return time.time() - t0
+
+
+def main() -> int:
+    from sf1_neardup_check import generate as generate_docs
+
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+    from bigdata_covid19_real_time_spark.session import get_spark
+
+    gen_sec = 0.0
+    if not os.path.exists(os.path.join(SF1_DIR, "events.parquet")):
+        gen_sec = generate_relational(SF1_DIR)
+    if not os.path.exists(os.path.join(SF1_DIR, "documents.parquet")):
+        t0 = time.time()
+        generate_docs(SF1_DIR)
+        gen_sec += time.time() - t0
+
+    spark = get_spark(
+        app_name="sf1-extended",
+        master="local[" + os.environ.get("SPARK_GRAFT_CPUS", "32") + "]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        extra_conf={
+            "spark.cleaner.periodicGC.interval": "60s",
+            # see sf1_timing.py: small single-file corpora read as few
+            # splits at the default 128 MB and serialize the cores
+            "spark.sql.files.maxPartitionBytes": "4m",
+        },
+    )
+
+    def timed(name: str, sf_dir: str) -> float:
+        QUERIES[name](spark, WARM_DIR).collect()  # warm the plan shape
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        spark.catalog.clearCache()
+        return round(best, 3)
+
+    report: dict = {
+        "dir": SF1_DIR,
+        "generator_sec": round(gen_sec, 1),
+        "method": "warmed session, warm-up at sf0.001, min-of-2 per SF",
+        "caveat": (
+            "sf1 relational tables are a seeded synthetic 10x twin "
+            "(distributions approximate; 310-word doc vocab per "
+            "sf1_neardup_check) — ratios certify scaling shape, and the "
+            "~2s fixed job overhead pulls honest linear ratios below 10"
+        ),
+        "queries": {},
+    }
+    for name in NEW_QUERIES:
+        t01 = timed(name, SF01_DIR)
+        t1 = timed(name, SF1_DIR)
+        ratio = round(t1 / t01, 2) if t01 > 0 else None
+        report["queries"][name] = {
+            "sf0.1_sec": t01,
+            "sf1_sec": t1,
+            "ratio": ratio,
+        }
+        print(f"{name}: sf0.1 {t01}s -> sf1 {t1}s (x{ratio})", flush=True)
+
+    out = os.path.join(REPO, "SF1NEW.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
