@@ -233,6 +233,49 @@ FROZEN_R5_APPENDIX = [
     "user_event_runs",
 ]
 
+#: Round-5's late tail, FROZEN at the end of round 5 (second pin — the
+#: registry kept growing after FROZEN_R5_APPENDIX was cut): the 33
+#: timed queries registered after the frozen-161 series, in their
+#: registration (= bench loop) order.  ``... + FROZEN_R5B_APPENDIX``
+#: (193 timed; the 194-registry series minus the documented EXCLUDED
+#: fixture) is reported as ``frozen194_total_sec`` so round 6 has a
+#: clean comparable for the full round-5 registry.
+FROZEN_R5B_APPENDIX = [
+    "events_daily_autocorr",
+    "orders_benford_audit",
+    "nation_order_target_encoding",
+    "events_type_dow_mutual_info",
+    "nation_customer_gini",
+    "lineitem_qty_histogram",
+    "orders_fulfillment_survival",
+    "brand_return_woe",
+    "docs_bigram_pmi",
+    "docs_zipf_fit",
+    "event_value_welch",
+    "cohort_ltv_curve",
+    "events_value_ewma",
+    "customer_priority_scd2",
+    "brand_winsorized_stats",
+    "customer_kfold_balance",
+    "docs_readability",
+    "docs_posting_lists",
+    "embedding_mmr_topk",
+    "events_walkforward_folds",
+    "events_value_bootstrap_ci",
+    "events_cuped_adjustment",
+    "embedding_hard_negatives",
+    "docs_langid_confusion",
+    "docs_shard_manifest",
+    "events_entropy_rate",
+    "events_power_analysis",
+    "events_session_bounce",
+    "star_schema_integrity",
+    "events_wau_mau_stickiness",
+    "orders_repeat_intervals",
+    "events_theilsen_trend",
+    "brand_item_cf_similarity",
+]
+
 
 def _headline() -> list[str]:
     """The frozen round-3 order, the frozen round-4 and round-5
@@ -240,7 +283,12 @@ def _headline() -> list[str]:
     EXCLUDED set) in registration order."""
     from bigdata_covid19_real_time_spark.plans import QUERIES
 
-    pinned = FROZEN_HEADLINE_ORDER + FROZEN_R4_APPENDIX + FROZEN_R5_APPENDIX
+    pinned = (
+        FROZEN_HEADLINE_ORDER
+        + FROZEN_R4_APPENDIX
+        + FROZEN_R5_APPENDIX
+        + FROZEN_R5B_APPENDIX
+    )
     missing = [n for n in pinned if n not in QUERIES]
     if missing:
         raise RuntimeError(f"frozen bench queries left the registry: {missing}")
@@ -360,6 +408,11 @@ def main() -> None:
     frozen161_total = round(
         sum(timings[n] for n in frozen161_names if n in timings), 3
     )
+    # comparable-to-r5-final subset: the r5 series + the late-r5 appendix
+    frozen194_names = frozen161_names + FROZEN_R5B_APPENDIX
+    frozen194_total = round(
+        sum(timings[n] for n in frozen194_names if n in timings), 3
+    )
 
     # full detail goes to disk, round-stamped (r2's all-queries stdout
     # line exceeded the driver's tail capture and lost the headline)
@@ -391,7 +444,9 @@ def main() -> None:
                 "frozen142_n": sum(1 for n in frozen142_names if n in timings),
                 "frozen161_total_sec": frozen161_total,
                 "frozen161_n": sum(1 for n in frozen161_names if n in timings),
-                "order": "frozen r3 list + frozen r4/r5 appendices + newer registrations appended",
+                "frozen194_total_sec": frozen194_total,
+                "frozen194_n": sum(1 for n in frozen194_names if n in timings),
+                "order": "frozen r3 list + frozen r4/r5/r5b appendices + newer registrations appended",
                 "excluded": EXCLUDED,
                 "queries": timings,
                 "scale": {
@@ -422,6 +477,7 @@ def main() -> None:
                 "frozen_total_sec": frozen_total,
                 "frozen142_total_sec": frozen142_total,
                 "frozen161_total_sec": frozen161_total,
+                "frozen194_total_sec": frozen194_total,
                 "excluded": sorted(EXCLUDED),
                 "queries": heaviest,
                 "detail_file": os.path.basename(detail_path),
