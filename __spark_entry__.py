@@ -54,7 +54,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: `events_entropy_rate`, `events_power_analysis`,
 #: `events_session_bounce`, `star_schema_integrity`,
 #: `events_wau_mau_stickiness`, `orders_repeat_intervals`,
-#: `events_theilsen_trend`, `brand_item_cf_similarity` — then
+#: `events_theilsen_trend`, `brand_item_cf_similarity`,
+#: `lineitem_discount_auc`, `embedding_retrieval_metrics`,
+#: `events_click_calibration`, `docs_rater_kappa` — then
 #: rotate a
 #: fresh slice of the long-certified set (oldest driver row first) as
 #: re-validation canaries.
