@@ -56,7 +56,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: `events_wau_mau_stickiness`, `orders_repeat_intervals`,
 #: `events_theilsen_trend`, `brand_item_cf_similarity`,
 #: `lineitem_discount_auc`, `embedding_retrieval_metrics`,
-#: `events_click_calibration`, `docs_rater_kappa` — then
+#: `events_click_calibration`, `docs_rater_kappa`,
+#: `docs_temperature_mix_plan`, `customer_retention_triangle`,
+#: `events_neyman_allocation`, `events_ab_srm_check` — then
 #: rotate a
 #: fresh slice of the long-certified set (oldest driver row first) as
 #: re-validation canaries.
