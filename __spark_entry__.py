@@ -58,7 +58,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: `lineitem_discount_auc`, `embedding_retrieval_metrics`,
 #: `events_click_calibration`, `docs_rater_kappa`,
 #: `docs_temperature_mix_plan`, `customer_retention_triangle`,
-#: `events_neyman_allocation`, `events_ab_srm_check` — then
+#: `events_neyman_allocation`, `events_ab_srm_check`,
+#: `lineitem_pit_priority_mix`, `user_erasure_audit`,
+#: `brand_copurchase_communities` — then
 #: rotate a
 #: fresh slice of the long-certified set (oldest driver row first) as
 #: re-validation canaries.
