@@ -60,7 +60,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: `docs_temperature_mix_plan`, `customer_retention_triangle`,
 #: `events_neyman_allocation`, `events_ab_srm_check`,
 #: `lineitem_pit_priority_mix`, `user_erasure_audit`,
-#: `brand_copurchase_communities` — then
+#: `brand_copurchase_communities`, `events_funnel_conversion`,
+#: `customer_growth_accounting`, `brand_price_elasticity` — then
 #: rotate a
 #: fresh slice of the long-certified set (oldest driver row first) as
 #: re-validation canaries.
