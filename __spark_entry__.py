@@ -61,7 +61,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: `events_neyman_allocation`, `events_ab_srm_check`,
 #: `lineitem_pit_priority_mix`, `user_erasure_audit`,
 #: `brand_copurchase_communities`, `events_funnel_conversion`,
-#: `customer_growth_accounting`, `brand_price_elasticity` — then
+#: `customer_growth_accounting`, `brand_price_elasticity`,
+#: `events_seasonal_decomposition`, `events_audience_overlap_hll` —
+#: then
 #: rotate a
 #: fresh slice of the long-certified set (oldest driver row first) as
 #: re-validation canaries.
