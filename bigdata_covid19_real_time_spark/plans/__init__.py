@@ -50,6 +50,7 @@ from bigdata_covid19_real_time_spark.plans import mix_planning  # noqa: F401,E40
 from bigdata_covid19_real_time_spark.plans import stewardship  # noqa: F401,E402
 from bigdata_covid19_real_time_spark.plans import growth  # noqa: F401,E402
 from bigdata_covid19_real_time_spark.plans import series_sketch  # noqa: F401,E402
+from bigdata_covid19_real_time_spark.plans import state_replay  # noqa: F401,E402
 from bigdata_covid19_real_time_spark.plans.registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]
