@@ -116,31 +116,29 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 5 rotates the 17 queries that have
-    never received a green driver row (15 round-4 registrations + the
-    two round-1 casualties) into that window with two long-green
-    canaries; every one is oracle-backed — including ``docs_bpe_vocab``,
-    whose fixed 8-merge loop gained an unrolled DuckDB oracle this
-    round — and oracle_sql() iterates in the same order so the driver
-    sees identical windows from both."""
+    queries() in dict order.  Round 6 rotates the exact remainder of
+    the registry into that window: the 37 late-round-5 registrations
+    that have never received a green driver row, the 3 new state-store
+    replay queries (the first driver-visible shape for the
+    applyInPandasWithState family), and 4 canaries rotated from the
+    OLDEST green driver rows (round 1).  oracle_sql() iterates in the
+    same order so the driver sees identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 17 never-certified + 3 new r5 queries + 6 second-batch + 5
-    # third-batch + 5 fourth-batch + 6 fifth-batch + 3 sixth-batch
-    # + 3 seventh-batch r5 queries + 2 canaries
-    assert n == 50
+    # 37 never-certified late-r5 + 3 round-6 state replays + 4 canaries
+    assert n == 44
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
-    # the two r1 casualties the r4 rotation note missed, plus canaries
+    # the state-replay family (round-6 additions) plus rotated canaries
     for must in (
-        "daily_event_summary_sketch",
-        "user_event_type_sets",
-        "docs_bpe_vocab",
-        "covid_clean",
-        "docs_dedup_clusters",
+        "events_sessionize_replay",
+        "events_mg_heavy_hitters_replay",
+        "events_drift_monitor_replay",
+        "covid_predict",
+        "docs_exact_dedup",
     ):
         assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)

@@ -1,0 +1,261 @@
+"""State-store replay certification queries (plans/state_replay.py).
+
+The core claim these tests pin: replaying epochs through the REAL
+``applyInPandasWithState`` update closures with the ``_ReplayState``
+shim computes exactly what a streaming run computes over the same
+micro-batch sequence — so the driver-gated batch queries genuinely
+certify the streaming operators' cross-batch semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bigdata_covid19_real_time_spark.plans.state_replay import (
+    DRIFT_H,
+    DRIFT_K,
+    MG_CAPACITY,
+    _mg_replay_kernel,
+    _ReplayState,
+    _replay_epochs,
+)
+from bigdata_covid19_real_time_spark.streaming.stateful import (
+    _sessionize_update,
+    streaming_sessionize,
+)
+
+T0 = 1_700_000_000.0
+GAP_SEC = 60.0
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("ts", DoubleType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+#: (user, ts-offset-sec, value) in three "epochs" — sessions span the
+#: epoch boundaries, so chaining through state is exercised, and a
+#: final gap closes the last-but-one session while one stays open.
+ROWS = [
+    [("u1", 0.0, 1.0), ("u1", 10.0, 2.0), ("u2", 5.0, 1.0)],
+    [("u1", 40.0, 3.0), ("u2", 300.0, 4.0), ("u2", 310.0, 1.0)],
+    [("u1", 500.0, 9.0), ("u1", 520.0, 1.0), ("u2", 900.0, 2.0)],
+]
+
+
+def _streaming_closed_sessions(spark, tmp_path):
+    for i, rows in enumerate(ROWS):
+        p = tmp_path / "in" / f"b{i}.jsonl"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "ts": T0 + dt, "value": v})
+                for u, dt, v in rows
+            )
+        )
+        os.utime(p, (T0 + i, T0 + i))
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    emitted: list = []
+    q = (
+        streaming_sessionize(stream, gap_sec=GAP_SEC)
+        .writeStream.foreachBatch(lambda df, eid: emitted.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sorted(
+        (
+            r["key"],
+            r["session_seq"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in emitted
+    )
+
+
+def _replay_closed_sessions():
+    out = []
+    for key in ("u1", "u2"):
+        rows = [
+            (T0 + dt, v)
+            for i, batch in enumerate(ROWS)
+            for (u, dt, v) in batch
+            if u == key
+        ]
+        epochs = [
+            i for i, batch in enumerate(ROWS) for (u, dt, v) in batch if u == key
+        ]
+        pdf = pd.DataFrame(
+            {
+                "key": key,
+                "ts": [t for t, _ in rows],
+                "value": [v for _, v in rows],
+                "epoch": epochs,
+            }
+        )
+        frames = _replay_epochs(pdf, (key,), _sessionize_update(GAP_SEC))
+        for f in frames:
+            for r in f.itertuples(index=False):
+                out.append(
+                    (
+                        r.key,
+                        r.session_seq,
+                        r.session_start,
+                        r.session_end,
+                        r.n_events,
+                        r.sum_value,
+                    )
+                )
+    return sorted(out)
+
+
+def test_replay_equals_streaming_run(spark, tmp_path):
+    """The headline equivalence: epoch replay through the shim emits
+    exactly the closed sessions the real streaming run emits over the
+    same micro-batch sequence."""
+    streaming = _streaming_closed_sessions(spark, tmp_path)
+    replay = _replay_closed_sessions()
+    assert streaming == replay
+    # non-trivial: sessions chained across batch boundaries closed
+    assert len(streaming) >= 3
+
+
+def test_mg_replay_contract_under_purging():
+    """MG summary from a skewed replay: genuinely purges (tracked <=
+    capacity << distinct), never overcounts, honors the undercount
+    bound, and keeps every true-heavy item."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # 1 hot item (~N/5) + singleton cold tail, shuffled deterministically
+    n_cold = 2000
+    items = np.concatenate([np.full(500, 7), np.arange(100, 100 + n_cold)])
+    rng.shuffle(items)
+    pdf = pd.DataFrame(
+        {
+            "shard": 0,
+            "item": items.astype("int64"),
+            "ts_us": np.arange(len(items), dtype="int64"),
+            "epoch": (np.arange(len(items)) // 500).astype("int64"),
+        }
+    )
+    out = _mg_replay_kernel(pdf)
+    true_counts = pd.Series(items).value_counts()
+    processed = len(items)
+    bound = processed // (MG_CAPACITY + 1)
+    assert (out["processed"] == processed).all()
+    assert len(out) <= MG_CAPACITY < true_counts.size  # purging regime
+    for r in out.itertuples(index=False):
+        assert r.est_count <= true_counts[r.item]
+        assert true_counts[r.item] - r.est_count <= bound
+    heavy = true_counts[true_counts > bound].index
+    assert set(heavy) <= set(out["item"])  # guaranteed presence
+    assert len(heavy) >= 1  # non-vacuous: the hot item clears the bound
+
+
+def test_drift_replay_matches_independent_recursion():
+    """Drift replay vs a from-scratch NumPy recomputation of the
+    Welford baseline, z-standardization, and two-sided Page CUSUM."""
+    import numpy as np
+
+    from bigdata_covid19_real_time_spark.plans.state_replay import (
+        _drift_replay_kernel,
+    )
+
+    rng = np.random.RandomState(3)
+    values = rng.normal(50.0, 5.0, 120)
+    values[60:] += 25.0  # level shift halfway -> drift must flip
+    epochs = np.arange(120) // 10
+    pdf = pd.DataFrame(
+        {
+            "key": "k",
+            "value": values,
+            "d": [f"2024-01-{e + 1:02d}" for e in epochs],
+            "epoch": epochs.astype("int64"),
+        }
+    )
+    out = _drift_replay_kernel(pdf).set_index("d")
+
+    n = 0
+    mean = 0.0
+    m2 = 0.0
+    s_pos = s_neg = 0.0
+    for e in range(12):
+        batch = np.sort(values[epochs == e])
+        base_n, base_mean = n, mean
+        base_sd = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+        for v in batch:
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        bm = float(batch.mean())
+        z = (
+            (bm - base_mean) / (base_sd / math.sqrt(len(batch)))
+            if base_n > 1 and base_sd > 0
+            else 0.0
+        )
+        s_pos = max(0.0, s_pos + z - DRIFT_K)
+        s_neg = max(0.0, s_neg - z - DRIFT_K)
+        row = out.loc[f"2024-01-{e + 1:02d}"]
+        assert row["n_total"] == n
+        assert abs(row["mean"] - mean) < 1e-9
+        assert abs(row["z"] - z) < 1e-9
+        assert abs(row["cusum_pos"] - s_pos) < 1e-9
+        assert abs(row["cusum_neg"] - s_neg) < 1e-9
+        assert bool(row["drift"]) == (s_pos > DRIFT_H or s_neg > DRIFT_H)
+    assert bool(out["drift"].iloc[-1])  # the level shift was caught
+
+
+def test_replay_state_shim_contract():
+    s = _ReplayState()
+    assert not s.exists
+    s.update((1, 2.0))
+    assert s.exists and s.get == (1, 2.0)
+
+
+@pytest.mark.parametrize("sp", [2, 16])
+def test_sessionize_replay_partition_invariant(spark, sp):
+    """The registered query's output is identical across shuffle
+    partition counts (the explicit repartition spreads Python work but
+    must not change results)."""
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+    try:
+        df = QUERIES["events_sessionize_replay"](
+            spark, "/root/testdata/sf0.001"
+        )
+        rows = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    if not hasattr(test_sessionize_replay_partition_invariant, "_snap"):
+        test_sessionize_replay_partition_invariant._snap = rows
+    else:
+        assert rows == test_sessionize_replay_partition_invariant._snap
