@@ -276,6 +276,42 @@ FROZEN_R5B_APPENDIX = [
     "brand_item_cf_similarity",
 ]
 
+#: Round-5's final tail, FROZEN at the start of round 6: the 16 queries
+#: registered after FROZEN_R5B_APPENDIX (model-eval, mix-planning,
+#: stewardship, growth, series-sketch batches) in registration (= bench
+#: loop) order.  ``... + FROZEN_R5C_APPENDIX`` (209 timed; the
+#: 210-registry series minus the documented EXCLUDED fixture) is
+#: reported as ``frozen210_total_sec`` — the clean comparable for the
+#: full round-5 registry, now that it is fully pinned.
+FROZEN_R5C_APPENDIX = [
+    "lineitem_discount_auc",
+    "embedding_retrieval_metrics",
+    "events_click_calibration",
+    "docs_rater_kappa",
+    "docs_temperature_mix_plan",
+    "customer_retention_triangle",
+    "events_neyman_allocation",
+    "events_ab_srm_check",
+    "lineitem_pit_priority_mix",
+    "user_erasure_audit",
+    "brand_copurchase_communities",
+    "events_funnel_conversion",
+    "customer_growth_accounting",
+    "brand_price_elasticity",
+    "events_seasonal_decomposition",
+    "events_audience_overlap_hll",
+]
+
+#: Round-6's registrations, FROZEN at registration time: the
+#: state-store replay certifications (plans/state_replay.py).
+#: ``... + FROZEN_R6_APPENDIX`` (212 timed; 213-registry minus the
+#: EXCLUDED fixture) is reported as ``frozen213_total_sec``.
+FROZEN_R6_APPENDIX = [
+    "events_sessionize_replay",
+    "events_mg_heavy_hitters_replay",
+    "events_drift_monitor_replay",
+]
+
 
 def _headline() -> list[str]:
     """The frozen round-3 order, the frozen round-4 and round-5
@@ -288,6 +324,8 @@ def _headline() -> list[str]:
         + FROZEN_R4_APPENDIX
         + FROZEN_R5_APPENDIX
         + FROZEN_R5B_APPENDIX
+        + FROZEN_R5C_APPENDIX
+        + FROZEN_R6_APPENDIX
     )
     missing = [n for n in pinned if n not in QUERIES]
     if missing:
@@ -413,6 +451,16 @@ def main() -> None:
     frozen194_total = round(
         sum(timings[n] for n in frozen194_names if n in timings), 3
     )
+    # full round-5 registry, now fully pinned (209 timed of 210)
+    frozen210_names = frozen194_names + FROZEN_R5C_APPENDIX
+    frozen210_total = round(
+        sum(timings[n] for n in frozen210_names if n in timings), 3
+    )
+    # round-6 series: + the state-store replay certifications
+    frozen213_names = frozen210_names + FROZEN_R6_APPENDIX
+    frozen213_total = round(
+        sum(timings[n] for n in frozen213_names if n in timings), 3
+    )
 
     # full detail goes to disk, round-stamped (r2's all-queries stdout
     # line exceeded the driver's tail capture and lost the headline)
@@ -446,7 +494,11 @@ def main() -> None:
                 "frozen161_n": sum(1 for n in frozen161_names if n in timings),
                 "frozen194_total_sec": frozen194_total,
                 "frozen194_n": sum(1 for n in frozen194_names if n in timings),
-                "order": "frozen r3 list + frozen r4/r5/r5b appendices + newer registrations appended",
+                "frozen210_total_sec": frozen210_total,
+                "frozen210_n": sum(1 for n in frozen210_names if n in timings),
+                "frozen213_total_sec": frozen213_total,
+                "frozen213_n": sum(1 for n in frozen213_names if n in timings),
+                "order": "frozen r3 list + frozen r4/r5/r5b/r5c/r6 appendices + newer registrations appended",
                 "excluded": EXCLUDED,
                 "queries": timings,
                 "scale": {
@@ -478,6 +530,8 @@ def main() -> None:
                 "frozen142_total_sec": frozen142_total,
                 "frozen161_total_sec": frozen161_total,
                 "frozen194_total_sec": frozen194_total,
+                "frozen210_total_sec": frozen210_total,
+                "frozen213_total_sec": frozen213_total,
                 "excluded": sorted(EXCLUDED),
                 "queries": heaviest,
                 "detail_file": os.path.basename(detail_path),
