@@ -35,11 +35,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: registered before the late-round-5 batches.  This round's window
 #: holds exactly the remainder: the 37 late-round-5 registrations that
 #: have never received a driver row (all selfcheck-green at 2+ SFs and
-#: pytest-oracle-green at sf0.001), the 3 new round-6 state-store
+#: pytest-oracle-green at sf0.001), the 4 new round-6 state-store
 #: replay queries (plans/state_replay.py — the first driver-visible
 #: shape for the applyInPandasWithState family), and 4 re-validation
 #: canaries rotated from the OLDEST green driver rows (round 1).  A
-#: green round makes the registry 213/213 driver-certified.
+#: green round makes the registry 214/214 driver-certified.
 #:
 #: ROUND-7 ROTATION NOTE: if CORRECTNESS_r06 certifies this window,
 #: every registered query has a green driver row.  Round 7 should gate
@@ -95,6 +95,7 @@ GATE_PRIORITY = [
     "events_sessionize_replay",
     "events_mg_heavy_hitters_replay",
     "events_drift_monitor_replay",
+    "events_ewma_state_replay",
     # -- re-validation canaries: oldest green driver rows (round 1) --
     "covid_predict",
     "covid_continent_5min",

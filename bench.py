@@ -304,12 +304,13 @@ FROZEN_R5C_APPENDIX = [
 
 #: Round-6's registrations, FROZEN at registration time: the
 #: state-store replay certifications (plans/state_replay.py).
-#: ``... + FROZEN_R6_APPENDIX`` (212 timed; 213-registry minus the
-#: EXCLUDED fixture) is reported as ``frozen213_total_sec``.
+#: ``... + FROZEN_R6_APPENDIX`` (213 timed; 214-registry minus the
+#: EXCLUDED fixture) is reported as ``frozen214_total_sec``.
 FROZEN_R6_APPENDIX = [
     "events_sessionize_replay",
     "events_mg_heavy_hitters_replay",
     "events_drift_monitor_replay",
+    "events_ewma_state_replay",
 ]
 
 
@@ -457,9 +458,9 @@ def main() -> None:
         sum(timings[n] for n in frozen210_names if n in timings), 3
     )
     # round-6 series: + the state-store replay certifications
-    frozen213_names = frozen210_names + FROZEN_R6_APPENDIX
-    frozen213_total = round(
-        sum(timings[n] for n in frozen213_names if n in timings), 3
+    frozen214_names = frozen210_names + FROZEN_R6_APPENDIX
+    frozen214_total = round(
+        sum(timings[n] for n in frozen214_names if n in timings), 3
     )
 
     # full detail goes to disk, round-stamped (r2's all-queries stdout
@@ -496,8 +497,8 @@ def main() -> None:
                 "frozen194_n": sum(1 for n in frozen194_names if n in timings),
                 "frozen210_total_sec": frozen210_total,
                 "frozen210_n": sum(1 for n in frozen210_names if n in timings),
-                "frozen213_total_sec": frozen213_total,
-                "frozen213_n": sum(1 for n in frozen213_names if n in timings),
+                "frozen214_total_sec": frozen214_total,
+                "frozen214_n": sum(1 for n in frozen214_names if n in timings),
                 "order": "frozen r3 list + frozen r4/r5/r5b/r5c/r6 appendices + newer registrations appended",
                 "excluded": EXCLUDED,
                 "queries": timings,
@@ -531,7 +532,7 @@ def main() -> None:
                 "frozen161_total_sec": frozen161_total,
                 "frozen194_total_sec": frozen194_total,
                 "frozen210_total_sec": frozen210_total,
-                "frozen213_total_sec": frozen213_total,
+                "frozen214_total_sec": frozen214_total,
                 "excluded": sorted(EXCLUDED),
                 "queries": heaviest,
                 "detail_file": os.path.basename(detail_path),

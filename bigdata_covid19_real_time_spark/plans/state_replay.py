@@ -520,3 +520,136 @@ def events_drift_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("cusum_neg"), 6).alias("cusum_neg"),
         "drift",
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. Cumulative per-key stats + EWMA forecast — exact list_reduce oracle
+# ---------------------------------------------------------------------------
+
+#: EWMA smoothing factor — the streaming operator's default.
+EWMA_ALPHA = 0.3
+
+
+def _ewma_replay_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    from bigdata_covid19_real_time_spark.streaming.stateful import (
+        _update_location_state,
+    )
+
+    key = (str(pdf["location"].iloc[0]),)
+    update = _update_location_state(EWMA_ALPHA)
+    state = _ReplayState()
+    rows = []
+    for _, sub in pdf.groupby("epoch", sort=True):
+        (out,) = list(update(key, iter([sub]), state))
+        out = out.assign(d=str(sub["d"].iloc[0]))
+        rows.append(out)
+    merged = pd.concat(rows, ignore_index=True)
+    return pd.DataFrame(
+        {
+            "key": merged["location"],
+            "d": merged["d"],
+            "rows_seen": merged["rows_seen"].astype("int64"),
+            "total_new_cases": merged["total_new_cases"].astype("float64"),
+            "max_total_cases": merged["max_total_cases"].astype("float64"),
+            "ewma_new_cases": merged["ewma_new_cases"].astype("float64"),
+            "predicted_new_cases": merged["predicted_new_cases"].astype(
+                "float64"
+            ),
+        }
+    )
+
+
+@query(
+    "events_ewma_state_replay",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS d,
+             epoch_us(ts) AS ts_us, event_id,
+             COALESCE(value, 0.0) AS x
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL
+    ),
+    daily AS (
+      SELECT key, d, CAST(COUNT(*) AS BIGINT) AS bn, SUM(x) AS bs,
+             MAX(x) AS bm, list(x ORDER BY ts_us, event_id) AS xs
+      FROM ev GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT a.key, a.d,
+             CAST(SUM(b.bn) AS BIGINT) AS rows_seen,
+             SUM(b.bs) AS total_x, MAX(b.bm) AS max_x,
+             flatten(list(b.xs ORDER BY b.d)) AS all_xs
+      FROM daily a JOIN daily b ON b.key = a.key AND b.d <= a.d
+      GROUP BY 1, 2
+    )
+    SELECT key, CAST(d AS VARCHAR) AS d, rows_seen,
+           ROUND(total_x + 1e-9, 6) AS total_new_cases,
+           ROUND(max_x + 1e-9, 6) AS max_total_cases,
+           ROUND(list_reduce(all_xs,
+                 (acc, v) -> CAST({EWMA_ALPHA} AS DOUBLE) * v
+                           + CAST({1 - EWMA_ALPHA} AS DOUBLE) * acc)
+                 + 1e-9, 6) AS ewma_new_cases,
+           ROUND(list_reduce(all_xs,
+                 (acc, v) -> CAST({EWMA_ALPHA} AS DOUBLE) * v
+                           + CAST({1 - EWMA_ALPHA} AS DOUBLE) * acc)
+                 + 1e-9, 6) AS predicted_new_cases
+    FROM cum
+    """,
+)
+def events_ewma_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cumulative-stats + EWMA forecaster — the operator that fixes
+    the reference's per-batch forecast restart (its "7-day" trailing
+    averages see only one micro-batch, ``covid_streaming.py:117-131``;
+    SURVEY.md §2.8 T9) — certified by replay: per key, 30 daily epochs
+    stream through the REAL ``_update_location_state`` closure
+    (``streaming/stateful.py:63``), so every epoch's row proves the
+    running totals, max, and order-dependent EWMA recurrence
+    ``ewma = a*x + (1-a)*ewma_prev`` chained across the state store.
+    The oracle replicates the recurrence exactly with DuckDB's
+    ``list_reduce`` sequential fold over the identically-ordered value
+    list — the same float ops in the same order, compared at 1e-6.
+
+    The events mapping feeds the covid-shaped operator columns
+    (location=event_type, uuid=event_id for the in-batch tie-break,
+    new_cases=total_cases=value) — NULL values fold to 0.0 on both
+    sides, rows are never dropped.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            F.col("event_type").alias("location"),
+            F.col("event_id").alias("uuid"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("timestamp"),
+            F.col("value").cast("double").alias("new_cases"),
+            F.col("value").cast("double").alias("total_cases"),
+            F.to_date("ts").cast("string").alias("d"),
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_DAY_US)
+            ).alias("epoch"),
+        )
+    )
+    replay = ev.groupBy("location").applyInPandas(
+        _ewma_replay_kernel,
+        schema=(
+            "key string, d string, rows_seen long, total_new_cases double, "
+            "max_total_cases double, ewma_new_cases double, "
+            "predicted_new_cases double"
+        ),
+    )
+    return replay.select(
+        "key",
+        "d",
+        "rows_seen",
+        stable_round(F.col("total_new_cases"), 6).alias("total_new_cases"),
+        stable_round(F.col("max_total_cases"), 6).alias("max_total_cases"),
+        stable_round(F.col("ewma_new_cases"), 6).alias("ewma_new_cases"),
+        stable_round(F.col("predicted_new_cases"), 6).alias(
+            "predicted_new_cases"
+        ),
+    )

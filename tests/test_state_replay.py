@@ -259,3 +259,50 @@ def test_sessionize_replay_partition_invariant(spark, sp):
         test_sessionize_replay_partition_invariant._snap = rows
     else:
         assert rows == test_sessionize_replay_partition_invariant._snap
+
+
+def test_ewma_replay_matches_independent_recursion():
+    """EWMA state replay vs a from-scratch fold of the recurrence
+    ``ewma = a*x + (1-a)*ewma_prev`` over the globally sorted rows."""
+    import numpy as np
+
+    from bigdata_covid19_real_time_spark.plans.state_replay import (
+        EWMA_ALPHA,
+        _ewma_replay_kernel,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 90
+    vals = rng.uniform(0, 100, n)
+    order = rng.permutation(n)  # arrival order != time order
+    epochs = np.sort(rng.randint(0, 6, n))
+    pdf = pd.DataFrame(
+        {
+            "location": "k",
+            "uuid": order.astype("int64"),
+            "timestamp": (epochs * 1000 + order).astype("int64"),
+            "new_cases": vals,
+            "total_cases": vals * 2.0,
+            "d": [f"2024-02-{e + 1:02d}" for e in epochs],
+            "epoch": epochs.astype("int64"),
+        }
+    )
+    out = _ewma_replay_kernel(pdf).set_index("d")
+
+    ewma = None
+    rows = total = 0
+    mx = 0.0
+    for e in range(6):
+        mask = epochs == e
+        sub = pdf[mask].sort_values(["timestamp", "uuid"])
+        for nc, tc in zip(sub["new_cases"], sub["total_cases"]):
+            rows += 1
+            total += nc
+            mx = max(mx, tc)
+            ewma = nc if ewma is None else EWMA_ALPHA * nc + (1 - EWMA_ALPHA) * ewma
+        row = out.loc[f"2024-02-{e + 1:02d}"]
+        assert row["rows_seen"] == rows
+        assert abs(row["total_new_cases"] - total) < 1e-9
+        assert abs(row["max_total_cases"] - mx) < 1e-9
+        assert abs(row["ewma_new_cases"] - ewma) < 1e-12
+        assert row["predicted_new_cases"] == row["ewma_new_cases"]

@@ -66,6 +66,33 @@ NEW_QUERIES = [
     "brand_item_cf_similarity",
 ]
 
+#: The registrations SF1NEW.json missed (round-6 verdict task 5): the
+#: final late-round-5 batches (model-eval, mix-planning, stewardship,
+#: growth, series-sketch) plus the round-6 state-store replays.  Run
+#: with ``--round6`` to time exactly these and write SF1NEW_r6.json.
+ROUND6_QUERIES = [
+    "lineitem_discount_auc",
+    "embedding_retrieval_metrics",
+    "events_click_calibration",
+    "docs_rater_kappa",
+    "docs_temperature_mix_plan",
+    "customer_retention_triangle",
+    "events_neyman_allocation",
+    "events_ab_srm_check",
+    "lineitem_pit_priority_mix",
+    "user_erasure_audit",
+    "brand_copurchase_communities",
+    "events_funnel_conversion",
+    "customer_growth_accounting",
+    "brand_price_elasticity",
+    "events_seasonal_decomposition",
+    "events_audience_overlap_hll",
+    "events_sessionize_replay",
+    "events_mg_heavy_hitters_replay",
+    "events_drift_monitor_replay",
+    "events_ewma_state_replay",
+]
+
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ETYPES = ["view", "click", "purchase", "signup", "error"]
@@ -174,6 +201,18 @@ def generate_relational(out_dir: str) -> float:
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--round6",
+        action="store_true",
+        help="time ROUND6_QUERIES and write SF1NEW_r6.json",
+    )
+    args = ap.parse_args()
+    names = ROUND6_QUERIES if args.round6 else NEW_QUERIES
+    out_name = "SF1NEW_r6.json" if args.round6 else "SF1NEW.json"
+
     from sf1_neardup_check import generate as generate_docs
 
     from bigdata_covid19_real_time_spark.plans import QUERIES
@@ -222,7 +261,7 @@ def main() -> int:
         ),
         "queries": {},
     }
-    for name in NEW_QUERIES:
+    for name in names:
         t01 = timed(name, SF01_DIR)
         t1 = timed(name, SF1_DIR)
         ratio = round(t1 / t01, 2) if t01 > 0 else None
@@ -233,7 +272,7 @@ def main() -> int:
         }
         print(f"{name}: sf0.1 {t01}s -> sf1 {t1}s (x{ratio})", flush=True)
 
-    out = os.path.join(REPO, "SF1NEW.json")
+    out = os.path.join(REPO, out_name)
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {out}")
