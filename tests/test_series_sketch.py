@@ -75,3 +75,28 @@ def test_audience_overlap_exact_sets_and_bounds(spark):
     assert row["exact_union"] == 4
     assert row["exact_intersection"] == 1
     assert row["union_within_bound"] and row["intersection_within_bound"]
+
+
+def test_seasonal_decomposition_sorts_only_collapsed_frame(spark):
+    """Invariant pinned by the round-5 review: the unpartitioned
+    ``Window.orderBy("d")`` is safe ONLY because it runs on the
+    calendar-collapsed daily frame.  Guard the shape: every global Sort
+    in the physical plan must sit above the date aggregation (its
+    subtree contains the to_date groupBy), never above the raw events
+    scan directly — so a refactor that moves the window below the
+    collapse fails here before it ships a 100-TB single-partition sort.
+    """
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+
+    df = QUERIES["events_seasonal_decomposition"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # walk the plan text: each Sort line must have an aggregate deeper
+    # in its own subtree (textually below it at greater indent depth)
+    lines = plan.splitlines()
+    sort_idxs = [i for i, ln in enumerate(lines) if " Sort " in ln or ln.lstrip("+-: *(0123456789)").startswith("Sort ")]
+    agg_idxs = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert agg_idxs, plan
+    for si in sort_idxs:
+        assert any(ai > si for ai in agg_idxs), plan
