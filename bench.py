@@ -29,6 +29,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: Gate-only queries excluded from the headline timing, each with its
 #: reason — recorded in the bench JSON so nothing is dropped silently.
 EXCLUDED = {
+    "docs_corpus_ingest_replay": (
+        "gate-only: a certification HARNESS, not an operator — it "
+        "replays the streaming CorpusIngest.process_batch loop over "
+        "two epochs (12 Spark actions incl. 6 partition-overwrite "
+        "table writes and per-epoch history reads), so its ~35 s at "
+        "bench SF is ~all fixed per-job/commit overhead that a real "
+        "deployment pays once per 30 s micro-batch, not per query.  "
+        "Every operator inside it is separately timed in the headline "
+        "(docs_quality_filter, docs_exact_dedup, docs_minhash_lsh, "
+        "docs_incremental_dedup, docs_corpus_ingest_verdict); "
+        "correctness stays driver-gated at sf0.01 with a full chained "
+        "2-epoch oracle"
+    ),
     "embedding_cosine_neardup": (
         "gate-only: the synthetic embeddings are near-random, so the "
         "recall-preserving LSH config (b=2, L=40, threshold 0.28) "

@@ -155,7 +155,14 @@ class CorpusIngest:
         pairs = minhash_lsh_pairs(
             survivors, threshold=self.near_dup_threshold, **lsh_kwargs
         )
-        batch_near = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        # persist the DECISION (an id-only frame, O(near-dups) rows):
+        # three sink writes consume the screen downstream, and without
+        # this each one re-runs the banding + exact-verification jobs
+        # end-to-end (~2-3x the whole screen per epoch, measured).  The
+        # process_batch delta-unpersist sweeps these at epoch end.
+        batch_near = (
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct().persist()
+        )
         rejects = batch_near.select(
             "doc_id", F.lit("near_duplicate_in_batch").alias("reason")
         )
@@ -193,8 +200,11 @@ class CorpusIngest:
                 threshold=self.near_dup_threshold,
                 n=self.shingle_n,
             )
-            corpus_near = batch_cand.select("doc_id").join(
-                verified_ok.select("doc_id"), "doc_id", "left_anti"
+            # same persist rationale as batch_near above
+            corpus_near = (
+                batch_cand.select("doc_id")
+                .join(verified_ok.select("doc_id"), "doc_id", "left_anti")
+                .persist()
             )
             rejects = rejects.unionByName(
                 corpus_near.select(
@@ -299,10 +309,30 @@ class CorpusIngest:
             )
             rejected = rejected.unionByName(near_rejects)
 
-        # one pass over the batch feeds every write
-        survivors = survivors.persist()
+        # ONE materialization feeds every write.  Two mechanisms
+        # conspired to re-run the whole epoch pipeline once per sink
+        # write (measured ~3x, 323 jobs/epoch vs ~85 fixed):
+        #  1. a persisted frame whose FIRST action is the write command
+        #     does not populate its cache blocks — so materialize
+        #     explicitly before writing;
+        #  2. both output frames' plans READ the accepted/bands tables
+        #     (history fingerprints + the near-dup index join), and
+        #     Spark drops every cache whose plan depends on a path the
+        #     moment that path is written (recacheByPath) — so
+        #     ``survivors``, which must survive its own table writes to
+        #     feed the next one, is localCheckpoint-ed (lineage
+        #     truncated to stored partitions: immune to invalidation),
+        #     and ``rejected`` writes FIRST, while its cache is valid
+        #     (nothing reads the rejected table, so its write
+        #     invalidates no one).
+        # The epoch still commits only at the snapshot pointer swap, so
+        # write order is free.  At scale localCheckpoint holds one
+        # copy of the accepted slice on executors — the same footprint
+        # class as the persist it replaces.
+        survivors = survivors.localCheckpoint()
+        rejected = rejected.persist()
+        rejected.count()
         try:
-            self._sink.write(survivors, int(epoch_id), "accepted")
             self._sink.write(rejected, int(epoch_id), "rejected")
             if self.near_dup_threshold is not None:
                 from bigdata_covid19_real_time_spark.operators.minhash import (
@@ -320,13 +350,17 @@ class CorpusIngest:
                     int(epoch_id),
                     "bands",
                 )
+            self._sink.write(survivors, int(epoch_id), "accepted")
             # all tables committed: swap the snapshot pointer so readers
             # (read_corpus_snapshot) can now see this epoch — a crash
             # BEFORE this line leaves the pointer at the previous epoch
             # and the replayed epoch overwrites its partitions first
             publish_epoch_snapshot(self.base_dir, int(epoch_id))
         finally:
-            survivors.unpersist()
+            # survivors is localCheckpoint-ed (not cached): its stored
+            # partitions are reclaimed by the ContextCleaner when the
+            # RDD reference drops, so only the true caches unpersist
+            rejected.unpersist()
             kept_base.unpersist()
             if self.near_dup_threshold is not None:
                 self._unpersist_new_since(spark, caches_before)
