@@ -312,3 +312,38 @@ def test_near_dup_epoch_releases_only_its_own_caches(spark, tmp_path):
     assert foreign.is_cached
     assert len(surviving - before) == 1
     foreign.unpersist()
+
+
+def test_epoch_writes_do_not_reexecute_pipeline(spark, tmp_path):
+    """Regression guard for the round-6 cost fix: one epoch's three
+    sink writes must consume ONE materialization of the pipeline, not
+    re-execute it per write.  Two Spark behaviors caused a measured
+    ~3x re-execution (323 vs ~85 jobs/epoch): a persisted frame whose
+    first action is the write command never populates its cache, and
+    writing the accepted/bands paths invalidates every cache whose
+    plan reads them (the history + band-index joins).  The fix
+    (localCheckpoint survivors, write the no-reader rejected table
+    first) keeps the per-epoch job count bounded; the generous ceiling
+    below sits ~2x above the fixed cost and far below the regressed
+    one."""
+    base, inp, ckpt = (
+        str(tmp_path / "out"),
+        tmp_path / "in",
+        str(tmp_path / "ckpt"),
+    )
+    _write_batch(inp / "b1.jsonl", [_doc(1, GOOD), _doc(2, DISTINCT)])
+    _write_batch(inp / "b2.jsonl", [_doc(3, GOOD2), _doc(4, DISTINCT2)])
+    ingest = CorpusIngest(base, near_dup_threshold=0.6)
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup(None) or [])
+    q = ingest.run(spark, str(inp), ckpt, available_now=True)
+    q.awaitTermination(120)
+    jobs = len(st.getJobIdsForGroup(None) or []) - before
+    # 2 epochs; fixed cost ~85 jobs/epoch, regressed cost ~325/epoch
+    assert jobs < 400, f"epoch pipeline re-execution suspected: {jobs} jobs"
+    assert {r.doc_id for r in spark.read.parquet(f"{base}/accepted").collect()} == {
+        1,
+        2,
+        3,
+        4,
+    }
