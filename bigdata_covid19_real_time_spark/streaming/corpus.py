@@ -309,29 +309,23 @@ class CorpusIngest:
             )
             rejected = rejected.unionByName(near_rejects)
 
-        # ONE materialization feeds every write.  Two mechanisms
-        # conspired to re-run the whole epoch pipeline once per sink
-        # write (measured ~3x, 323 jobs/epoch vs ~85 fixed):
-        #  1. a persisted frame whose FIRST action is the write command
-        #     does not populate its cache blocks — so materialize
-        #     explicitly before writing;
-        #  2. both output frames' plans READ the accepted/bands tables
-        #     (history fingerprints + the near-dup index join), and
-        #     Spark drops every cache whose plan depends on a path the
-        #     moment that path is written (recacheByPath) — so
-        #     ``survivors``, which must survive its own table writes to
-        #     feed the next one, is localCheckpoint-ed (lineage
-        #     truncated to stored partitions: immune to invalidation),
-        #     and ``rejected`` writes FIRST, while its cache is valid
-        #     (nothing reads the rejected table, so its write
-        #     invalidates no one).
-        # The epoch still commits only at the snapshot pointer swap, so
-        # write order is free.  At scale localCheckpoint holds one
-        # copy of the accepted slice on executors — the same footprint
-        # class as the persist it replaces.
+        # ONE materialization feeds every write.  Spark drops every
+        # cache whose plan depends on a path the moment that path is
+        # written (recacheByPath), and this epoch's output frames all
+        # READ the accepted/bands tables (history fingerprints + the
+        # near-dup index join) — so with a plain persist, the first
+        # table write invalidated the caches and each remaining write
+        # re-executed the whole epoch pipeline (measured ~3x, 323
+        # jobs/epoch vs ~85 fixed).  Therefore: ``survivors``, which
+        # must survive its own tables' writes to feed the next one, is
+        # localCheckpoint-ed (lineage truncated to stored partitions —
+        # immune to path invalidation), and ``rejected`` — consumed
+        # exactly once — simply writes FIRST, before any path its plan
+        # reads is touched.  The epoch still commits only at the
+        # snapshot pointer swap, so write order is free.  At scale
+        # localCheckpoint holds one copy of the accepted slice on
+        # executors — the same footprint class as a persist.
         survivors = survivors.localCheckpoint()
-        rejected = rejected.persist()
-        rejected.count()
         try:
             self._sink.write(rejected, int(epoch_id), "rejected")
             if self.near_dup_threshold is not None:
@@ -360,7 +354,6 @@ class CorpusIngest:
             # survivors is localCheckpoint-ed (not cached): its stored
             # partitions are reclaimed by the ContextCleaner when the
             # RDD reference drops, so only the true caches unpersist
-            rejected.unpersist()
             kept_base.unpersist()
             if self.near_dup_threshold is not None:
                 self._unpersist_new_since(spark, caches_before)

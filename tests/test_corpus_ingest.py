@@ -317,15 +317,15 @@ def test_near_dup_epoch_releases_only_its_own_caches(spark, tmp_path):
 def test_epoch_writes_do_not_reexecute_pipeline(spark, tmp_path):
     """Regression guard for the round-6 cost fix: one epoch's three
     sink writes must consume ONE materialization of the pipeline, not
-    re-execute it per write.  Two Spark behaviors caused a measured
-    ~3x re-execution (323 vs ~85 jobs/epoch): a persisted frame whose
-    first action is the write command never populates its cache, and
-    writing the accepted/bands paths invalidates every cache whose
-    plan reads them (the history + band-index joins).  The fix
-    (localCheckpoint survivors, write the no-reader rejected table
-    first) keeps the per-epoch job count bounded; the generous ceiling
-    below sits ~2x above the fixed cost and far below the regressed
-    one."""
+    re-execute it per write.  Writing the accepted/bands paths
+    invalidates every cache whose plan reads them (recacheByPath —
+    both output frames read them via the history + band-index joins),
+    so with a plain persist each write after the first re-executed the
+    whole epoch pipeline (measured ~3x, 323 vs ~85 jobs/epoch).  The
+    fix (localCheckpoint survivors — lineage truncated, immune to
+    path invalidation — and write the no-reader rejected table first)
+    keeps the per-epoch job count bounded; the generous ceiling below
+    sits ~2x above the fixed cost and far below the regressed one."""
     base, inp, ckpt = (
         str(tmp_path / "out"),
         tmp_path / "in",
