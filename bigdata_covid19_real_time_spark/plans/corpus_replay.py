@@ -67,7 +67,7 @@ LSH_BANDS = 32
 #: Shared SQL fragments: quality keepers + normalized fingerprint +
 #: DISTINCT 3-gram shingles, each the certified form from sibling
 #: oracles (extensions._QUALITY_FLAGGED_CTES etc.).
-_BASE_CTES = """toks AS MATERIALIZED (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+_BASE_CTES = f"""toks AS MATERIALIZED (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
     uc AS MATERIALIZED (
       SELECT doc_id, t[u.i] AS g, COUNT(*) AS c
       FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
@@ -115,7 +115,7 @@ _BASE_CTES = """toks AS MATERIALIZED (SELECT doc_id, text, string_split(text, ' 
       FROM flagged
     ),
     keepers AS MATERIALIZED (
-      SELECT d.doc_id, d.doc_id % 2 AS ep,
+      SELECT d.doc_id, d.doc_id % {N_EPOCHS} AS ep,
              lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) AS fp
       FROM documents d JOIN v USING (doc_id) WHERE v.keep
     ),
@@ -196,7 +196,7 @@ def _verdict_select(e: int) -> str:
     SELECT doc_id, CAST({e} AS BIGINT) AS epoch, 'rejected' AS status,
            'quality:' || v.reasons AS reason
     FROM v JOIN documents USING (doc_id)
-    WHERE NOT v.keep AND doc_id % 2 = {e}
+    WHERE NOT v.keep AND doc_id % {N_EPOCHS} = {e}
     UNION ALL
     SELECT doc_id, {e}, 'rejected', 'duplicate_in_batch'
     FROM b1_{e} WHERE NOT canon
