@@ -306,3 +306,102 @@ def test_ewma_replay_matches_independent_recursion():
         assert abs(row["max_total_cases"] - mx) < 1e-9
         assert abs(row["ewma_new_cases"] - ewma) < 1e-12
         assert row["predicted_new_cases"] == row["ewma_new_cases"]
+
+
+# ---------------------------------------------------------------------------
+# Property tests: replay kernels vs from-scratch references on random
+# streams (pure pandas — no Spark jobs, so examples are cheap)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3_000),  # ts (seconds)
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, width=32
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ev=_events, gap=st.integers(min_value=1, max_value=500), n_epochs=st.integers(min_value=1, max_value=5))
+def test_sessionize_replay_property(ev, gap, n_epochs):
+    """For ANY event stream, gap, and epoch split: the epoch replay
+    through the real closure emits exactly the gaps-and-islands
+    sessions minus the final (open) one, with order-independent
+    aggregates — the oracle's construction, proven generatively."""
+    ts = sorted(t for t, _ in ev)
+    vals = dict()
+    rows = sorted(ev)
+    pdf = pd.DataFrame(
+        {
+            "key": "k",
+            "ts": [float(t) for t, _ in rows],
+            "value": [v for _, v in rows],
+            "epoch": [min(int(t * n_epochs / 3_001), n_epochs - 1) for t, _ in rows],
+        }
+    )
+    frames = _replay_epochs(pdf, ("k",), _sessionize_update(float(gap)))
+    got = sorted(
+        (int(r.session_seq), r.session_start, r.session_end, int(r.n_events), round(r.sum_value, 6))
+        for f in frames
+        for r in f.itertuples(index=False)
+    )
+    # reference: gaps-and-islands over the time-sorted stream
+    islands = []
+    cur = None
+    for t, v in sorted(rows):
+        if cur is None:
+            cur = [t, t, 1, v]
+        elif t - cur[1] > gap:
+            islands.append(cur)
+            cur = [t, t, 1, v]
+        else:
+            cur[1] = t
+            cur[2] += 1
+            cur[3] += v
+    want = sorted(
+        (i, float(s), float(e), n, round(sv, 6))
+        for i, (s, e, n, sv) in enumerate(islands)  # open session excluded
+    )
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    items=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    cap=st.integers(min_value=2, max_value=8),
+    n_epochs=st.integers(min_value=1, max_value=4),
+)
+def test_mg_replay_property(items, cap, n_epochs):
+    """For ANY item stream, capacity, and epoch split: the replayed MG
+    summary never overcounts, undercounts by at most
+    processed // (cap+1), and keeps every item above that bound."""
+    import numpy as np
+
+    from bigdata_covid19_real_time_spark.streaming.stateful import _mg_update
+
+    pdf = pd.DataFrame(
+        {
+            "item": np.asarray(items, dtype="int64"),
+            "epoch": (np.arange(len(items)) * n_epochs // len(items)).astype(
+                "int64"
+            ),
+        }
+    )
+    frames = _replay_epochs(pdf, (0,), _mg_update(cap))
+    final = frames[-1]
+    true = pd.Series(items).value_counts()
+    bound = len(items) // (cap + 1)
+    assert (final["processed_in_shard"] == len(items)).all()
+    assert len(final) <= cap
+    for r in final.itertuples(index=False):
+        assert r.est_count <= true[r.item]
+        assert true[r.item] - r.est_count <= bound
+    heavy = set(true[true > bound].index)
+    assert heavy <= set(final["item"])
