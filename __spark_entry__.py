@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (215 queries covering SURVEY.md §2 plus
+engine's registered query surface (216 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -35,11 +35,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: registered before the late-round-5 batches.  This round's window
 #: holds exactly the remainder: the 37 late-round-5 registrations that
 #: have never received a driver row (all selfcheck-green at 2+ SFs and
-#: pytest-oracle-green at sf0.001), the 5 new round-6 replay queries
-#: (4 state-store ops + the incremental corpus builder) (plans/state_replay.py — the first driver-visible
+#: pytest-oracle-green at sf0.001), the 6 new round-6 queries (4
+#: state-store replays, the incremental corpus builder, BPE fertility) (plans/state_replay.py — the first driver-visible
 #: shape for the applyInPandasWithState family), and 4 re-validation
 #: canaries rotated from the OLDEST green driver rows (round 1).  A
-#: green round makes the registry 215/215 driver-certified.
+#: green round makes the registry 216/216 driver-certified.
 #:
 #: ROUND-7 ROTATION NOTE: if CORRECTNESS_r06 certifies this window,
 #: every registered query has a green driver row.  Round 7 should gate
@@ -101,6 +101,9 @@ GATE_PRIORITY = [
     #    LSH band index), replayed over two doc_id%2 epochs through the
     #    real CorpusIngest.process_batch --
     "docs_corpus_ingest_replay",
+    # -- new round-6: per-language BPE fertility (tokenizer eval on
+    #    the certified trainer+encoder) --
+    "docs_bpe_fertility",
     # -- re-validation canaries: oldest green driver rows (round 1) --
     "covid_predict",
     "covid_continent_5min",

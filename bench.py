@@ -326,6 +326,13 @@ FROZEN_R6_APPENDIX = [
     "events_ewma_state_replay",
 ]
 
+#: Round-6 late registrations, FROZEN at registration time.
+#: ``... + FROZEN_R6B_APPENDIX`` (215 timed; 216-registry minus the 2
+#: EXCLUDED gate-only fixtures) is reported as ``frozen216_total_sec``.
+FROZEN_R6B_APPENDIX = [
+    "docs_bpe_fertility",
+]
+
 
 def _headline() -> list[str]:
     """The frozen round-3 order, the frozen round-4 and round-5
@@ -340,6 +347,7 @@ def _headline() -> list[str]:
         + FROZEN_R5B_APPENDIX
         + FROZEN_R5C_APPENDIX
         + FROZEN_R6_APPENDIX
+        + FROZEN_R6B_APPENDIX
     )
     missing = [n for n in pinned if n not in QUERIES]
     if missing:
@@ -475,6 +483,11 @@ def main() -> None:
     frozen214_total = round(
         sum(timings[n] for n in frozen214_names if n in timings), 3
     )
+    # late-round-6 series: + the tokenizer-eval registration
+    frozen216_names = frozen214_names + FROZEN_R6B_APPENDIX
+    frozen216_total = round(
+        sum(timings[n] for n in frozen216_names if n in timings), 3
+    )
 
     # full detail goes to disk, round-stamped (r2's all-queries stdout
     # line exceeded the driver's tail capture and lost the headline)
@@ -512,6 +525,8 @@ def main() -> None:
                 "frozen210_n": sum(1 for n in frozen210_names if n in timings),
                 "frozen214_total_sec": frozen214_total,
                 "frozen214_n": sum(1 for n in frozen214_names if n in timings),
+                "frozen216_total_sec": frozen216_total,
+                "frozen216_n": sum(1 for n in frozen216_names if n in timings),
                 "order": "frozen r3 list + frozen r4/r5/r5b/r5c/r6 appendices + newer registrations appended",
                 "excluded": EXCLUDED,
                 "queries": timings,
@@ -546,6 +561,7 @@ def main() -> None:
                 "frozen194_total_sec": frozen194_total,
                 "frozen210_total_sec": frozen210_total,
                 "frozen214_total_sec": frozen214_total,
+                "frozen216_total_sec": frozen216_total,
                 "excluded": sorted(EXCLUDED),
                 "queries": heaviest,
                 "detail_file": os.path.basename(detail_path),

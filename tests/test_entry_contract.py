@@ -118,8 +118,8 @@ def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
     queries() in dict order.  Round 6 rotates the exact remainder of
     the registry into that window: the 37 late-round-5 registrations
-    that have never received a green driver row, the 5 new replay queries
-    (state-store ops + the incremental corpus builder) (the first driver-visible shape for the
+    that have never received a green driver row, the 6 new round-6 queries (state-store
+    replays, the corpus builder, BPE fertility) (the first driver-visible shape for the
     applyInPandasWithState family), and 4 canaries rotated from the
     OLDEST green driver rows (round 1).  oracle_sql() iterates in the
     same order so the driver sees identical windows from both."""
@@ -127,8 +127,8 @@ def test_gate_window_prioritizes_unverified_queries():
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 37 never-certified late-r5 + 5 round-6 replays + 4 canaries
-    assert n == 46
+    # 37 never-certified late-r5 + 6 round-6 queries + 4 canaries
+    assert n == 47
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
