@@ -35,9 +35,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: registered before the late-round-5 batches.  This round's window
 #: holds exactly the remainder: the 37 late-round-5 registrations that
 #: have never received a driver row (all selfcheck-green at 2+ SFs and
-#: pytest-oracle-green at sf0.001), the 6 new round-6 queries (4
-#: state-store replays, the incremental corpus builder, BPE fertility) (plans/state_replay.py — the first driver-visible
-#: shape for the applyInPandasWithState family), and 4 re-validation
+#: pytest-oracle-green at sf0.001), the 6 new round-6 queries (the 4
+#: state-store replays of plans/state_replay.py — the first
+#: driver-visible shape for the applyInPandasWithState family — plus
+#: the incremental corpus builder replay and per-language BPE
+#: fertility), and 4 re-validation
 #: canaries rotated from the OLDEST green driver rows (round 1).  A
 #: green round makes the registry 216/216 driver-certified.
 #:
