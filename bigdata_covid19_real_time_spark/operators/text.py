@@ -454,9 +454,12 @@ def remove_repeated_spans(
     cleaned_hash)`` with ``cleaned_hash`` the 60-bit md5 prefix of the
     surviving tokens joined by one space (cross-engine reproducible).
     """
+    # base persisted: three branches re-ran the corpus tokenization
+    # uncached (token rows, gram rows, the before-counts), and sibling
+    # branches are never exchange-reused
     base = df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
         F.size("__t") > 0
-    )
+    ).persist()
     tok_rows = base.select(
         id_col, F.posexplode("__t").alias("__pos", "__tok")
     )
@@ -482,7 +485,9 @@ def remove_repeated_spans(
         id_col,
         "__start",
         *[F.col("__gram")[j].alias(f"__g{j}") for j in range(n)],
-    ).select(id_col, "__start", gram_hash.alias("__gh"))
+    ).select(id_col, "__start", gram_hash.alias("__gh")).persist()
+    # grams persisted: the firsts aggregate and the join probe both
+    # read it, and the n-gram hash explode is the function's hottest map
     firsts = grams.groupBy(id_col, "__gh").agg(F.min("__start").alias("__first"))
     removed = (
         grams.join(firsts, [id_col, "__gh"])
@@ -644,9 +649,12 @@ def remove_global_repeated_spans(
     Output: ``(id_col, tokens_before, tokens_removed, tokens_after,
     cleaned_hash)`` — the same contract as ``remove_repeated_spans``.
     """
+    # base persisted: three branches re-ran the corpus tokenization
+    # uncached (token rows, gram rows, the before-counts), and sibling
+    # branches are never exchange-reused
     base = df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
         F.size("__t") > 0
-    )
+    ).persist()
     tok_rows = base.select(
         id_col, F.posexplode("__t").alias("__pos", "__tok")
     )
@@ -672,7 +680,9 @@ def remove_global_repeated_spans(
         id_col,
         "__start",
         *[F.col("__gram")[j].alias(f"__g{j}") for j in range(n)],
-    ).select(id_col, "__start", gram_hash.alias("__gh"))
+    ).select(id_col, "__start", gram_hash.alias("__gh")).persist()
+    # grams persisted: the firsts aggregate and the join probe both
+    # read it, and the n-gram hash explode is the function's hottest map
     # the one corpus-wide shuffle: global first occurrence per gram,
     # as a min over (doc, start) structs (struct ordering = field order)
     firsts = grams.groupBy("__gh").agg(

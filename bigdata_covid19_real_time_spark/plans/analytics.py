@@ -325,15 +325,23 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9),
         ).alias("bin"),
     )
-    total = F.broadcast(binned.agg(F.count(F.lit(1)).alias("__n")))
+    # one fact scan: collapse to the (day, bin) cell grid first, then
+    # derive the per-bin baseline, per-day totals, and grand total from
+    # the tiny cell frame — as four separate groupBys over `binned`,
+    # each marginal re-scanned the fact table.  No persist: all readers
+    # consume the IDENTICAL aggregate, so AQE ReuseExchange dedups the
+    # shuffle at runtime (a persist barrier measured slower)
+    daily = binned.groupBy("event_date", "bin").agg(
+        F.count(F.lit(1)).alias("__dn")
+    )
+    total = F.broadcast(daily.agg(F.sum("__dn").alias("__n")))
     base = F.broadcast(
-        binned.groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        daily.groupBy("bin")
+        .agg(F.sum("__dn").alias("__c"))
         .join(total)
         .select("bin", ((F.col("__c") + 1.0) / (F.col("__n") + 10.0)).alias("__p"))
     )
-    daily = binned.groupBy("event_date", "bin").agg(F.count(F.lit(1)).alias("__dn"))
-    day_tot = binned.groupBy("event_date").agg(F.count(F.lit(1)).alias("__dt"))
+    day_tot = daily.groupBy("event_date").agg(F.sum("__dn").alias("__dt"))
     grid = (
         day_tot.join(base)
         .join(daily, ["event_date", "bin"], "left")

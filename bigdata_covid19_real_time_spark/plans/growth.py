@@ -103,10 +103,15 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull()
     )
     timeout = F.expr(f"interval {FUNNEL_TIMEOUT_H} hours")
+    # s1/s2 persisted: each feeds BOTH the next step's join and the
+    # counts aggregate, and sibling branches are never exchange-reused —
+    # uncached, the per-step fact re-scans compounded multiplicatively
+    # (the counts frame alone re-ran the whole cascade)
     s1 = (
         events.filter(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     s2 = (
         events.filter(F.col("event_type") == FUNNEL_STEPS[1])
@@ -114,6 +119,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + timeout))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     s3 = (
         events.filter(F.col("event_type") == FUNNEL_STEPS[2])
@@ -130,33 +136,36 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard = lambda num, den: F.round(  # noqa: E731
         F.when(den > 0, num / den).otherwise(F.lit(0.0)) + F.lit(1e-9), 6
     )
-    step_rows = [
-        counts.select(
+    # single explode fan-out instead of a 3-branch union: a union of
+    # three selects over `counts` re-executed the whole funnel cascade
+    # once per output row (18 fact scans); exploding an array of structs
+    # evaluates the 1-row counts frame exactly once
+    step_structs = F.array(
+        F.struct(
             F.lit(1).alias("step"),
             F.lit(FUNNEL_STEPS[0]).alias("event_type"),
             F.col("n1").cast("long").alias("n_users"),
             F.lit(1.0).alias("step_conversion"),
             F.lit(1.0).alias("overall_conversion"),
         ),
-        counts.select(
+        F.struct(
             F.lit(2).alias("step"),
             F.lit(FUNNEL_STEPS[1]).alias("event_type"),
             F.col("n2").cast("long").alias("n_users"),
             guard(F.col("n2"), F.col("n1")).alias("step_conversion"),
             guard(F.col("n2"), F.col("n1")).alias("overall_conversion"),
         ),
-        counts.select(
+        F.struct(
             F.lit(3).alias("step"),
             F.lit(FUNNEL_STEPS[2]).alias("event_type"),
             F.col("n3").cast("long").alias("n_users"),
             guard(F.col("n3"), F.col("n2")).alias("step_conversion"),
             guard(F.col("n3"), F.col("n1")).alias("overall_conversion"),
         ),
-    ]
-    out = step_rows[0]
-    for frame in step_rows[1:]:
-        out = out.unionAll(frame)
-    return out
+    )
+    return (
+        counts.select(F.explode(step_structs).alias("s")).select("s.*")
+    )
 
 
 @query(

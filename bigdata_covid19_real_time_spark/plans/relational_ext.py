@@ -881,15 +881,19 @@ def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same partitioning (no re-shuffle under AQE); final counts
     collapse to one row."""
     ev = load_table(spark, sf_dir, "events")
+    # v/c persisted: each feeds BOTH the next stage's join and its own
+    # final count branch, and sibling branches are never exchange-reused
+    # — uncached, the per-stage fact re-scans compounded multiplicatively
     v = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
-    )
+    ).persist()
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("first_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
+        .persist()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

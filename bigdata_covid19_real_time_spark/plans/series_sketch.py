@@ -101,11 +101,16 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
     calendar-bounded daily frame; the MA/seasonal windows and the two
     scalar medians (broadcast back via 1-row cross joins) are
     arithmetic on that tiny frame."""
+    # persisted: every downstream stage (trend, seasonal means, the two
+    # medians, the final select) chains back to this collapse, and
+    # sibling branches are never exchange-reused — uncached, the fact
+    # scan + daily aggregate re-ran once per branch (~6x)
     daily = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
         .groupBy(F.to_date("ts").alias("d"))
         .agg(F.sum("value").alias("y"))
+        .persist()
     )
     w7 = Window.orderBy("d").rowsBetween(-3, 3)
     tr = daily.select(
@@ -229,6 +234,11 @@ def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ud"),
         )
         .distinct()
+        # persisted: both the per-type stats branch and the pair-pooled
+        # aggregation read this frame — uncached, the events scan +
+        # distinct shuffle ran twice (sibling branches are never
+        # exchange-reused)
+        .persist()
     )
     per_type = tu.groupBy("event_type").agg(
         F.countDistinct("ud").alias("n"),
