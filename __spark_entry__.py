@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (216 queries covering SURVEY.md §2 plus
+engine's registered query surface (217 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -35,13 +35,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: registered before the late-round-5 batches.  This round's window
 #: holds exactly the remainder: the 37 late-round-5 registrations that
 #: have never received a driver row (all selfcheck-green at 2+ SFs and
-#: pytest-oracle-green at sf0.001), the 6 new round-6 queries (the 4
+#: pytest-oracle-green at sf0.001), the 7 new round-6 queries (the 4
 #: state-store replays of plans/state_replay.py — the first
 #: driver-visible shape for the applyInPandasWithState family — plus
-#: the incremental corpus builder replay and per-language BPE
-#: fertility), and 4 re-validation
+#: the incremental corpus builder replay, per-language BPE fertility,
+#: and the end-to-end curation waterfall), and 4 re-validation
 #: canaries rotated from the OLDEST green driver rows (round 1).  A
-#: green round makes the registry 216/216 driver-certified.
+#: green round makes the registry 217/217 driver-certified.
 #:
 #: ROUND-7 ROTATION NOTE: if CORRECTNESS_r06 certifies this window,
 #: every registered query has a green driver row.  Round 7 should gate
@@ -106,6 +106,11 @@ GATE_PRIORITY = [
     # -- new round-6: per-language BPE fertility (tokenizer eval on
     #    the certified trainer+encoder) --
     "docs_bpe_fertility",
+    # -- new round-6: the end-to-end curation waterfall (quality ->
+    #    exact dedup -> near-dup clusters -> holdout -> decontam),
+    #    certifying the COMPOSITION of the individually-certified
+    #    stages in one six-row report --
+    "docs_curation_waterfall",
     # -- re-validation canaries: oldest green driver rows (round 1) --
     "covid_predict",
     "covid_continent_5min",

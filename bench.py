@@ -333,6 +333,14 @@ FROZEN_R6B_APPENDIX = [
     "docs_bpe_fertility",
 ]
 
+#: Round-6 final registration, FROZEN at registration time: the
+#: end-to-end curation waterfall.  ``... + FROZEN_R6C_APPENDIX``
+#: (216 timed; 217-registry minus the 2 EXCLUDED gate-only fixtures)
+#: is reported as ``frozen217_total_sec``.
+FROZEN_R6C_APPENDIX = [
+    "docs_curation_waterfall",
+]
+
 
 def _headline() -> list[str]:
     """The frozen round-3 order, the frozen round-4 and round-5
@@ -348,6 +356,7 @@ def _headline() -> list[str]:
         + FROZEN_R5C_APPENDIX
         + FROZEN_R6_APPENDIX
         + FROZEN_R6B_APPENDIX
+        + FROZEN_R6C_APPENDIX
     )
     missing = [n for n in pinned if n not in QUERIES]
     if missing:
@@ -488,6 +497,11 @@ def main() -> None:
     frozen216_total = round(
         sum(timings[n] for n in frozen216_names if n in timings), 3
     )
+    # final round-6 series: + the curation waterfall
+    frozen217_names = frozen216_names + FROZEN_R6C_APPENDIX
+    frozen217_total = round(
+        sum(timings[n] for n in frozen217_names if n in timings), 3
+    )
 
     # full detail goes to disk, round-stamped (r2's all-queries stdout
     # line exceeded the driver's tail capture and lost the headline)
@@ -527,6 +541,8 @@ def main() -> None:
                 "frozen214_n": sum(1 for n in frozen214_names if n in timings),
                 "frozen216_total_sec": frozen216_total,
                 "frozen216_n": sum(1 for n in frozen216_names if n in timings),
+                "frozen217_total_sec": frozen217_total,
+                "frozen217_n": sum(1 for n in frozen217_names if n in timings),
                 "order": "frozen r3 list + frozen r4/r5/r5b/r5c/r6 appendices + newer registrations appended",
                 "excluded": EXCLUDED,
                 "queries": timings,
@@ -562,6 +578,7 @@ def main() -> None:
                 "frozen210_total_sec": frozen210_total,
                 "frozen214_total_sec": frozen214_total,
                 "frozen216_total_sec": frozen216_total,
+                "frozen217_total_sec": frozen217_total,
                 "excluded": sorted(EXCLUDED),
                 "queries": heaviest,
                 "detail_file": os.path.basename(detail_path),

@@ -118,17 +118,17 @@ def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
     queries() in dict order.  Round 6 rotates the exact remainder of
     the registry into that window: the 37 late-round-5 registrations
-    that have never received a green driver row, the 6 new round-6 queries (state-store
-    replays, the corpus builder, BPE fertility) (the first driver-visible shape for the
-    applyInPandasWithState family), and 4 canaries rotated from the
+    that have never received a green driver row, the 7 new round-6
+    queries (state-store replays, the corpus builder, BPE fertility,
+    the curation waterfall), and 4 canaries rotated from the
     OLDEST green driver rows (round 1).  oracle_sql() iterates in the
     same order so the driver sees identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 37 never-certified late-r5 + 6 round-6 queries + 4 canaries
-    assert n == 47
+    # 37 never-certified late-r5 + 7 round-6 queries + 4 canaries
+    assert n == 48
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
