@@ -104,6 +104,28 @@ def test_waterfall_oracle_parity_on_fixture(spark):
     assert got == want
 
 
+def test_waterfall_all_clean_corpus_passes_through(spark):
+    """Three clean unique docs: no stage fires (empty exact-dup group
+    surplus, empty near-dup pair set, empty contamination set) — the
+    empty-broadcast paths must emit the full-survival report, not
+    crash or drop rows."""
+    d = tempfile.mkdtemp()
+    rows = [
+        (1, " ".join(_words("a", 30)), "s1"),
+        (2, " ".join(_words("c", 30)), "s2"),
+        (3, " ".join(_words("e", 30)), "s3"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["stage"]: r for r in QUERIES[_Q](spark, d).collect()}
+    assert all(got[s]["n_docs"] == 3 for s in got)
+    assert all(got[s]["n_tokens"] == 90 for s in got)
+    assert all(abs(got[s]["frac_docs"] - 1.0) < 1e-12 for s in got)
+
+
 def test_waterfall_monotone_on_real_corpus(spark):
     rows = sorted(
         QUERIES[_Q](spark, "/root/testdata/sf0.001").collect(),
