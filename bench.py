@@ -379,6 +379,7 @@ SCALE_QUERIES = [
     "daily_event_summary_sketch",
     "docs_dedup_clusters",
     "embedding_semantic_dedup",
+    "docs_curation_waterfall",
 ]
 SCALE_SMALL_DIR = "/root/testdata/sf0.01"
 
