@@ -327,7 +327,7 @@ FROZEN_R6_APPENDIX = [
 ]
 
 #: Round-6 late registrations, FROZEN at registration time.
-#: ``... + FROZEN_R6B_APPENDIX`` (215 timed; 216-registry minus the 2
+#: ``... + FROZEN_R6B_APPENDIX`` (214 timed; 216-registry minus the 2
 #: EXCLUDED gate-only fixtures) is reported as ``frozen216_total_sec``.
 FROZEN_R6B_APPENDIX = [
     "docs_bpe_fertility",
@@ -335,7 +335,7 @@ FROZEN_R6B_APPENDIX = [
 
 #: Round-6 final registration, FROZEN at registration time: the
 #: end-to-end curation waterfall.  ``... + FROZEN_R6C_APPENDIX``
-#: (216 timed; 217-registry minus the 2 EXCLUDED gate-only fixtures)
+#: (215 timed; 217-registry minus the 2 EXCLUDED gate-only fixtures)
 #: is reported as ``frozen217_total_sec``.
 FROZEN_R6C_APPENDIX = [
     "docs_curation_waterfall",

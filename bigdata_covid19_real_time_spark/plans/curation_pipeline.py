@@ -195,6 +195,16 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-docs pairs restricted to survivors (bucket caps only ever
     relax on a subset).
 
+    Oracle-contract caveat (shared with `docs_dedup_clusters` /
+    `docs_minhash_lsh`, certified under the same contract): the oracle
+    computes EXACT Jaccard >= 0.6 while the Spark side generates
+    candidates with banded LSH (B=16, R=8; S-curve knee ~0.71), so a
+    corpus whose near-dup pairs sit in the ~[0.6, 0.75) boundary band
+    would be probabilistically under-paired on the Spark side only.
+    The gate corpora are bimodal (injected near-dups at J ~= 0.8-1.0,
+    everything else far below threshold), which is what makes the
+    exact-recall equivalence hold at every gate SF.
+
     Plan-audit note: the STATIC plan repeats the quality-verdict
     subtree (both the fingerprint pipeline and the flags frame join
     ``kept``) and prints the hint-free id joins as sort-merge, so the
@@ -227,7 +237,13 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("exact_loser", F.lit(True))
     )
     flags = (
-        docs.join(kept, "doc_id")
+        # LEFT join + keep=false default: quality_filter emits no row
+        # for docs whose token array is empty/NULL (its explode paths
+        # drop them), but the report's 'total' row must count EVERY
+        # corpus row exactly like the oracle's unconditional COUNT(*)
+        # — such docs are quality-eliminated, never invisible
+        docs.join(kept, "doc_id", "left")
+        .withColumn("keep", F.coalesce("keep", F.lit(False)))
         .join(exact_losers, "doc_id", "left")
         .withColumn("tok", F.size(F.split("text", " ")))
         # persisted: the near-dup stage, the decontam stage, and the

@@ -35,6 +35,11 @@ def _fixture_docs():
     * doc 8 — shares a 12-token prefix with doc 7 (5-gram contamination
       8/26 = 0.31 >= 0.2, but 3-gram J = 10/46 = 0.22 < 0.6 so it is
       NOT a near-dup): dropped at decontamination
+    * doc 9 — NULL text: quality_filter emits no row for it (empty
+      token array), but it must still appear in 'total' and count as
+      quality-eliminated, exactly like the oracle's COUNT(*)
+    * doc 10 — empty-string text: one empty token on both engines
+      (split semantics agree), quality-eliminated (too_few_tokens)
     """
     a, c, e, w, v = (
         _words("a", 30), _words("c", 30), _words("e", 30),
@@ -51,6 +56,8 @@ def _fixture_docs():
         (6, near + " zzx", "s2"),
         (7, " ".join(w), "src0"),
         (8, " ".join(w[:12] + v), "s3"),
+        (9, None, "s1"),
+        (10, "", "s1"),
     ]
 
 
@@ -68,9 +75,11 @@ def test_waterfall_known_stage_eliminations(spark):
     rows = {
         r["stage"]: r for r in _run_fixture(spark, d).collect()
     }
-    # tokens: 30+2+30+30+30+31+30+30 = 213, then -2, -30, -31, -30, -30
+    # tokens: 30+2+30+30+30+31+30+30 + NULL(skipped) + 1 = 214,
+    # then quality removes docs 2/9/10 (-2, -NULL, -1), then -30
+    # (exact), -31 (near), -30 (holdout), -30 (decontam)
     expect = {
-        "total": (0, 8, 213),
+        "total": (0, 10, 214),
         "quality_filter": (1, 7, 211),
         "exact_dedup": (2, 6, 181),
         "near_dedup": (3, 5, 150),
@@ -83,7 +92,7 @@ def test_waterfall_known_stage_eliminations(spark):
         assert r["stage_idx"] == idx, stage
         assert r["n_docs"] == n, (stage, r["n_docs"], n)
         assert r["n_tokens"] == tok, (stage, r["n_tokens"], tok)
-        assert abs(r["frac_docs"] - round(n / 8 + 1e-9, 6)) < 1e-12
+        assert abs(r["frac_docs"] - round(n / 10 + 1e-9, 6)) < 1e-12
 
 
 def test_waterfall_oracle_parity_on_fixture(spark):
