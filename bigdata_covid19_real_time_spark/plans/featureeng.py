@@ -426,7 +426,7 @@ def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pl AS (
       SELECT bigram, COUNT(*) AS df,
-             list_sort(list(doc_id)) AS postings
+             array_to_string(list_sort(list(doc_id)), ',') AS postings
       FROM big GROUP BY 1
       HAVING COUNT(*) BETWEEN {POSTING_DF_MIN} AND {POSTING_DF_MAX}
     )
@@ -444,7 +444,14 @@ def docs_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds every posting list at {POSTING_DF_MAX} ids regardless of
     corpus size (commoner terms belong in a stopword/impact tier,
     rarer are noise), so the output never carries an unbounded array.
-    One bigram explode, one distinct, one groupBy."""
+    One bigram explode, one distinct, one groupBy.
+
+    The posting list is emitted as a comma-joined STRING (numerically
+    sorted before joining) rather than ``array<string>``: the driver's
+    oracle harness canonicalizes results via pandas ``sort_values``,
+    which cannot hash list cells (round-6 ``err`` row), and all
+    registered queries therefore return scalar columns only
+    (pinned by ``tests/test_entry_contract.py``)."""
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("__t")
     )
@@ -468,7 +475,13 @@ def docs_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .filter(F.col("df").between(POSTING_DF_MIN, POSTING_DF_MAX))
     )

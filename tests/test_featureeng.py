@@ -178,6 +178,6 @@ def test_posting_lists_df_band_and_sorted_ids(spark):
     # 'b a' (df=1 from doc 0's repeat) and 'c d' (df=2) fall below the band
     assert set(by_bg) == {"a b"}
     assert by_bg["a b"]["df"] == 6
-    assert by_bg["a b"]["postings"] == [0, 1, 2, 3, 4, 5]
+    assert by_bg["a b"]["postings"] == "0,1,2,3,4,5"
     # doc 0 contributes 2 occurrences + 1 each from docs 1-5 = 7
     assert by_bg["a b"]["tf_total"] == 7
