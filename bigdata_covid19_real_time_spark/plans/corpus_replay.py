@@ -198,6 +198,13 @@ def _verdict_select(e: int) -> str:
     FROM v JOIN documents USING (doc_id)
     WHERE NOT v.keep AND doc_id % {N_EPOCHS} = {e}
     UNION ALL
+    -- NULL-text docs never enter toks/v (string_split(NULL) unnests to
+    -- nothing) but CorpusIngest.process_batch audits them as
+    -- 'unparseable' rejects — mirror that branch so every wire row is
+    -- accounted for on both sides
+    SELECT doc_id, {e}, 'rejected', 'unparseable'
+    FROM documents WHERE text IS NULL AND doc_id % {N_EPOCHS} = {e}
+    UNION ALL
     SELECT doc_id, {e}, 'rejected', 'duplicate_in_batch'
     FROM b1_{e} WHERE NOT canon
     UNION ALL
@@ -225,8 +232,9 @@ _ORACLE = (
 
 @query("docs_corpus_ingest_replay", oracle=_ORACLE)
 def docs_corpus_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four-epoch replay of the streaming corpus builder (module
-    docstring): each ``doc_id % 2`` slice runs through the real
+    """``N_EPOCHS``-epoch (two-epoch) replay of the streaming corpus
+    builder (module docstring): each ``doc_id % N_EPOCHS`` slice runs
+    through the real
     ``CorpusIngest.process_batch`` with the near-dup screen on, against
     real epoch-partitioned scratch tables; the verdict frame read back
     from the accepted/rejected audit is the result — one row per

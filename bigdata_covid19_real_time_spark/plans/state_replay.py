@@ -369,8 +369,14 @@ def events_mg_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFram
             ),
             "all_est_le_true",
             "undercount_within_bound",
+            # n_present is SUM over in_summary, which is all-NULL when NO
+            # true-heavy item made the summary — coalesce it to 0 so that
+            # total-absence yields FALSE and fails the gate; the outer
+            # coalesce stays TRUE only for shards with zero heavy items
+            # (n_heavy NULL from the left join), the genuinely vacuous case.
             F.coalesce(
-                F.col("n_present") == F.col("n_heavy"), F.lit(True)
+                F.coalesce(F.col("n_present"), F.lit(0)) == F.col("n_heavy"),
+                F.lit(True),
             ).alias("all_heavy_present"),
         )
     )

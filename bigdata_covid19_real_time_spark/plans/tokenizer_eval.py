@@ -97,7 +97,12 @@ def docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang",
         F.size("bpe_tokens").alias("n_toks"),
-        F.size(F.split("text", " ")).alias("n_words"),
+        # exclude empty words (consecutive/leading/trailing spaces) to
+        # match the oracle's len(u.w) >= 1 filter — size(split(...))
+        # would count them and skew fertility on non-single-spaced text
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).alias("n_words"),
         F.length(F.translate("text", " ", "")).alias("n_chars"),
     )
     return per_doc.groupBy("lang").agg(

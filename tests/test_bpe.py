@@ -112,3 +112,47 @@ class TestBpe:
         got = train_bpe_merges(df, n_merges=10, min_count=2,
                                local_threshold=0)
         assert got == []
+
+
+def test_fertility_excludes_empty_words_on_ragged_spacing(spark):
+    """Consecutive/leading/trailing spaces must not inflate n_words:
+    both the Spark side (filtered split) and the oracle (len(w) >= 1)
+    count only real words, and fertility = n_tokens / n_words follows
+    (round-7 advice fix — held before only because the generated corpus
+    is single-space joined).  The fixture word "abcdefghij" has 9 pairs
+    so all 8 unrolled oracle merge rounds fire (the early-stop cascade
+    would otherwise empty the oracle's w8 segmentation table)."""
+    import os
+    import tempfile
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bigdata_covid19_real_time_spark.plans import ORACLES, QUERIES
+
+    name = "docs_bpe_fertility"
+    d = tempfile.mkdtemp()
+    rows = [
+        (1, "  abcdefghij  abcdefghij   xy  ", "en", "s1"),
+        (2, "abcdefghij xy", "en", "s1"),
+        (3, "abcdefghij  abcdefghij", "fr", "s1"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r["lang"]: r for r in QUERIES[name](spark, d).collect()}
+    # empties from the ragged spacing are excluded on both sides
+    assert got["en"]["n_words"] == 5
+    assert got["fr"]["n_words"] == 2
+    assert got["en"]["n_chars"] == 34
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet', '*.parquet')}')"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+    con.close()
+    assert sorted(tuple(r) for r in got.values()) == want

@@ -347,3 +347,49 @@ def test_epoch_writes_do_not_reexecute_pipeline(spark, tmp_path):
         3,
         4,
     }
+
+
+def test_replay_oracle_parity_with_null_text(spark):
+    """NULL-text docs are audited as 'unparseable' rejects by
+    process_batch; the replay oracle mirrors that branch (round-7
+    advice fix).  One NULL-text doc lands in each epoch parity class
+    alongside clean keepers — Spark result and DuckDB oracle must
+    agree row-for-row."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from bigdata_covid19_real_time_spark.plans import ORACLES, QUERIES
+
+    name = "docs_corpus_ingest_replay"
+    d = tempfile.mkdtemp()
+    rows = [
+        (1, GOOD, "en", "s1"),
+        (2, None, "en", "s1"),   # epoch 0 unparseable
+        (3, None, "en", "s2"),   # epoch 1 unparseable
+        (4, GOOD2, "en", "s2"),
+        (5, "xx yy", "en", "s1"),  # quality reject (too_few_tokens)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    got = sorted(tuple(r) for r in QUERIES[name](spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet', '*.parquet')}')"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+    con.close()
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[2][1:] == (0, "rejected", "unparseable")
+    assert by_id[3][1:] == (1, "rejected", "unparseable")
+    # doc 4 (epoch 0) is accepted first; doc 1 arrives in epoch 1 and
+    # hits the cross-epoch near-dup screen against it
+    assert by_id[4][2] == "accepted"
+    assert by_id[1][1:] == (1, "rejected", "near_duplicate_of_corpus")
