@@ -186,8 +186,10 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-loser flag derived from a narrow md5-fingerprint pipeline)
     feeds every stage; per-doc elimination id sets re-enter as plain
     doc_id joins (AQE broadcasts them at these SFs); the six report
-    rows come from ONE conditional aggregation (``stack``), not six
-    corpus scans.
+    rows come from ONE conditional aggregation, materialized eagerly
+    (bounded at 12 values by construction) so the persisted flags
+    frame is unpersisted before this function returns — callers never
+    inherit cached state — and returned as a JVM-literal plan.
 
     Subset composition is sound for the LSH stage: MinHash signatures
     and band collisions are per-document (seeded identically), so
@@ -214,6 +216,9 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs ~8% FASTER than the window variant it replaced while keeping
     text off the content shuffle.
     """
+    from bigdata_covid19_real_time_spark.streaming.corpus import CorpusIngest
+
+    caches_before = CorpusIngest._persisted_rdd_ids(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -305,22 +310,42 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(6)
         ],
     )
-    stacked = agg.select(
-        F.expr(
-            "stack(6, "
-            + ", ".join(
-                f"{k}, '{_STAGES[k]}', n{k}, t{k}" for k in range(6)
+    # Materialize the single 12-column stage-count row NOW so the
+    # persisted flags frame can be released before returning: the
+    # report is 6 rows by construction, and a lazy return would leave
+    # `flags` cached for the caller to leak (round-6 review).  The
+    # result re-enters as a JVM-literal plan (explode-over-struct-array
+    # — never createDataFrame, which re-ships pickled rows per action)
+    # with frac_docs computed by the same stable_round expression the
+    # oracle mirrors.
+    [counts] = agg.collect()
+    # release flags AND the intermediates the composed LSH/CC/decontam
+    # operators persist internally (their documented looping-caller
+    # contract is to clear between invocations) — delta-based, so
+    # caches owned by other workloads sharing the session survive
+    CorpusIngest._unpersist_new_since(spark, caches_before)
+    tot = F.lit(counts["n0"]).cast("long")
+    report = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("stage_idx"),
+                        F.lit(_STAGES[k]).alias("stage"),
+                        F.lit(counts[f"n{k}"]).cast("long").alias("n_docs"),
+                        F.lit(counts[f"t{k}"]).cast("long").alias("n_tokens"),
+                    )
+                    for k in range(6)
+                ]
             )
-            + ") AS (stage_idx, stage, n_docs, n_tokens)"
-        ),
-        F.col("n0").alias("_tot"),
+        ).alias("s")
     )
-    return stacked.select(
-        F.col("stage_idx").cast("int").alias("stage_idx"),
-        "stage",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        stable_round(
-            F.col("n_docs") * F.lit(1.0) / F.col("_tot"), 6
-        ).alias("frac_docs"),
+    return report.select(
+        "s.stage_idx",
+        "s.stage",
+        "s.n_docs",
+        "s.n_tokens",
+        stable_round(F.col("s.n_docs") * F.lit(1.0) / tot, 6).alias(
+            "frac_docs"
+        ),
     )

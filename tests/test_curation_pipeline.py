@@ -151,3 +151,18 @@ def test_waterfall_monotone_on_real_corpus(spark):
     assert rows[-1]["n_docs"] > 0  # the pipeline keeps a corpus
     # quality actually fires at every SF (vacuous-gate guard)
     assert rows[1]["n_docs"] < rows[0]["n_docs"]
+
+
+def test_waterfall_releases_its_persisted_frame(spark):
+    """The flags persist is function-owned: after the query returns
+    (it materializes the bounded stage counts internally), no net new
+    RDDs remain cached — a library caller composing the waterfall must
+    not inherit leaked cache (round-6 review).  Delta-based: the suite
+    shares one session, so only the before/after difference counts."""
+    d = tempfile.mkdtemp()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = _run_fixture(spark, d)
+    assert jsc.getPersistentRDDs().size() == before
+    assert len(df.collect()) == 6
+    assert jsc.getPersistentRDDs().size() == before
