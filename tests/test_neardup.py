@@ -537,3 +537,44 @@ def test_jaccard_pairs_size_guard(spark, docs):
     assert (1, 4) in pairs
     # escape hatch: no count job, no guard
     assert jaccard_pairs(docs, threshold=0.9, max_docs=None).count() >= 1
+
+
+def test_ngram_fixture_input_is_capped(spark):
+    """docs_ngram_jaccard is the registry's one quadratic query (the
+    exact-Jaccard oracle fixture for the LSH family).  Its input is
+    pinned to doc_id < NGRAM_FIXTURE_MAX_DOC_ID on BOTH engines: every
+    driver corpus (500 docs at sf0.001/0.01, 5000 at sf0.1) passes
+    through unchanged, and any larger SF stays at sf0.1 cost instead
+    of scaling quadratically (round-6 verdict task 7)."""
+    from bigdata_covid19_real_time_spark.plans import ORACLES, QUERIES
+    from bigdata_covid19_real_time_spark.plans.extensions import (
+        NGRAM_FIXTURE_MAX_DOC_ID,
+    )
+
+    assert NGRAM_FIXTURE_MAX_DOC_ID == 5_000
+    assert f"doc_id < {NGRAM_FIXTURE_MAX_DOC_ID}" in ORACLES["docs_ngram_jaccard"]
+    # the pushed-down cap reaches the parquet scan
+    plan = QUERIES["docs_ngram_jaccard"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "doc_id" in plan and "5000" in plan
+
+    # beyond-cap docs are invisible: a doc pair above the cap produces
+    # no rows even though its Jaccard is 1.0
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp()
+    t = "q w e r t y u i o p"
+    rows = [(1, t, "en", "s1"), (2, t, "en", "s1"),
+            (9_000_000, t, "en", "s1"), (9_000_001, t, "en", "s1")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {(r["doc_a"], r["doc_b"])
+           for r in QUERIES["docs_ngram_jaccard"](spark, d).collect()}
+    assert got == {(1, 2)}
