@@ -161,3 +161,16 @@ def test_gate_window_prioritizes_unverified_queries():
 
     prio = set(entry_mod.GATE_PRIORITY)
     assert names[n:] == [q for q in QUERIES if q not in prio]
+
+
+def test_drift_probe_contract():
+    """The drift probes are frozen-headline queries with positive
+    committed baselines — so probe_factor is always computable and the
+    probe never times a query the registry could drop (round-6 verdict
+    task 2)."""
+    import bench
+
+    assert len(bench.PROBE_BASELINE_SEC) == 5
+    for name, sec in bench.PROBE_BASELINE_SEC.items():
+        assert name in bench.FROZEN_HEADLINE_ORDER, name
+        assert sec > 0, name
