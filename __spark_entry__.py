@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (217 queries covering SURVEY.md §2 plus
+engine's registered query surface (219 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -29,93 +29,80 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries surfaced FIRST to the driver's correctness gate this round.
-#: The gate checks the first ~50 entries in dict order.  Rounds 1-5
-#: cumulatively driver-certified 173/210 registered queries with ZERO
-#: oracle failures; CORRECTNESS_r05 went 50/50, certifying everything
-#: registered before the late-round-5 batches.  This round's window
-#: holds exactly the remainder: the 37 late-round-5 registrations that
-#: have never received a driver row (all selfcheck-green at 2+ SFs and
-#: pytest-oracle-green at sf0.001), the 7 new round-6 queries (the 4
-#: state-store replays of plans/state_replay.py — the first
-#: driver-visible shape for the applyInPandasWithState family — plus
-#: the incremental corpus builder replay, per-language BPE fertility,
-#: and the end-to-end curation waterfall), and 4 re-validation
-#: canaries rotated from the OLDEST green driver rows (round 1).  A
-#: green round makes the registry 217/217 driver-certified.
-#:
-#: ROUND-7 ROTATION NOTE: if CORRECTNESS_r06 certifies this window,
-#: every registered query has a green driver row.  Round 7 should gate
-#: any new registrations first, then rotate fresh slices of the
-#: long-certified set (oldest driver row first) as canaries.
+#: The gate checks the first ~50 entries in dict order.  Rounds 1-6
+#: cumulatively driver-certified 216/217 registered queries with ZERO
+#: oracle VALUE failures; the one exception, ``docs_posting_lists``,
+#: failed round 6 in the driver harness's pandas canonicalizer on its
+#: (then) array<string> column, now scalarized on both engine sides.
+#: This round's window: the 2 new round-7 registrations (the
+#: engine-native streaming stateful operators, replayed through REAL
+#: multi-micro-batch Structured Streaming queries —
+#: plans/stream_replay.py), the posting-lists re-gate, and 45
+#: re-validation canaries rotated per the round-6 plan from the OLDEST
+#: green driver rows (the round-1 certified set minus the 4 already
+#: re-certified as round-6 canaries, topped up with the next-oldest
+#: round-2 rows) — extending the zero-value-failure streak onto code
+#: paths last driver-touched six rounds ago.  A green round makes the
+#: registry 219/219 driver-certified.
 GATE_PRIORITY = [
-    # -- model-eval batch (late r5, never driver-checked) --
-    "lineitem_discount_auc",
-    "embedding_retrieval_metrics",
-    "events_click_calibration",
-    "docs_rater_kappa",
-    # -- mix-planning batch (late r5) --
-    "docs_temperature_mix_plan",
-    "customer_retention_triangle",
-    "events_neyman_allocation",
-    "events_ab_srm_check",
-    # -- stewardship batch (late r5) --
-    "lineitem_pit_priority_mix",
-    "user_erasure_audit",
-    "brand_copurchase_communities",
-    # -- mining batch (late r5) --
-    "events_theilsen_trend",
-    "brand_item_cf_similarity",
-    # -- growth batch (late r5) --
-    "events_funnel_conversion",
-    "customer_growth_accounting",
-    "brand_price_elasticity",
-    # -- series-sketch batch (late r5) --
-    "events_seasonal_decomposition",
-    "events_audience_overlap_hll",
-    # -- behavioral/experimentation batches (late r5) --
-    "events_value_ewma",
-    "customer_priority_scd2",
-    "brand_winsorized_stats",
-    "customer_kfold_balance",
-    "docs_readability",
+    # -- new round-7: engine-native streaming stateful operators via
+    #    real multi-micro-batch replay (file stream -> state store ->
+    #    memory sink; margin-certain watermark regime so the oracle is
+    #    exactly batch-expressible) --
+    "events_stream_dedup_replay",
+    "events_stream_interval_join_replay",
+    # -- re-gate: round 6's single red row, scalarized (array_join on
+    #    both engine sides) so the driver canonicalizer can hash it --
     "docs_posting_lists",
-    "embedding_mmr_topk",
-    "events_walkforward_folds",
-    "events_value_bootstrap_ci",
-    "events_cuped_adjustment",
-    "embedding_hard_negatives",
-    "docs_langid_confusion",
-    "docs_shard_manifest",
-    "events_entropy_rate",
-    "events_power_analysis",
-    "events_session_bounce",
-    "star_schema_integrity",
-    "events_wau_mau_stickiness",
-    "orders_repeat_intervals",
-    # -- new round-6: streaming state-store semantics via epoch replay
-    #    through the real applyInPandasWithState closures --
-    "events_sessionize_replay",
-    "events_mg_heavy_hitters_replay",
-    "events_drift_monitor_replay",
-    "events_ewma_state_replay",
-    # -- new round-6: the streaming incremental corpus builder
-    #    (quality gate -> exact dedup -> history dedup -> persistent
-    #    LSH band index), replayed over two doc_id%2 epochs through the
-    #    real CorpusIngest.process_batch --
-    "docs_corpus_ingest_replay",
-    # -- new round-6: per-language BPE fertility (tokenizer eval on
-    #    the certified trainer+encoder) --
-    "docs_bpe_fertility",
-    # -- new round-6: the end-to-end curation waterfall (quality ->
-    #    exact dedup -> near-dup clusters -> holdout -> decontam),
-    #    certifying the COMPOSITION of the individually-certified
-    #    stages in one six-row report --
-    "docs_curation_waterfall",
-    # -- re-validation canaries: oldest green driver rows (round 1) --
-    "covid_predict",
-    "covid_continent_5min",
-    "covid_windowed_stats",
-    "docs_exact_dedup",
+    # -- re-validation canaries: the round-1 certified set, oldest
+    #    driver rows first (minus covid_predict/covid_continent_5min/
+    #    covid_windowed_stats/docs_exact_dedup, re-certified round 6) --
+    "covid_clean",
+    "covid_hotspots",
+    "covid_dashboard",
+    "covid_top_affected",
+    "covid_rankings",
+    "covid_enrich",
+    "docs_prefix_neardup",
+    "docs_ngram_jaccard",
+    "embedding_cosine_topk",
+    "docs_quality_by_lang",
+    "docs_minhash_lsh",
+    "docs_simhash_neardup",
+    "docs_media_meta",
+    "embedding_lsh_topk",
+    "docs_language_scores",
+    "embedding_ivf_topk",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders",
+    "top_customers_by_revenue",
+    "orders_without_lineitems",
+    "user_moving_avg",
+    "user_value_growth",
+    "events_5min_rollup",
+    "daily_event_summary",
+    "events_json_extract",
+    "event_type_rankings",
+    "events_rollup",
+    "events_cube",
+    "purchase_asof_click",
+    "user_sessions",
+    "error_only_user_days",
+    "value_percentiles",
+    "orders_with_big_items",
+    "events_sliding_rollup",
+    "customer_order_coverage",
+    "order_rank_spectrum",
+    "daily_event_summary_sketch",
+    "events_pivot_by_type",
+    "events_unpivot_daily_metrics",
+    "user_event_type_sets",
+    "orders_above_customer_avg",
+    # -- next-oldest canaries (first certified round 2) --
+    "docs_length_deciles",
+    "docs_duplicate_spans",
+    "docs_source_topk_sample",
 ]
 
 

@@ -54,6 +54,7 @@ from bigdata_covid19_real_time_spark.plans import state_replay  # noqa: F401,E40
 from bigdata_covid19_real_time_spark.plans import corpus_replay  # noqa: F401,E402
 from bigdata_covid19_real_time_spark.plans import tokenizer_eval  # noqa: F401,E402
 from bigdata_covid19_real_time_spark.plans import curation_pipeline  # noqa: F401,E402
+from bigdata_covid19_real_time_spark.plans import stream_replay  # noqa: F401,E402
 from bigdata_covid19_real_time_spark.plans.registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,277 @@
+"""Driver gates for the engine-native streaming stateful operators.
+
+``streaming/runner.py:dedup_within_watermark`` (cross-batch streaming
+dedup via ``dropDuplicatesWithinWatermark``) and
+``streaming/joins.py:interval_join_streams`` (watermark-bounded
+stream-stream interval join) were the last two capability families
+with no driver-visible row — both pytest-only through round 6.  The
+state-store family closed via closure replay
+(``plans/state_replay.py``); these two operators are ENGINE-NATIVE
+(their state lives inside Structured Streaming's state store, not in a
+Python closure), so the only honest gate is to run the REAL streaming
+query: the events table is split into one parquet file per calendar
+day, consumed as a file stream with ``maxFilesPerTrigger=1`` under
+``Trigger.AvailableNow`` (one micro-batch per day, oldest first — file
+mtimes are explicitly 1 s-spaced because HDFS mtime granularity is
+milliseconds and sub-ms-written files would tie and scramble epoch
+order), through the real operator, into a memory sink.
+
+Oracle strategy — margin-certain watermark semantics: both gates pick
+a watermark delay (10 days) longer than the whole 6-day replay
+horizon, so within the replay no row is ever late and no state is ever
+evicted.  Under that regime the streaming results are EXACTLY
+batch-expressible (dedup -> first occurrence per key = the distinct
+original rows; interval join -> the plain SQL time-range join), which
+is what makes a DuckDB value oracle possible.  What the gate then
+certifies end-to-end: the operator accepts and executes the real
+multi-batch plan, carries dedup/join state ACROSS micro-batches
+(within-batch-only semantics would leave cross-batch duplicates in the
+output / drop cross-midnight attributions — both value-visible), and
+emits exactly once per match into an append sink.  The
+boundary-regime behaviors the margin deliberately avoids (late-row
+drops, state eviction + re-admission) are pinned by the streaming
+pytest suite (``tests/test_streaming.py``, ``tests/test_drift_stream.py``)
+where event-time fixtures are hand-built.
+
+Scale: identical shapes to a production deployment — dedup state is
+hash-partitioned by key, join state by the equi-key; each side buffers
+only rows younger than watermark + delay.  The replay's per-epoch cost
+is ~all fixed micro-batch overhead at gate SFs (the same
+harness-not-operator profile as ``docs_corpus_ingest_replay``), so
+both queries are bench-EXCLUDED with that rationale and gate-windowed
+for correctness instead.
+
+Imported last by plans/__init__ (append-only registration).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_covid19_real_time_spark.plans.lakehouse_twins import _scratch_dir
+from bigdata_covid19_real_time_spark.plans.registry import query
+from bigdata_covid19_real_time_spark.sources.batch import load_table
+
+#: Replay horizon: the first six calendar days of the events table
+#: (one file-stream micro-batch per day).  The generated corpus starts
+#: 2024-01-01 at every SF.
+HORIZON_START = "2024-01-01"
+HORIZON_END = "2024-01-07"
+N_EPOCHS = 6
+
+#: Watermark delay for BOTH gates — longer than the whole horizon, so
+#: the replay stays in the margin-certain regime the module docstring
+#: describes (no late rows, no state eviction).
+WATERMARK = "240 hours"
+
+#: Attribution window for the interval join (purchase within 24 h of a
+#: click).  24 h makes cross-midnight pairs — where the purchase
+#: arrives one micro-batch AFTER its click and the match can only come
+#: from buffered join state — a routine occurrence at every SF.
+ATTRIBUTION_DELAY = "24 hours"
+
+
+def _horizon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the corpus ts is TIMESTAMP_NTZ; watermarking requires TIMESTAMP.
+    # load_table pins the session to UTC, so the cast is value-preserving
+    # (and the final selects cast back to NTZ for oracle comparability).
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("ts") < F.lit(HORIZON_END).cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def _write_epoch_files(feed: DataFrame, out_dir: str) -> None:
+    """One parquet FILE per ``epoch`` value (0..N_EPOCHS-1), mtimes
+    1 s apart so the file source consumes them oldest-first
+    deterministically."""
+    os.makedirs(out_dir, exist_ok=True)
+    base_t = time.time() - 3600
+    for e in range(N_EPOCHS):
+        tmp = os.path.join(out_dir, f"_stage_{e}")
+        feed.filter(F.col("epoch") == e).drop("epoch").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(out_dir, f"epoch_{e:03d}.parquet")
+        os.replace(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base_t + e, base_t + e))
+
+
+def _run_to_memory(stream_df: DataFrame, base: str, tag: str) -> DataFrame:
+    """Execute a streaming frame to completion under AvailableNow into
+    a memory sink; return the sink table (query names are unique per
+    invocation via the scratch-dir suffix).
+
+    Shuffle partitions are pinned low for the run: each stateful
+    micro-batch pays per-partition state-store open/commit/maintenance
+    cost regardless of data volume, so a 32-200-partition session conf
+    turns six near-empty batches into minutes of pure store overhead
+    (measured 161 s -> tens of seconds).  The pin is also what a real
+    deployment does — state partitioning is a capacity decision, not
+    an inherited batch-session default — and it is deterministic: the
+    fresh per-invocation checkpoint records it, and results are
+    partitioning-invariant (values, not order, are gated)."""
+    spark = stream_df.sparkSession
+    qname = f"sr_{tag}_{os.path.basename(base).rsplit('_', 1)[-1]}"
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"stream replay {qname} did not drain in 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return spark.table(qname)
+
+
+@query(
+    "events_stream_dedup_replay",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE ts < TIMESTAMP '{HORIZON_END}'
+    """,
+)
+def events_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming dedup through the REAL
+    ``dropDuplicatesWithinWatermark`` (``streaming/runner.py:
+    dedup_within_watermark``), replayed over six daily micro-batches.
+
+    The feed injects exact-copy duplicates two ways: rows with
+    ``event_id % 5 == 0`` repeat WITHIN their own day's file, and rows
+    with ``event_id % 5 == 1`` repeat in the NEXT day's file
+    (cross-batch — the case per-batch ``dropDuplicates`` cannot catch
+    and the reference's D1-D4 leave for the sink, SURVEY.md §2.7).
+    With the margin watermark no state evicts, so the exact expected
+    output is the distinct original horizon rows; every cross-batch
+    duplicate that leaks through is a value-visible extra row.
+    """
+    base = _scratch_dir("stream_dedup_replay_")
+    ev = _horizon_events(spark, sf_dir).withColumn(
+        "epoch", F.datediff(F.col("ts"), F.lit(HORIZON_START).cast("date"))
+    )
+    feed = ev.unionByName(
+        ev.filter(F.col("event_id") % 5 == 0)  # within-batch copies
+    ).unionByName(
+        ev.filter(
+            (F.col("event_id") % 5 == 1) & (F.col("epoch") < N_EPOCHS - 1)
+        ).withColumn("epoch", F.col("epoch") + 1)  # next-day copies
+    )
+    in_dir = os.path.join(base, "feed")
+    _write_epoch_files(feed, in_dir)
+
+    from bigdata_covid19_real_time_spark.streaming.runner import (
+        dedup_within_watermark,
+    )
+
+    stream = (
+        spark.readStream.schema(feed.drop("epoch").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    deduped = dedup_within_watermark(
+        stream, ["event_id"], event_time_col="ts", watermark=WATERMARK
+    )
+    return _run_to_memory(deduped, base, "dedup").select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "events_stream_interval_join_replay",
+    oracle=f"""
+    SELECT c.user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           c.value AS click_value,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts < TIMESTAMP '{HORIZON_END}'
+     AND p.ts < TIMESTAMP '{HORIZON_END}'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+    """,
+)
+def events_stream_interval_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-bounded stream-stream attribution join through the
+    REAL ``interval_join_streams`` (``streaming/joins.py``): the click
+    and purchase feeds run as two daily-file streams, and each purchase
+    joins the clicks of the same user within the preceding 24 h.
+
+    Cross-midnight pairs — purchase arriving one micro-batch after its
+    click — are routine at this window width, so the gate exercises
+    the buffered-state path (a within-batch-only join would lose every
+    such pair, value-visibly).  With the margin watermark nothing is
+    late or evicted, so the exact expected output is the plain SQL
+    time-range join over the horizon.
+    """
+    base = _scratch_dir("stream_ijoin_replay_")
+    ev = _horizon_events(spark, sf_dir).withColumn(
+        "epoch", F.datediff(F.col("ts"), F.lit(HORIZON_START).cast("date"))
+    )
+    sides = {}
+    for tag, etype, prefix in (
+        ("clicks", "click", "click"),
+        ("purchases", "purchase", "purchase"),
+    ):
+        feed = ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("value").alias(f"{prefix}_value"),
+            "epoch",
+        )
+        in_dir = os.path.join(base, tag)
+        _write_epoch_files(feed, in_dir)
+        sides[tag] = (
+            spark.readStream.schema(feed.drop("epoch").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    joined = interval_join_streams(
+        sides["clicks"],
+        sides["purchases"],
+        key="user_id",
+        left_time="click_ts",
+        right_time="purchase_ts",
+        max_delay=ATTRIBUTION_DELAY,
+        watermark=WATERMARK,
+    )
+    return _run_to_memory(joined, base, "ijoin").select(
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "click_value",
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )

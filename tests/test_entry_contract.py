@@ -131,29 +131,29 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 6 rotates the exact remainder of
-    the registry into that window: the 37 late-round-5 registrations
-    that have never received a green driver row, the 7 new round-6
-    queries (state-store replays, the corpus builder, BPE fertility,
-    the curation waterfall), and 4 canaries rotated from the
-    OLDEST green driver rows (round 1).  oracle_sql() iterates in the
-    same order so the driver sees identical windows from both."""
+    queries() in dict order.  Round 7's window: the 2 new streaming
+    replay registrations first, the docs_posting_lists re-gate (round
+    6's one harness-interface red row, now scalarized), then 45
+    canaries rotated from the OLDEST green driver rows (round 1 set,
+    topped up with the next-oldest round-2 rows).  oracle_sql()
+    iterates in the same order so the driver sees identical windows
+    from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 37 never-certified late-r5 + 7 round-6 queries + 4 canaries
+    # 2 new round-7 queries + 1 re-gate + 45 oldest-first canaries
     assert n == 48
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
-    # the state-replay family (round-6 additions) plus rotated canaries
+    # new registrations gate first; the re-gate and oldest canaries ride
     for must in (
-        "events_sessionize_replay",
-        "events_mg_heavy_hitters_replay",
-        "events_drift_monitor_replay",
-        "covid_predict",
-        "docs_exact_dedup",
+        "events_stream_dedup_replay",
+        "events_stream_interval_join_replay",
+        "docs_posting_lists",
+        "covid_clean",
+        "docs_length_deciles",
     ):
         assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)

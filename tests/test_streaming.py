@@ -569,3 +569,36 @@ def test_stream_stream_interval_left_outer_emits_after_watermark(spark, tmp_path
     assert rows[("u1", "p1")] == 5.0          # matched
     assert rows[("u2", "p2")] is None         # unmatched, watermark passed
     assert ("w1", "px") not in rows           # still inside its window
+
+
+def test_stream_replay_gates_are_not_vacuous(spark):
+    """The round-7 streaming replay gates certify CROSS-batch state:
+    the dedup feed must actually contain next-day duplicate copies, and
+    the interval-join output must contain cross-midnight attributions
+    (pairs whose purchase arrives one micro-batch after its click) —
+    otherwise a within-batch-only implementation would pass (the
+    vacuous-gate trap)."""
+    import duckdb
+
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+    from bigdata_covid19_real_time_spark.plans.stream_replay import (
+        HORIZON_END,
+        N_EPOCHS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # cross-batch dup supply exists in the raw horizon
+    [(n_crossdup,)] = duckdb.sql(
+        f"""SELECT COUNT(*) FROM read_parquet('{sf}/events.parquet')
+        WHERE ts < TIMESTAMP '{HORIZON_END}' AND event_id % 5 = 1
+          AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              < {N_EPOCHS} - 1"""
+    ).fetchall()
+    assert n_crossdup > 10
+
+    rows = QUERIES["events_stream_interval_join_replay"](spark, sf).collect()
+    assert len(rows) > 0
+    cross_midnight = [
+        r for r in rows if r["click_ts"].date() != r["purchase_ts"].date()
+    ]
+    assert cross_midnight, "no cross-batch pair — gate would be vacuous"
