@@ -107,10 +107,7 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_covid19_real_time_spark.operators.ivfpq import ivfpq_topk
     from bigdata_covid19_real_time_spark.operators.pq import train_pq_codebooks
 
-    # persisted: the quantizer trainers, the encode pass, the probe
-    # queries, and the rerank each decode the vector arrays from
-    # parquet with a different downstream shape (no exchange to reuse)
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_centroids(emb, n_clusters=16, n_iters=3)
     books = train_pq_codebooks(emb, m=4, k=16, n_iters=2)
     out = ivfpq_topk(

@@ -371,8 +371,12 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     rng = random.Random(7)
-    # persisted: the downstream stages decode the vector arrays with
-    # different shapes (no exchange to reuse) — measured -45% on ivfpq
+    # persisted: the plane projections, the bucket probe, and the exact
+    # rerank each decode the vector arrays with different downstream
+    # shapes (no exchange to reuse) — the ONE ANN persist that survived
+    # the round-7 two-sample fresh-JVM A/B (BENCH_AB_PERSIST_r7.json:
+    # keep/drop 0.83 with non-overlapping arms; the other five were
+    # drift-era wins that evaporated and are dropped)
     emb = load_table(spark, sf_dir, "embeddings").persist()
     # plane width must equal the vector width (zip_with null-pads on
     # mismatch, nulling every signature)
@@ -761,9 +765,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_centroids,
     )
 
-    # persisted: the downstream stages decode the vector arrays with
-    # different shapes (no exchange to reuse) — measured -45% on ivfpq
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_centroids(emb, n_clusters=16, n_iters=3)
     out = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), centroids, k=5, nprobe=6)
     return out.select(
@@ -1628,9 +1630,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks,
     )
 
-    # persisted: the downstream stages decode the vector arrays with
-    # different shapes (no exchange to reuse) — measured -45% on ivfpq
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = load_table(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(emb, m=4, k=16, n_iters=2)
     codes = pq_encode(emb, books)
     out = pq_topk(codes, emb.filter(F.col("vec_id") < 10), books, k_top=5)
@@ -1846,9 +1846,7 @@ def embedding_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         reciprocal_rank_fusion,
     )
 
-    # persisted: the downstream stages decode the vector arrays with
-    # different shapes (no exchange to reuse) — measured -45% on ivfpq
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     exact = cosine_topk(emb, queries_df, k=5)
     centroids = train_centroids(emb, n_clusters=16, n_iters=3)
@@ -2175,9 +2173,7 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scored in full precision (operators/quantization.py)."""
     from bigdata_covid19_real_time_spark.operators.quantization import sq8_topk
 
-    # persisted: the downstream stages decode the vector arrays with
-    # different shapes (no exchange to reuse) — measured -45% on ivfpq
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = load_table(spark, sf_dir, "embeddings")
     out = sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, rerank_factor=4)
     return out.select(
         "query_id", "neighbor_id", "rank", stable_round("cosine", 6).alias("cosine")
