@@ -188,8 +188,13 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id joins (AQE broadcasts them at these SFs); the six report
     rows come from ONE conditional aggregation, materialized eagerly
     (bounded at 12 values by construction) so the persisted flags
-    frame is unpersisted before this function returns — callers never
-    inherit cached state — and returned as a JVM-literal plan.
+    frame is unpersisted before this function returns, and returned as
+    a JVM-literal plan.  Cache lifecycle: flags is function-owned and
+    released; the composed operators' internal persists are
+    CacheManager-deduped by plan equality, so repeated invocations
+    reuse rather than accumulate them (no-growth test), with final
+    cleanup on the looping caller per those operators' documented
+    contract.
 
     Subset composition is sound for the LSH stage: MinHash signatures
     and band collisions are per-document (seeded identically), so
@@ -216,9 +221,6 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs ~8% FASTER than the window variant it replaced while keeping
     text off the content shuffle.
     """
-    from bigdata_covid19_real_time_spark.streaming.corpus import CorpusIngest
-
-    caches_before = CorpusIngest._persisted_rdd_ids(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -319,11 +321,18 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with frac_docs computed by the same stable_round expression the
     # oracle mirrors.
     [counts] = agg.collect()
-    # release flags AND the intermediates the composed LSH/CC/decontam
-    # operators persist internally (their documented looping-caller
-    # contract is to clear between invocations) — delta-based, so
-    # caches owned by other workloads sharing the session survive
-    CorpusIngest._unpersist_new_since(spark, caches_before)
+    # Release flags through the DataFrame API (CacheManager-aware —
+    # unpersisting the underlying RDDs directly would leave a stale
+    # CacheManager entry that a later plan-equal invocation reuses over
+    # destroyed blocks; observed as Spark's UnsafeInMemorySorter NPE on
+    # back-to-back runs).  The frames the composed LSH/CC/decontam
+    # operators persist internally are deliberately NOT swept here:
+    # CacheManager dedups them by plan equality, so repeated same-args
+    # invocations REUSE rather than accumulate them (pinned by the
+    # no-growth test), and their documented contract already assigns
+    # cleanup to looping callers (bench/selfcheck clearCache between
+    # queries).
+    flags.unpersist(True)
     tot = F.lit(counts["n0"]).cast("long")
     report = spark.range(1).select(
         F.explode(

