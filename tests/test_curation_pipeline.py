@@ -165,10 +165,14 @@ def test_waterfall_cache_footprint_does_not_grow(spark):
     shares one session, so only growth counts."""
     d = tempfile.mkdtemp()
     jsc = spark.sparkContext._jsc.sc()
-    df = _run_fixture(spark, d)
+    df = _run_fixture(spark, d)  # writes the fixture once, runs once
     assert len(df.collect()) == 6
     after_first = jsc.getPersistentRDDs().size()
+    # repeated invocations on the SAME dir (no rewrite: a path write
+    # would recacheByPath-churn plan-equal entries); <= because the
+    # shared session's ContextCleaner may collect OTHER tests' caches
+    # between snapshots — growth is the defect under test
     for _ in range(2):
-        df = _run_fixture(spark, d)
+        df = QUERIES[_Q](spark, d)
         assert len(df.collect()) == 6
-        assert jsc.getPersistentRDDs().size() == after_first
+        assert jsc.getPersistentRDDs().size() <= after_first
