@@ -93,6 +93,24 @@ ROUND6_QUERIES = [
     "events_ewma_state_replay",
 ]
 
+#: Round-7 new/changed queries (round-7 rotation): the two streaming
+#: replay gates, the scalarized posting lists, the capped exact-Jaccard
+#: fixture (its ratio should now sit near 1 — the input is pinned at
+#: sf0.1 size), the empty-word-fixed fertility, the re-flagged MG
+#: replay, and the Arrow-CC consumers.  Run with ``--round7`` to time
+#: exactly these and write SF1NEW_r7.json.
+ROUND7_QUERIES = [
+    "events_stream_dedup_replay",
+    "events_stream_interval_join_replay",
+    "docs_posting_lists",
+    "docs_ngram_jaccard",
+    "docs_bpe_fertility",
+    "events_mg_heavy_hitters_replay",
+    "docs_dedup_clusters",
+    "docs_leakage_free_split",
+    "docs_curation_waterfall",
+]
+
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ETYPES = ["view", "click", "purchase", "signup", "error"]
@@ -209,9 +227,18 @@ def main() -> int:
         action="store_true",
         help="time ROUND6_QUERIES and write SF1NEW_r6.json",
     )
+    ap.add_argument(
+        "--round7",
+        action="store_true",
+        help="time ROUND7_QUERIES and write SF1NEW_r7.json",
+    )
     args = ap.parse_args()
-    names = ROUND6_QUERIES if args.round6 else NEW_QUERIES
-    out_name = "SF1NEW_r6.json" if args.round6 else "SF1NEW.json"
+    if args.round7:
+        names, out_name = ROUND7_QUERIES, "SF1NEW_r7.json"
+    elif args.round6:
+        names, out_name = ROUND6_QUERIES, "SF1NEW_r6.json"
+    else:
+        names, out_name = NEW_QUERIES, "SF1NEW.json"
 
     from sf1_neardup_check import generate as generate_docs
 
