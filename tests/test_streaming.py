@@ -602,3 +602,74 @@ def test_stream_replay_gates_are_not_vacuous(spark):
         r for r in rows if r["click_ts"].date() != r["purchase_ts"].date()
     ]
     assert cross_midnight, "no cross-batch pair — gate would be vacuous"
+
+
+def test_dedup_within_watermark_boundary_regimes(spark, tmp_path):
+    """The two watermark boundary behaviors the round-7 replay GATES
+    deliberately avoid (their margin regime makes the oracle exact) are
+    pinned here instead: (1) a row older than the watermark is dropped
+    as LATE, never emitted and never treated as a duplicate; (2) a key
+    whose dedup state was EVICTED by the advancing watermark is
+    re-admitted when it reappears with a fresh event time."""
+    import os as _os
+    import time as _time
+
+    feed = tmp_path / "feed"
+    feed.mkdir(parents=True)
+    epochs = [
+        # b1: A and B admitted; state expires at ts+10min = 10:10
+        [("A", "2024-01-01 10:00:00"), ("B", "2024-01-01 10:00:00")],
+        # b2 (wm = 09:50): C admitted and advances max event time to
+        # 10:30; A@10:02 is a live-state duplicate -> dropped
+        [("C", "2024-01-01 10:30:00"), ("A", "2024-01-01 10:02:00")],
+        # b3 (wm = 10:20): B@10:05 < wm -> LATE, silently dropped (not
+        # emitted, not deduped); D admitted.  Expired state (A/B,
+        # expiry 10:10-10:12) is removed at END of this batch — a
+        # lookup in the same batch still hits it, so re-admission
+        # needs the NEXT epoch.
+        [("D", "2024-01-01 10:35:00"), ("B", "2024-01-01 10:05:00")],
+        # b4 (wm = 10:25): A's state is gone; A@10:28 >= wm with no
+        # state -> RE-ADMITTED
+        [("A", "2024-01-01 10:28:00")],
+    ]
+    base_t = _time.time() - 600
+    for i, rows in enumerate(epochs):
+        stage = str(tmp_path / f"stage_{i}")
+        spark.createDataFrame(rows, "k string, ts_s string").selectExpr(
+            "k", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob as _glob
+
+        [part] = _glob.glob(stage + "/part-*.parquet")
+        dst = str(feed / f"e{i:02d}.parquet")
+        _os.replace(part, dst)
+        _os.utime(dst, (base_t + i, base_t + i))
+
+    from bigdata_covid19_real_time_spark.streaming.runner import (
+        dedup_within_watermark,
+    )
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed))
+    )
+    out = dedup_within_watermark(
+        stream, ["k"], event_time_col="ts", watermark="10 minutes"
+    )
+    rows: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _eid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["k"], str(r["ts"])) for r in rows)
+    assert got == [
+        ("A", "2024-01-01 10:00:00"),
+        ("A", "2024-01-01 10:28:00"),  # re-admitted after eviction
+        ("B", "2024-01-01 10:00:00"),  # B's late replay never re-emits
+        ("C", "2024-01-01 10:30:00"),
+        ("D", "2024-01-01 10:35:00"),
+    ]
