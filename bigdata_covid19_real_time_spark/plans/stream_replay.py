@@ -139,7 +139,15 @@ def _run_to_memory(stream_df: DataFrame, base: str, tag: str) -> DataFrame:
             raise RuntimeError(f"stream replay {qname} did not drain in 600s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    return spark.table(qname)
+    # Detach the result from the memory sink: each invocation registers
+    # a uniquely-named sink table whose rows would otherwise stay
+    # referenced by the catalog for the session's lifetime (a leak for
+    # looping callers).  The result is bounded by the 6-day horizon, so
+    # it rides back in as one Arrow batch and the temp view drops.
+    out = spark.table(qname)
+    pdf = out.toPandas()
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(pdf, schema=out.schema)
 
 
 @query(
