@@ -103,6 +103,14 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the top-20 shortlist reranks in full precision — the FAISS
     IndexIVFPQ architecture as relational operators, every stage
     deterministic and replayed by the SQL oracle."""
+    from bigdata_covid19_real_time_spark.plans.extensions import (
+        _empty_embeddings,
+    )
+
+    if _empty_embeddings(spark, sf_dir):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
     from bigdata_covid19_real_time_spark.operators.ivf import train_centroids
     from bigdata_covid19_real_time_spark.operators.ivfpq import ivfpq_topk
     from bigdata_covid19_real_time_spark.operators.pq import train_pq_codebooks

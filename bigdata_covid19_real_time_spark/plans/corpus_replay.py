@@ -260,16 +260,23 @@ def docs_corpus_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ingest.process_batch(batch, e)
 
-    accepted = spark.read.parquet(f"{base}/accepted").select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("epoch").cast("long").alias("epoch"),
-        F.lit("accepted").alias("status"),
-        F.lit("").alias("reason"),
+    import glob as _glob
+
+    def _audit(table: str, status: str, reason_col) -> DataFrame:
+        # an EMPTY corpus writes no files at all (the idempotent sink's
+        # dynamic partition overwrite emits nothing) — the verdict for
+        # zero wire rows is zero rows, not a schema-inference error
+        if not _glob.glob(f"{base}/{table}/epoch=*"):
+            return spark.createDataFrame(
+                [], "doc_id long, epoch long, status string, reason string"
+            )
+        return spark.read.parquet(f"{base}/{table}").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("epoch").cast("long").alias("epoch"),
+            F.lit(status).alias("status"),
+            reason_col.alias("reason"),
+        )
+
+    return _audit("accepted", "accepted", F.lit("")).unionByName(
+        _audit("rejected", "rejected", F.col("reason"))
     )
-    rejected = spark.read.parquet(f"{base}/rejected").select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("epoch").cast("long").alias("epoch"),
-        F.lit("rejected").alias("status"),
-        "reason",
-    )
-    return accepted.unionByName(rejected)

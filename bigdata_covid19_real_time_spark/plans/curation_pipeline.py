@@ -321,6 +321,11 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with frac_docs computed by the same stable_round expression the
     # oracle mirrors.
     [counts] = agg.collect()
+    # empty corpus: the conditional SUMs come back NULL, but the
+    # report's doc counts are true zeros (the oracle's COUNT(*) says
+    # 0); token sums stay NULL on both engines (SUM over nothing)
+    n_vals = {k: counts[f"n{k}"] if counts[f"n{k}"] is not None else 0
+              for k in range(6)}
     # Release flags through the DataFrame API (CacheManager-aware —
     # unpersisting the underlying RDDs directly would leave a stale
     # CacheManager entry that a later plan-equal invocation reuses over
@@ -333,7 +338,7 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cleanup to looping callers (bench/selfcheck clearCache between
     # queries).
     flags.unpersist(True)
-    tot = F.lit(counts["n0"]).cast("long")
+    tot = F.lit(n_vals[0]).cast("long")
     report = spark.range(1).select(
         F.explode(
             F.array(
@@ -341,7 +346,7 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(k).cast("int").alias("stage_idx"),
                         F.lit(_STAGES[k]).alias("stage"),
-                        F.lit(counts[f"n{k}"]).cast("long").alias("n_docs"),
+                        F.lit(n_vals[k]).cast("long").alias("n_docs"),
                         F.lit(counts[f"t{k}"]).cast("long").alias("n_tokens"),
                     )
                     for k in range(6)
@@ -354,7 +359,9 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s.stage",
         "s.n_docs",
         "s.n_tokens",
-        stable_round(F.col("s.n_docs") * F.lit(1.0) / tot, 6).alias(
-            "frac_docs"
-        ),
+        # tot = 0 on an empty corpus: ANSI division would raise and the
+        # oracle's n/0 is NULL — guard to match (r7 empty sweep)
+        stable_round(
+            F.when(tot > 0, F.col("s.n_docs") * F.lit(1.0) / tot), 6
+        ).alias("frac_docs"),
     )

@@ -96,9 +96,14 @@ def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "stage",
             F.col("n").cast("long").alias("n_docs"),
-            stable_round(F.col("n") * F.lit(1.0) / F.col("t"), 6).alias(
-                "frac"
-            ),
+            # t = 0 on an empty corpus: ANSI division would raise, and
+            # the oracle's n/0 is NULL — guard to match (r7 empty sweep)
+            stable_round(
+                F.when(
+                    F.col("t") > 0, F.col("n") * F.lit(1.0) / F.col("t")
+                ),
+                6,
+            ).alias("frac"),
         )
     )
 

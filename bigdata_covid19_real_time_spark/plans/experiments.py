@@ -156,6 +156,14 @@ def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool — bounded at {MMR_POOL} rows by construction (see the inline
     note).  Diversification cost is independent of corpus size."""
     lam = MMR_LAMBDA
+    from bigdata_covid19_real_time_spark.plans.extensions import (
+        _empty_embeddings,
+    )
+
+    if _empty_embeddings(spark, sf_dir):
+        return spark.createDataFrame(
+            [], "rank long, vec_id long, cosine double, mmr_score double"
+        )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )

@@ -35,6 +35,18 @@ from bigdata_covid19_real_time_spark.plans.registry import query, stable_round
 from bigdata_covid19_real_time_spark.sources.batch import load_table
 
 
+def _empty_embeddings(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff the embeddings table has zero rows (one LIMIT-1 probe).
+
+    The ANN/dedup queries train quantizers/index structures driver-side
+    before planning; on an EMPTY corpus that training is undefined
+    (k-means over nothing, dim inference from a missing first row), but
+    the QUERY contract stays SQL-like — empty input, typed empty output
+    (round-7 empty-input sweep).  Callers short-circuit on this probe.
+    """
+    return not load_table(spark, sf_dir, "embeddings").head(1)
+
+
 def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
     """Vector width of the embeddings table, WITHOUT a Spark job.
 
@@ -364,6 +376,8 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables, candidate recall on this corpus is 1.0 (verified: zero
     diffs vs exact at sf0.001 and sf0.01) and scoring within candidates
     is exact, so LSH output equals the exact top-k deterministically."""
+    if _empty_embeddings(spark, sf_dir):
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int, cosine double")
     import random
 
     from bigdata_covid19_real_time_spark.operators.similarity import (
@@ -583,6 +597,8 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes to ~(theta/pi-derived) tiny buckets.  The gate still runs it
     at sf0.01, where it certifies candidate generation + exact verify
     end-to-end against the all-pairs oracle."""
+    if _empty_embeddings(spark, sf_dir):
+        return spark.createDataFrame([], "vec_a long, vec_b long, cosine double")
     import random
 
     from bigdata_covid19_real_time_spark.operators.similarity import (
@@ -760,6 +776,8 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are too wide.  Oracle: the full SQL replication of the same
     deterministic pipeline (``_ivf_oracle_sql``) — training, probing,
     and scoring recomputed independently in DuckDB."""
+    if _empty_embeddings(spark, sf_dir):
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int, cosine double")
     from bigdata_covid19_real_time_spark.operators.ivf import (
         ivf_topk,
         train_centroids,
@@ -1390,6 +1408,8 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell is >= 0.28 cosine-similar (operators/semdedup.py).  Oracle: the
     shared k-means CTE chain + an independent all-within-cell-pairs
     cosine replication in DuckDB."""
+    if _empty_embeddings(spark, sf_dir):
+        return spark.createDataFrame([], "vec_id long, cluster int, keep boolean")
     from bigdata_covid19_real_time_spark.operators.ivf import train_centroids
     from bigdata_covid19_real_time_spark.operators.semdedup import (
         semantic_dedup_flags,
@@ -1624,6 +1644,8 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries — the compressed-domain path for corpora where even the
     VECTORS can't be stored raw (operators/pq.py).  Oracle: full SQL
     replication of per-subspace training + encoding + ADC."""
+    if _empty_embeddings(spark, sf_dir):
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int, adc_score double")
     from bigdata_covid19_real_time_spark.operators.pq import (
         pq_encode,
         pq_topk,
@@ -1832,6 +1854,8 @@ def embedding_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal_rank_fusion) — the standard fusion for retrievers with
     incomparable score scales.  Oracle: the three lists' own SQL
     replications composed and fused with the same arithmetic."""
+    if _empty_embeddings(spark, sf_dir):
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int, rrf_score double")
     from bigdata_covid19_real_time_spark.operators.ivf import (
         ivf_topk,
         train_centroids,
@@ -2171,6 +2195,8 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte codes cut corpus scan bandwidth 4x vs float32, candidates come
     from the integer code dot product, and only k*4 rows per query are
     re-scored in full precision (operators/quantization.py)."""
+    if _empty_embeddings(spark, sf_dir):
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int, cosine double")
     from bigdata_covid19_real_time_spark.operators.quantization import sq8_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -104,11 +104,20 @@ def star_schema_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = F.broadcast(p)
         li = li.join(p, F.col(ckey) == F.col(f"__pk_{pkey}"), "left")
     def _edge_struct(edge: str, ckey: str, pkey: str):
-        nn = F.sum(F.when(F.col(ckey).isNull(), 1).otherwise(0))
-        nd = F.sum(
-            F.when(
-                F.col(ckey).isNotNull() & F.col(f"__pk_{pkey}").isNull(), 1
-            ).otherwise(0)
+        # coalesce: SUM over an EMPTY child table is NULL, but the
+        # oracle's COUNT(*) FILTER is 0 — and 0 is the right report
+        # value for "no rows, no violations" (empty-input sweep, r7)
+        nn = F.coalesce(
+            F.sum(F.when(F.col(ckey).isNull(), 1).otherwise(0)), F.lit(0)
+        )
+        nd = F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(ckey).isNotNull() & F.col(f"__pk_{pkey}").isNull(),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         return F.struct(
             F.lit(edge).alias("fk_edge"),
@@ -145,9 +154,17 @@ def star_schema_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         if small:
             p = F.broadcast(p)
         j = c.join(p, F.col(ckey) == F.col("__pk"), "left")
-        nn = F.sum(F.when(F.col(ckey).isNull(), 1).otherwise(0))
-        nd = F.sum(
-            F.when(F.col(ckey).isNotNull() & F.col("__pk").isNull(), 1).otherwise(0)
+        # coalesced for the empty-child case (see _edge_struct)
+        nn = F.coalesce(
+            F.sum(F.when(F.col(ckey).isNull(), 1).otherwise(0)), F.lit(0)
+        )
+        nd = F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(ckey).isNotNull() & F.col("__pk").isNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         frames.append(
             j.agg(

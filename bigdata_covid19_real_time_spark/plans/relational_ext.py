@@ -26,13 +26,20 @@ from bigdata_covid19_real_time_spark.sources.batch import load_table
            ROUND(SUM(value) + 1e-9, 2) AS total_value
     FROM events
     GROUP BY ROLLUP (event_date, event_type)
+    HAVING COUNT(*) > 0
     """,
 )
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets: (date, type), (date), () — subtotals and a
     grand total in one pass.  Catalyst plans one Expand + one hash agg:
     rows duplicate x3 map-side, but each grouping's partial agg collapses
-    before the single shuffle — no three-scan union."""
+    before the single shuffle — no three-scan union.
+
+    Empty-input contract: grouping-set rows are emitted only for
+    NON-EMPTY groups (Spark's grouping-sets semantics — no grand-total
+    row over an empty relation; the SQL standard and DuckDB emit one).
+    The oracle's HAVING COUNT(*) > 0 encodes that contract and is a
+    no-op on any non-empty input (every emitted group has >= 1 row)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.rollup(F.to_date("ts").alias("event_date"), F.col("event_type"))
@@ -51,11 +58,15 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(value) + 1e-9, 4) AS avg_value
     FROM events
     GROUP BY CUBE (event_type, event_hour)
+    HAVING COUNT(*) > 0
     """,
 )
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (type, hour-of-day): all four grouping sets in one
-    Expand+agg — the OLAP dashboard shape."""
+    Expand+agg — the OLAP dashboard shape.  Empty-input contract as in
+    ``events_rollup``: no grand-total row over an empty relation
+    (Spark grouping-sets semantics, encoded by the oracle's no-op-on-
+    data HAVING COUNT(*) > 0)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.cube(
@@ -1120,11 +1131,11 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS checked,
-        CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v_discount_domain,
-        CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price_positive,
-        CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_quantity_range,
-        CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v_returnflag_domain,
-        CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_shipdate_not_null,
+        CAST(COALESCE(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_discount_domain,
+        CAST(COALESCE(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_price_positive,
+        CAST(COALESCE(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_quantity_range,
+        CAST(COALESCE(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_returnflag_domain,
+        CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_shipdate_not_null,
         CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v_unique_line_key
       FROM lineitem
     )
@@ -1168,13 +1179,13 @@ def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS checked,
-        CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_totalprice_positive,
-        CAST(SUM(CASE WHEN o_orderpriority IN
+        CAST(COALESCE(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_totalprice_positive,
+        CAST(COALESCE(SUM(CASE WHEN o_orderpriority IN
           ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
-          THEN 0 ELSE 1 END) AS BIGINT) AS v_priority_domain,
+          THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_priority_domain,
         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique_orderkey,
-        CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer)
-          THEN 0 ELSE 1 END) AS BIGINT) AS v_custkey_resolves
+        CAST(COALESCE(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer)
+          THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_custkey_resolves
       FROM orders
     )
     SELECT u.rule, u.violations, b.checked, u.violations = 0 AS passed

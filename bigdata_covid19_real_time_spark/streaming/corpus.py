@@ -118,12 +118,17 @@ class CorpusIngest:
         try:
             df = spark.read.parquet(f"{self.base_dir}/{table}")
         except AnalysisException as ex:
-            # ONLY a missing table means "first epoch".  Any other read
-            # failure (corrupt footer, storage fault, permissions) must
-            # FAIL the batch so the trigger retries it — mapping it to
-            # None would silently skip history dedup and accept
-            # duplicates of the corpus as fresh rows.
-            if "PATH_NOT_FOUND" in str(ex):
+            # ONLY "no history yet" maps to None: a missing table dir
+            # (first epoch) or a dir holding zero data files (an
+            # earlier epoch committed an EMPTY frame — the writer
+            # leaves just _SUCCESS, and schema inference fails with
+            # UNABLE_TO_INFER_SCHEMA; empty history dedups nothing by
+            # definition).  Any other read failure (corrupt footer,
+            # storage fault, permissions) must FAIL the batch so the
+            # trigger retries it — mapping it to None would silently
+            # skip history dedup and accept duplicates of the corpus
+            # as fresh rows.
+            if "PATH_NOT_FOUND" in str(ex) or "UNABLE_TO_INFER_SCHEMA" in str(ex):
                 return None
             raise
         return df.filter(F.col("epoch") < current_epoch)
