@@ -36,15 +36,26 @@ from bigdata_covid19_real_time_spark.sources.batch import load_table
 
 
 def _empty_embeddings(spark: SparkSession, sf_dir: str) -> bool:
-    """True iff the embeddings table has zero rows (one LIMIT-1 probe).
+    """True iff the embeddings table has zero rows.
 
     The ANN/dedup queries train quantizers/index structures driver-side
     before planning; on an EMPTY corpus that training is undefined
     (k-means over nothing, dim inference from a missing first row), but
     the QUERY contract stays SQL-like — empty input, typed empty output
     (round-7 empty-input sweep).  Callers short-circuit on this probe.
+
+    Probed from the parquet FOOTER metadata (row count, microseconds,
+    no Spark job — the ``_embedding_dim`` pattern) with a LIMIT-1 Spark
+    fallback for non-file sources.
     """
-    return not load_table(spark, sf_dir, "embeddings").head(1)
+    try:
+        import pyarrow.dataset as ds
+
+        return (
+            ds.dataset(f"{sf_dir}/embeddings.parquet").count_rows() == 0
+        )
+    except Exception:
+        return not load_table(spark, sf_dir, "embeddings").head(1)
 
 
 def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
