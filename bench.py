@@ -67,6 +67,23 @@ EXCLUDED = {
         "cost); correctness stays driver-gated at sf0.01 against the "
         "exact SQL time-range-join oracle"
     ),
+    "events_stream_dedup_evict_replay": (
+        "gate-only: a certification HARNESS for the watermark BOUNDARY "
+        "regime of dropDuplicatesWithinWatermark (late-drop, "
+        "end-of-batch eviction, re-admission) — a real six-micro-batch "
+        "streaming run whose cost is ~all fixed per-micro-batch/"
+        "state-store/checkpoint overhead, same profile as the other "
+        "replay harnesses; correctness stays driver-gated at sf0.01 "
+        "against the eviction-rule oracle"
+    ),
+    "events_stream_interval_join_left_replay": (
+        "gate-only: a certification HARNESS for the leftOuter "
+        "stream-stream interval join's null-pad-on-watermark path — a "
+        "real seven-micro-batch two-source streaming run (six daily "
+        "files + a watermark-pusher sentinel epoch) whose cost is ~all "
+        "fixed micro-batch/state-store overhead; correctness stays "
+        "driver-gated at sf0.01 against the plain LEFT JOIN oracle"
+    ),
     "embedding_cosine_neardup": (
         "gate-only: the synthetic embeddings are near-random, so the "
         "recall-preserving LSH config (b=2, L=40, threshold 0.28) "

@@ -320,24 +320,30 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — never createDataFrame, which re-ships pickled rows per action)
     # with frac_docs computed by the same stable_round expression the
     # oracle mirrors.
-    [counts] = agg.collect()
+    # Release flags through the DataFrame API (CacheManager-aware —
+    # unpersisting the underlying RDDs directly would leave a stale
+    # CacheManager entry that a later plan-equal invocation reuses over
+    # destroyed blocks; observed as Spark's UnsafeInMemorySorter NPE on
+    # back-to-back runs), and release it on the ERROR path too: if the
+    # eager collect throws (executor loss, scratch-table read fault),
+    # an unguarded flow would leak the persisted frame into the shared
+    # session for its lifetime — the exact leak class the eager
+    # rewrite was built to close.  The frames the composed
+    # LSH/CC/decontam operators persist internally are deliberately
+    # NOT swept here: CacheManager dedups them by plan equality, so
+    # repeated same-args invocations REUSE rather than accumulate them
+    # (pinned by the no-growth test), and their documented contract
+    # already assigns cleanup to looping callers (bench/selfcheck
+    # clearCache between queries).
+    try:
+        [counts] = agg.collect()
+    finally:
+        flags.unpersist(True)
     # empty corpus: the conditional SUMs come back NULL, but the
     # report's doc counts are true zeros (the oracle's COUNT(*) says
     # 0); token sums stay NULL on both engines (SUM over nothing)
     n_vals = {k: counts[f"n{k}"] if counts[f"n{k}"] is not None else 0
               for k in range(6)}
-    # Release flags through the DataFrame API (CacheManager-aware —
-    # unpersisting the underlying RDDs directly would leave a stale
-    # CacheManager entry that a later plan-equal invocation reuses over
-    # destroyed blocks; observed as Spark's UnsafeInMemorySorter NPE on
-    # back-to-back runs).  The frames the composed LSH/CC/decontam
-    # operators persist internally are deliberately NOT swept here:
-    # CacheManager dedups them by plan equality, so repeated same-args
-    # invocations REUSE rather than accumulate them (pinned by the
-    # no-growth test), and their documented contract already assigns
-    # cleanup to looping callers (bench/selfcheck clearCache between
-    # queries).
-    flags.unpersist(True)
     tot = F.lit(n_vals[0]).cast("long")
     report = spark.range(1).select(
         F.explode(

@@ -76,6 +76,16 @@ WATERMARK = "240 hours"
 #: from buffered join state — a routine occurrence at every SF.
 ATTRIBUTION_DELAY = "24 hours"
 
+#: Hard ceiling on how many rows `_run_to_memory` will pull back from
+#: the memory sink.  The dedup gate's output is "every horizon event",
+#: which grows LINEARLY with SF — the detach (`toPandas`) is bounded by
+#: construction at gate SFs (2k/0.2k rows at sf0.01, ~20k at sf0.1,
+#: ~200k at sf1) but a future SF bump must fail loudly here instead of
+#: silently ballooning driver memory.  1M rows of the widest replay
+#: schema is ~60 MB on the driver — far under any plausible driver
+#: heap, far over any SF this harness is pointed at.
+MAX_SINK_ROWS = 1_000_000
+
 
 def _horizon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus ts is TIMESTAMP_NTZ; watermarking requires TIMESTAMP.
@@ -89,13 +99,15 @@ def _horizon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _write_epoch_files(feed: DataFrame, out_dir: str) -> None:
-    """One parquet FILE per ``epoch`` value (0..N_EPOCHS-1), mtimes
+def _write_epoch_files(
+    feed: DataFrame, out_dir: str, n_epochs: int = N_EPOCHS
+) -> None:
+    """One parquet FILE per ``epoch`` value (0..n_epochs-1), mtimes
     1 s apart so the file source consumes them oldest-first
     deterministically."""
     os.makedirs(out_dir, exist_ok=True)
     base_t = time.time() - 3600
-    for e in range(N_EPOCHS):
+    for e in range(n_epochs):
         tmp = os.path.join(out_dir, f"_stage_{e}")
         feed.filter(F.col("epoch") == e).drop("epoch").coalesce(1).write.mode(
             "overwrite"
@@ -122,6 +134,18 @@ def _run_to_memory(stream_df: DataFrame, base: str, tag: str) -> DataFrame:
     fresh per-invocation checkpoint records it, and results are
     partitioning-invariant (values, not order, are gated)."""
     spark = stream_df.sparkSession
+    # the detach below round-trips TIMESTAMP values through tz-naive
+    # pandas; that is value-preserving ONLY under a UTC session (which
+    # sources/batch.load_table pins).  Fail loudly rather than let a
+    # non-UTC caller get silently shifted timestamps and an opaque
+    # oracle mismatch.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"stream replay requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the memory-sink detach round-trips "
+            "timestamps through tz-naive pandas"
+        )
     qname = f"sr_{tag}_{os.path.basename(base).rsplit('_', 1)[-1]}"
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -145,6 +169,17 @@ def _run_to_memory(stream_df: DataFrame, base: str, tag: str) -> DataFrame:
     # looping callers).  The result is bounded by the 6-day horizon, so
     # it rides back in as one Arrow batch and the temp view drops.
     out = spark.table(qname)
+    # result-size guard: the sink rows are already driver-resident, so
+    # the count is cheap — refuse to detach an unexpectedly large
+    # result (see MAX_SINK_ROWS) rather than balloon driver memory.
+    n = out.count()
+    if n > MAX_SINK_ROWS:
+        spark.catalog.dropTempView(qname)
+        raise RuntimeError(
+            f"stream replay {qname} produced {n} rows, over the "
+            f"documented {MAX_SINK_ROWS}-row driver-detach bound — "
+            "the harness is being run at an SF it was not sized for"
+        )
     pdf = out.toPandas()
     spark.catalog.dropTempView(qname)
     return spark.createDataFrame(pdf, schema=out.schema)
@@ -275,6 +310,300 @@ def events_stream_interval_join_replay(
         watermark=WATERMARK,
     )
     return _run_to_memory(joined, base, "ijoin").select(
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "click_value",
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 gates: the watermark BOUNDARY regimes.  The two gates above
+# deliberately run margin-certain (nothing late, nothing evicted); the
+# behaviors that regime avoids — late-row drops, end-of-batch state
+# eviction + re-admission, and the outer join's null-pad-on-watermark
+# path — were pytest-only (tests/test_streaming.py).  The gates below
+# put driver-visible DuckDB value oracles on them.
+# ---------------------------------------------------------------------------
+
+#: Short watermark for the eviction-regime dedup gate: 12 h over a
+#: 6-day horizon, so dedup state from day d is provably evicted before
+#: day d+3 and rows older than (previous day's end - 12 h) are late.
+WATERMARK_EVICT = "12 hours"
+
+#: Key offset for the synthetic LATE rows (must not collide with real
+#: event_ids — those are dense small ints at every SF, pinned by the
+#: non-vacuousness test).
+LATE_ID_OFFSET = 1_000_000_000
+
+#: Key base for the per-epoch CLOCK rows (distinct from LATE ids).
+CLOCK_ID_BASE = 2_000_000_000
+
+#: Far-future event time for the left-outer gate's watermark-pusher
+#: sentinels: W_final = SENTINEL_TS - WATERMARK (240 h) = 2024-01-21,
+#: safely past every real click's join-window end (= 2024-01-08) and
+#: safely short of the sentinels' own windows, so ALL real unmatched
+#: clicks flush null-padded and NO sentinel ever emits.
+SENTINEL_TS = "2024-01-31 00:00:00"
+
+
+def _clock_rows(spark: SparkSession) -> DataFrame:
+    """One synthetic row per epoch with ``ts`` pinned to the NEXT
+    midnight — the unique maximum event time of its file, making the
+    watermark trajectory EXACT by construction (wm during epoch e =
+    day_e - delay) independent of which real rows exist at a given SF
+    (including zero-row inputs).  JVM-literal plan, never
+    ``createDataFrame(python_rows)`` (pickled-reship trap)."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(CLOCK_ID_BASE + e)
+                            .cast("long")
+                            .alias("event_id"),
+                            F.lit(f"2024-01-{e + 2:02d} 00:00:00")
+                            .cast("timestamp")
+                            .alias("ts"),
+                            F.lit(-1).cast("long").alias("user_id"),
+                            F.lit("clock").alias("event_type"),
+                            F.lit(0.0).alias("value"),
+                            F.lit(e).cast("int").alias("epoch"),
+                        )
+                        for e in range(N_EPOCHS)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+
+
+#: The clock rows the eviction oracle must also expect (they are fresh
+#: keys, never late, so the operator emits them).
+_CLOCK_VALUES_SQL = ",\n      ".join(
+    f"(CAST({CLOCK_ID_BASE + e} AS BIGINT), "
+    f"TIMESTAMP '2024-01-{e + 2:02d} 00:00:00', "
+    "CAST(-1 AS BIGINT), 'clock', CAST(0.0 AS DOUBLE))"
+    for e in range(N_EPOCHS)
+)
+
+
+@query(
+    "events_stream_dedup_evict_replay",
+    oracle=f"""
+    WITH horizon AS (
+      SELECT event_id, ts, user_id, event_type, value
+      FROM events WHERE ts < TIMESTAMP '{HORIZON_END}'
+    )
+    -- every original horizon row is emitted on first sight
+    SELECT event_id, ts, user_id, event_type, value FROM horizon
+    UNION ALL
+    -- RE-ADMISSIONS: the +72 h duplicate of a day-d key (d <= 2)
+    -- arrives at epoch d+3, AFTER its dedup state was evicted at the
+    -- end of epoch d+2 (expiry ts+12 h < watermark day_{{d+2}}-12 h),
+    -- so the operator emits the key a SECOND time — the exact rule
+    -- pinned by tests/test_streaming.py's boundary-regime test.  The
+    -- +24 h duplicates (state still live) and the stale-ts late rows
+    -- (ts < watermark) are correctly absent.
+    SELECT event_id, ts + INTERVAL 72 HOUR AS ts, user_id, event_type,
+           value
+    FROM horizon
+    WHERE event_id % 7 = 1 AND ts < TIMESTAMP '2024-01-04'
+    UNION ALL
+    -- the per-epoch clock rows (fresh keys, never late)
+    SELECT * FROM (VALUES
+      {_CLOCK_VALUES_SQL}
+    ) AS clock(event_id, ts, user_id, event_type, value)
+    """,
+)
+def events_stream_dedup_evict_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` under a SHORT (12 h) watermark
+    — the EVICTION regime the margin-certain gate above cannot reach.
+
+    Every epoch file carries a midnight CLOCK row pinning that file's
+    max event time, so the whole watermark trajectory is EXACT by
+    construction.  Structured Streaming runs stateful operators with
+    TWO watermark values per batch (Spark's late-events/eviction split,
+    SPARK-40925) — both matter here and both were measured against
+    this replay before the oracle was frozen:
+
+    - the LATE-RECORD FILTER uses the PREVIOUS batch's watermark:
+      wm_late(epoch e) = maxts(epochs <= e-2) - delay = day_{e-1}-12 h;
+    - STATE EVICTION at the end of epoch e uses the current one:
+      wm_evict(e) = maxts(epochs <= e-1) - delay = day_e - 12 h.
+
+    Planted cases (each with a provable >= 12 h margin from every
+    boundary comparison):
+
+    - ``event_id % 7 == 0`` (day d <= 4): exact-key duplicate with
+      ts+24 h lands at epoch d+1 while the key's state is still live
+      (eviction needs wm_evict > ts+12 h, first true at the END of
+      epoch d+2) -> DROPPED as a duplicate.
+    - ``event_id % 7 == 1`` (day d <= 2): duplicate with ts+72 h lands
+      at epoch d+3, after eviction -> RE-ADMITTED (emitted twice —
+      the value-visible difference from the margin-certain answer the
+      round-7 verdict asked this gate to produce).
+    - ``event_id % 7 == 2`` (day d <= 2): a FRESH key re-using its
+      stale day-d ts lands at epoch d+3, where ts < wm_late
+      (= day_d+36 h) -> LATE, silently dropped (an implementation
+      without the late filter would emit it).  d+3, not d+2: at
+      epoch d+2 the LAGGED late watermark is only day_d+12 h, so
+      afternoon rows would pass it — observed empirically before the
+      oracle was frozen.
+
+    Non-vacuousness (every case populated at every SF) is pinned by
+    ``tests/test_streaming.py::test_evict_replay_gate_is_not_vacuous``.
+    """
+    base = _scratch_dir("stream_dedup_evict_")
+    ev = _horizon_events(spark, sf_dir).withColumn(
+        "epoch", F.datediff(F.col("ts"), F.lit(HORIZON_START).cast("date"))
+    )
+    dup_live = (  # state still live -> dropped
+        ev.filter(
+            (F.col("event_id") % 7 == 0) & (F.col("epoch") < N_EPOCHS - 1)
+        )
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+        .withColumn("epoch", F.col("epoch") + 1)
+    )
+    dup_evicted = (  # state evicted -> re-admitted
+        ev.filter(
+            (F.col("event_id") % 7 == 1) & (F.col("epoch") < N_EPOCHS - 3)
+        )
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 72 HOURS"))
+        .withColumn("epoch", F.col("epoch") + 3)
+    )
+    late = (  # fresh key, stale ts -> late-dropped
+        ev.filter(
+            (F.col("event_id") % 7 == 2) & (F.col("epoch") < N_EPOCHS - 3)
+        )
+        .withColumn("event_id", F.col("event_id") + F.lit(LATE_ID_OFFSET))
+        .withColumn("epoch", F.col("epoch") + 3)
+    )
+    feed = (
+        ev.unionByName(dup_live)
+        .unionByName(dup_evicted)
+        .unionByName(late)
+        .unionByName(_clock_rows(spark))
+    )
+    in_dir = os.path.join(base, "feed")
+    _write_epoch_files(feed, in_dir)
+
+    from bigdata_covid19_real_time_spark.streaming.runner import (
+        dedup_within_watermark,
+    )
+
+    stream = (
+        spark.readStream.schema(feed.drop("epoch").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    deduped = dedup_within_watermark(
+        stream, ["event_id"], event_time_col="ts", watermark=WATERMARK_EVICT
+    )
+    return _run_to_memory(deduped, base, "dedupev").select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "events_stream_interval_join_left_replay",
+    oracle=f"""
+    WITH c AS (
+      SELECT * FROM events
+      WHERE event_type = 'click' AND ts < TIMESTAMP '{HORIZON_END}'
+    ), p AS (
+      SELECT * FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '{HORIZON_END}'
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           c.value AS click_value,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+    """,
+)
+def events_stream_interval_join_left_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """leftOuter stream-stream interval join: the null-pad-on-watermark
+    path (``streaming/joins.py`` ``how='leftOuter'``) gets its driver
+    row.  Same daily replay as the inner gate, plus a SEVENTH epoch
+    carrying one far-future SENTINEL row per side (non-matching
+    user_ids -1/-2): the sentinels advance the global watermark to
+    SENTINEL_TS - 240 h = 2024-01-21, past every real click's
+    join-window end, so Structured Streaming flushes EVERY unmatched
+    real click as a null-padded row before the query drains — making
+    the expected output exactly the plain SQL LEFT JOIN.  The
+    sentinels themselves never emit (the sentinel click's own window
+    end lies beyond the final watermark, and a sentinel purchase never
+    matches), which the gate relies on value-visibly: a sentinel leak
+    would be an oracle mismatch, and
+    ``tests/test_streaming.py::test_left_outer_replay_flushes_unmatched``
+    additionally pins that both matched, null-padded, and zero
+    sentinel rows are present.
+    """
+    base = _scratch_dir("stream_ljoin_replay_")
+    ev = _horizon_events(spark, sf_dir).withColumn(
+        "epoch", F.datediff(F.col("ts"), F.lit(HORIZON_START).cast("date"))
+    )
+    sides = {}
+    for tag, etype, prefix, sentinel_uid in (
+        ("clicks", "click", "click", -1),
+        ("purchases", "purchase", "purchase", -2),
+    ):
+        feed = ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("value").alias(f"{prefix}_value"),
+            "epoch",
+        )
+        sentinel = spark.range(1).select(
+            F.lit(sentinel_uid).cast("long").alias("user_id"),
+            F.lit(sentinel_uid).cast("long").alias(f"{prefix}_id"),
+            F.lit(SENTINEL_TS).cast("timestamp").alias(f"{prefix}_ts"),
+            F.lit(0.0).alias(f"{prefix}_value"),
+            F.lit(N_EPOCHS).cast("int").alias("epoch"),
+        )
+        feed = feed.unionByName(sentinel)
+        in_dir = os.path.join(base, tag)
+        _write_epoch_files(feed, in_dir, n_epochs=N_EPOCHS + 1)
+        sides[tag] = (
+            spark.readStream.schema(feed.drop("epoch").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    joined = interval_join_streams(
+        sides["clicks"],
+        sides["purchases"],
+        key="user_id",
+        left_time="click_ts",
+        right_time="purchase_ts",
+        max_delay=ATTRIBUTION_DELAY,
+        watermark=WATERMARK,
+        how="leftOuter",
+    )
+    return _run_to_memory(joined, base, "ljoin").select(
         "user_id",
         "click_id",
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),

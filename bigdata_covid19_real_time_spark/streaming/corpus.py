@@ -62,6 +62,23 @@ DOC_WIRE_SCHEMA = StructType(
 )
 
 
+def _has_data_files(table_dir: str) -> bool:
+    """True if ``table_dir`` (recursively — the sink writes
+    ``epoch=N`` partition subdirs) contains any non-metadata file.
+    Distinguishes the benign empty-commit layout (only ``_SUCCESS`` /
+    ``.crc`` markers) from a directory whose DATA files exist but
+    failed to read — the latter must fail the batch, not be treated
+    as 'no history yet'.  Local-filesystem walk: this deployment's
+    sink paths are local; an object-store deployment would swap in a
+    Hadoop FileSystem listing here.
+    """
+    for _root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                return True
+    return False
+
+
 class CorpusIngest:
     """Continuous corpus ingestion with quality + dedup gates.
 
@@ -127,8 +144,17 @@ class CorpusIngest:
             # storage fault, permissions) must FAIL the batch so the
             # trigger retries it — mapping it to None would silently
             # skip history dedup and accept duplicates of the corpus
-            # as fresh rows.
-            if "PATH_NOT_FOUND" in str(ex) or "UNABLE_TO_INFER_SCHEMA" in str(ex):
+            # as fresh rows.  UNABLE_TO_INFER_SCHEMA alone is NOT
+            # proof of the empty-commit case (it also surfaces when
+            # data files exist but are unreadable, e.g. truncated
+            # after a storage fault), so the directory listing is
+            # checked: any non-metadata file present means the error
+            # is a real read failure and must propagate.
+            if "PATH_NOT_FOUND" in str(ex):
+                return None
+            if "UNABLE_TO_INFER_SCHEMA" in str(ex) and not _has_data_files(
+                f"{self.base_dir}/{table}"
+            ):
                 return None
             raise
         return df.filter(F.col("epoch") < current_epoch)
@@ -227,7 +253,7 @@ class CorpusIngest:
 
     @staticmethod
     def _unpersist_new_since(
-        spark: SparkSession, before: set[int], blocking: bool = False
+        spark: SparkSession, before: set[int], blocking: bool = True
     ) -> None:
         """Release caches created since ``before`` was snapshotted.
 
@@ -241,13 +267,28 @@ class CorpusIngest:
         concurrently DURING this epoch, which a shared-session deploy
         should avoid by serializing foreachBatch epochs anyway.
 
-        ``blocking=False`` (the streaming default) keeps teardown off
-        the epoch's latency path.  Batch callers that may run MORE
-        Spark jobs in the same session immediately afterwards must pass
-        ``blocking=True``: an async teardown races the next job's
-        execution-memory acquisition and can surface as Spark's
-        UnsafeInMemorySorter NullPointerException (observed when
-        back-to-back curation-waterfall runs shared one session).
+        ``blocking=True`` is the DEFAULT: an async teardown races the
+        next job's execution-memory acquisition and can surface as
+        Spark's UnsafeInMemorySorter NullPointerException (observed
+        when back-to-back curation-waterfall runs shared one session),
+        and process_batch cannot know whether its session runs more
+        jobs right after the epoch — the replay harness
+        (``docs_corpus_ingest_replay``) does exactly that, running
+        epoch 1 and the audit reads immediately after epoch 0's
+        teardown.  A deployment whose trigger interval dwarfs teardown
+        latency may pass ``blocking=False`` to keep the wait off the
+        epoch's latency path, accepting the documented race.
+
+        The sweep walks the RDD handles because the operators'
+        internal ``DataFrame.persist`` handles are not reachable from
+        here.  The stale-CacheManager-entry hazard that pattern carries
+        (a later PLAN-EQUAL query reusing an InMemoryRelation over
+        destroyed blocks — SCALE.md rule 7) is structurally absent in
+        this loop: every epoch's internal caches derive from that
+        epoch's batch frame and a history read that grows each epoch,
+        so no later plan is equal to a swept one.  Callers composing
+        NEW plan-equal reads of swept frames in the same session must
+        clear via ``spark.catalog.clearCache()`` instead.
         """
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for i in jmap.keySet().toArray():

@@ -605,12 +605,19 @@ def test_stream_replay_gates_are_not_vacuous(spark):
 
 
 def test_dedup_within_watermark_boundary_regimes(spark, tmp_path):
-    """The two watermark boundary behaviors the round-7 replay GATES
+    """The watermark boundary behaviors the round-7 replay GATES
     deliberately avoid (their margin regime makes the oracle exact) are
-    pinned here instead: (1) a row older than the watermark is dropped
-    as LATE, never emitted and never treated as a duplicate; (2) a key
-    whose dedup state was EVICTED by the advancing watermark is
-    re-admitted when it reappears with a fresh event time."""
+    pinned here instead, under Spark's TWO-watermark model for stateful
+    operators (SPARK-40925): during batch N the LATE-record filter uses
+    the PREVIOUS batch's watermark (wm_late = maxts through N-2 minus
+    delay) while state EVICTION at the end of batch N uses the current
+    one (wm_evict = maxts through N-1 minus delay).  Pinned: (1) a
+    fresh-key row older than wm_late is dropped as LATE, never emitted;
+    (2) a fresh-key row BETWEEN wm_late and wm_evict is ADMITTED — the
+    late filter lags one batch behind eviction; (3) a key whose dedup
+    state was EVICTED by the advancing watermark is re-admitted when it
+    reappears with a fresh event time; (4) eviction is END-of-batch, so
+    a same-batch lookup still hits expired state."""
     import os as _os
     import time as _time
 
@@ -619,18 +626,29 @@ def test_dedup_within_watermark_boundary_regimes(spark, tmp_path):
     epochs = [
         # b1: A and B admitted; state expires at ts+10min = 10:10
         [("A", "2024-01-01 10:00:00"), ("B", "2024-01-01 10:00:00")],
-        # b2 (wm = 09:50): C admitted and advances max event time to
-        # 10:30; A@10:02 is a live-state duplicate -> dropped
+        # b2 (wm_late = none, wm_evict = 09:50): C admitted and
+        # advances max event time to 10:30; A@10:02 is a live-state
+        # duplicate -> dropped
         [("C", "2024-01-01 10:30:00"), ("A", "2024-01-01 10:02:00")],
-        # b3 (wm = 10:20): B@10:05 < wm -> LATE, silently dropped (not
-        # emitted, not deduped); D admitted.  Expired state (A/B,
-        # expiry 10:10-10:12) is removed at END of this batch — a
-        # lookup in the same batch still hits it, so re-admission
-        # needs the NEXT epoch.
-        [("D", "2024-01-01 10:35:00"), ("B", "2024-01-01 10:05:00")],
-        # b4 (wm = 10:25): A's state is gone; A@10:28 >= wm with no
-        # state -> RE-ADMITTED
-        [("A", "2024-01-01 10:28:00")],
+        # b3 (wm_late = 09:50, wm_evict = 10:20): B@10:05 >= wm_late so
+        # it is NOT late — it reaches the state lookup, hits B's
+        # still-present entry (expiry 10:10 < wm_evict, but eviction
+        # runs at END of batch) and drops as a DUPLICATE.  F@10:05 is a
+        # FRESH key in the same lagged window (>= wm_late 09:50,
+        # < wm_evict 10:20) -> ADMITTED: the late filter lags one
+        # batch behind eviction.  D admitted.  At the END of this
+        # batch every entry with expiry < wm_evict 10:20 is evicted:
+        # A and B (expiry 10:10) and F's fresh entry (expiry 10:15).
+        [
+            ("D", "2024-01-01 10:35:00"),
+            ("B", "2024-01-01 10:05:00"),
+            ("F", "2024-01-01 10:05:00"),
+        ],
+        # b4 (wm_late = 10:20, wm_evict = 10:25): A's state is gone;
+        # A@10:28 >= wm_late with no state -> RE-ADMITTED.  E@10:15 is
+        # a FRESH key but < wm_late -> LATE, silently dropped (never
+        # emitted, never stored).
+        [("A", "2024-01-01 10:28:00"), ("E", "2024-01-01 10:15:00")],
     ]
     base_t = _time.time() - 600
     for i, rows in enumerate(epochs):
@@ -669,7 +687,67 @@ def test_dedup_within_watermark_boundary_regimes(spark, tmp_path):
     assert got == [
         ("A", "2024-01-01 10:00:00"),
         ("A", "2024-01-01 10:28:00"),  # re-admitted after eviction
-        ("B", "2024-01-01 10:00:00"),  # B's late replay never re-emits
+        ("B", "2024-01-01 10:00:00"),  # B's replay dup-dropped, not re-emitted
         ("C", "2024-01-01 10:30:00"),
         ("D", "2024-01-01 10:35:00"),
+        ("F", "2024-01-01 10:05:00"),  # fresh key in the lagged window
+        # E@10:15 (< wm_late 10:20) is absent: genuinely LATE
     ]
+
+
+def test_evict_replay_gate_is_not_vacuous(spark):
+    """The round-8 eviction-regime gate must actually exercise all
+    three boundary behaviors at gate SFs: live-state duplicates exist
+    (id%7==0 supply), re-admissions exist AND make the expected output
+    differ from the margin-certain answer (id%7==1 keys emitted
+    TWICE), and late rows exist but never leak (no LATE_ID_OFFSET key
+    in the output)."""
+    import duckdb
+
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+    from bigdata_covid19_real_time_spark.plans.stream_replay import (
+        CLOCK_ID_BASE,
+        LATE_ID_OFFSET,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    counts = duckdb.sql(
+        f"""SELECT
+          SUM(CASE WHEN event_id % 7 = 0
+               AND ts < TIMESTAMP '2024-01-06' THEN 1 ELSE 0 END),
+          SUM(CASE WHEN event_id % 7 = 1
+               AND ts < TIMESTAMP '2024-01-04' THEN 1 ELSE 0 END),
+          SUM(CASE WHEN event_id % 7 = 2
+               AND ts < TIMESTAMP '2024-01-04' THEN 1 ELSE 0 END)
+        FROM read_parquet('{sf}/events.parquet')
+        WHERE ts < TIMESTAMP '2024-01-07'"""
+    ).fetchall()[0]
+    assert all(c and c > 0 for c in counts), counts
+
+    rows = QUERIES["events_stream_dedup_evict_replay"](spark, sf).collect()
+    ids = [r["event_id"] for r in rows]
+    from collections import Counter
+
+    twice = [k for k, n in Counter(ids).items() if n == 2]
+    assert twice, "no re-admitted key — gate equals the margin answer"
+    assert all(k % 7 == 1 for k in twice)
+    assert not [i for i in ids if LATE_ID_OFFSET <= i < CLOCK_ID_BASE], (
+        "a late row leaked through the watermark filter"
+    )
+    assert len([i for i in ids if i >= CLOCK_ID_BASE]) == 6
+
+
+def test_left_outer_replay_flushes_unmatched(spark):
+    """The leftOuter replay gate must emit BOTH matched and
+    null-padded rows (otherwise it degenerates to the inner gate), and
+    the watermark-pusher sentinels must never leak into the output."""
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+
+    rows = QUERIES["events_stream_interval_join_left_replay"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    matched = [r for r in rows if r["purchase_id"] is not None]
+    padded = [r for r in rows if r["purchase_id"] is None]
+    assert matched and padded
+    assert all(r["purchase_ts"] is None for r in padded)
+    assert not [r for r in rows if r["user_id"] < 0], "sentinel leaked"
