@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (219 queries covering SURVEY.md §2 plus
+engine's registered query surface (221 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -29,80 +29,82 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries surfaced FIRST to the driver's correctness gate this round.
-#: The gate checks the first ~50 entries in dict order.  Rounds 1-6
-#: cumulatively driver-certified 216/217 registered queries with ZERO
-#: oracle VALUE failures; the one exception, ``docs_posting_lists``,
-#: failed round 6 in the driver harness's pandas canonicalizer on its
-#: (then) array<string> column, now scalarized on both engine sides.
-#: This round's window: the 2 new round-7 registrations (the
-#: engine-native streaming stateful operators, replayed through REAL
-#: multi-micro-batch Structured Streaming queries —
-#: plans/stream_replay.py), the posting-lists re-gate, and 45
-#: re-validation canaries rotated per the round-6 plan from the OLDEST
-#: green driver rows (the round-1 certified set minus the 4 already
-#: re-certified as round-6 canaries, topped up with the next-oldest
-#: round-2 rows) — extending the zero-value-failure streak onto code
-#: paths last driver-touched six rounds ago.  A green round makes the
-#: registry 219/219 driver-certified.
+#: The gate checks the first ~50 entries in dict order.  Rounds 1-7
+#: cumulatively driver-certified all 219 then-registered queries with
+#: ZERO oracle VALUE failures (round 7 was the first fully-green
+#: window).  This round's window enforces the round-7 verdict's
+#: standing rule — "a query whose code changed re-enters GATE_PRIORITY
+#: the same round" — plus the two NEW round-8 registrations:
+#: (a) the 2 new boundary-regime streaming gates (watermark
+#: eviction/late-drop dedup replay; leftOuter interval-join null-pad
+#: replay — plans/stream_replay.py); (b) every query whose code
+#: changed in round 7 or round 8: the curation waterfall (r7 eager
+#: rewrite + r8 error-path unpersist), the ANN family whose persists
+#: were dropped/kept on A/B evidence (ivfpq/pq/sq8/rrf/lsh), the
+#: corpus-ingest replay (r7 NULL-text oracle branch + r8 history-read
+#: and blocking-teardown hardening), the MG heavy-hitters replay (r7
+#: presence-flag fix), BPE fertility (r7 empty-word fix), and the two
+#: r7 stream replays (r8 _run_to_memory guards); (c) 25 re-validation
+#: canaries = every query whose newest driver row is still round 2 or
+#: round 3; (d) a 12-query top-up from the oldest round-4 rows, in
+#: their round-4 gate order.
 GATE_PRIORITY = [
-    # -- new round-7: engine-native streaming stateful operators via
-    #    real multi-micro-batch replay (file stream -> state store ->
-    #    memory sink; margin-certain watermark regime so the oracle is
-    #    exactly batch-expressible) --
+    # -- new round-8: watermark BOUNDARY regimes via real streaming
+    #    replay (short-watermark eviction/late-drop dedup; leftOuter
+    #    interval join with a watermark-pusher sentinel epoch) --
+    "events_stream_dedup_evict_replay",
+    "events_stream_interval_join_left_replay",
+    # -- round-7/8-changed code re-gates --
+    "docs_curation_waterfall",
+    "embedding_ivfpq_topk",
+    "embedding_pq_topk",
+    "embedding_sq8_topk",
+    "embedding_rrf_topk",
+    "embedding_lsh_topk",
+    "docs_corpus_ingest_replay",
+    "events_mg_heavy_hitters_replay",
+    "docs_bpe_fertility",
     "events_stream_dedup_replay",
     "events_stream_interval_join_replay",
-    # -- re-gate: round 6's single red row, scalarized (array_join on
-    #    both engine sides) so the driver canonicalizer can hash it --
-    "docs_posting_lists",
-    # -- re-validation canaries: the round-1 certified set, oldest
-    #    driver rows first (minus covid_predict/covid_continent_5min/
-    #    covid_windowed_stats/docs_exact_dedup, re-certified round 6) --
-    "covid_clean",
-    "covid_hotspots",
-    "covid_dashboard",
-    "covid_top_affected",
-    "covid_rankings",
-    "covid_enrich",
-    "docs_prefix_neardup",
-    "docs_ngram_jaccard",
-    "embedding_cosine_topk",
-    "docs_quality_by_lang",
-    "docs_minhash_lsh",
-    "docs_simhash_neardup",
-    "docs_media_meta",
-    "embedding_lsh_topk",
-    "docs_language_scores",
-    "embedding_ivf_topk",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders",
-    "top_customers_by_revenue",
-    "orders_without_lineitems",
-    "user_moving_avg",
-    "user_value_growth",
-    "events_5min_rollup",
-    "daily_event_summary",
-    "events_json_extract",
-    "event_type_rankings",
-    "events_rollup",
-    "events_cube",
-    "purchase_asof_click",
-    "user_sessions",
-    "error_only_user_days",
-    "value_percentiles",
-    "orders_with_big_items",
-    "events_sliding_rollup",
-    "customer_order_coverage",
-    "order_rank_spectrum",
-    "daily_event_summary_sketch",
-    "events_pivot_by_type",
-    "events_unpivot_daily_metrics",
-    "user_event_type_sets",
-    "orders_above_customer_avg",
-    # -- next-oldest canaries (first certified round 2) --
-    "docs_length_deciles",
-    "docs_duplicate_spans",
-    "docs_source_topk_sample",
+    # -- re-validation canaries: newest driver row is round 2/3 --
+    "docs_leakage_free_split",
+    "purchase_graph_pagerank",
+    "corpus_token_budget",
+    "docs_bigram_lm_score",
+    "docs_chunked",
+    "docs_corpus_ingest_verdict",
+    "docs_decontam",
+    "docs_incremental_dedup",
+    "docs_pii_redaction",
+    "docs_quality_filter",
+    "docs_repetition_stats",
+    "docs_sample_10pct",
+    "docs_sequence_packing",
+    "docs_stratified_sample",
+    "docs_token_stats",
+    "docs_unigram_lm_score",
+    "docs_winnow_fingerprints",
+    "embedding_cosine_neardup",
+    "embedding_label_centroids",
+    "embedding_semantic_dedup",
+    "events_value_anomalies",
+    "events_value_mad",
+    "events_value_psi",
+    "events_zorder_keys",
+    "user_retention_cohorts",
+    # -- top-up: oldest round-4 rows, round-4 gate order --
+    "shipping_priority",
+    "order_priority_pipeline",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "min_cost_supplier",
+    "promo_revenue_share",
+    "promo_part_suppliers",
+    "disjunctive_brand_revenue",
+    "small_quantity_brand_revenue",
+    "big_quantity_orders",
+    "idle_rich_customers",
+    "important_part_stock",
 ]
 
 

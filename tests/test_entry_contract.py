@@ -6,6 +6,7 @@ column names + sorted values must match exactly.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -131,29 +132,32 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 7's window: the 2 new streaming
-    replay registrations first, the docs_posting_lists re-gate (round
-    6's one harness-interface red row, now scalarized), then 45
-    canaries rotated from the OLDEST green driver rows (round 1 set,
-    topped up with the next-oldest round-2 rows).  oracle_sql()
-    iterates in the same order so the driver sees identical windows
-    from both."""
+    queries() in dict order.  Round 8's window: the 2 new
+    boundary-regime streaming gates first, then every query whose code
+    changed in round 7 or 8 (the verdict's standing changed-code
+    re-gate rule), then canaries rotated from the OLDEST green driver
+    rows (the full round-2/3 residue plus a round-4 top-up).
+    oracle_sql() iterates in the same order so the driver sees
+    identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 2 new round-7 queries + 1 re-gate + 45 oldest-first canaries
-    assert n == 48
+    # 2 new round-8 gates + 11 r7/r8-changed re-gates + 25 oldest
+    # (r2/r3) canaries + 12 round-4 top-ups
+    assert n == 50
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
-    # new registrations gate first; the re-gate and oldest canaries ride
+    # new registrations gate first; changed-code re-gates and oldest
+    # canaries ride along
     for must in (
-        "events_stream_dedup_replay",
-        "events_stream_interval_join_replay",
-        "docs_posting_lists",
-        "covid_clean",
-        "docs_length_deciles",
+        "events_stream_dedup_evict_replay",
+        "events_stream_interval_join_left_replay",
+        "docs_curation_waterfall",
+        "docs_corpus_ingest_replay",
+        "docs_leakage_free_split",
+        "shipping_priority",
     ):
         assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)
@@ -174,3 +178,25 @@ def test_drift_probe_contract():
     for name, sec in bench.PROBE_BASELINE_SEC.items():
         assert name in bench.FROZEN_HEADLINE_ORDER, name
         assert sec > 0, name
+
+
+def test_readme_test_count_is_exact(request):
+    """README's advertised test count has drifted twice (612 vs 613,
+    round-7 verdict nit); derive it from the live collection instead
+    of trusting hand-edits.  Skips on partial runs (-k/-m or a subset
+    path) where the collected count is not the suite size."""
+    import re
+
+    if request.config.getoption("-k") or request.config.getoption("-m"):
+        pytest.skip("keyword/mark-filtered run: collection is partial")
+    readme = open(os.path.join(os.path.dirname(__file__), "..", "README.md")).read()
+    m = re.search(r"#\s*(\d+) tests incl\.", readme)
+    assert m, "README no longer documents the test count"
+    advertised = int(m.group(1))
+    collected = len(request.session.items)
+    if collected < int(advertised * 0.9):
+        pytest.skip("subset run: collection is partial")
+    assert collected == advertised, (
+        f"README says {advertised} tests, the suite collects {collected} — "
+        "update README.md's pytest line"
+    )
