@@ -58,7 +58,23 @@ def audit_plan(plan: str) -> dict:
     }
     if "CartesianProduct" in plan:
         info["flags"].append("CARTESIAN")
-    if info["codegen"] == 0 and info["python"] == 0:
+    # A plan whose every operator is a driver-local relation (plus
+    # trivial projections) has no per-row work to compile — the stream
+    # REPLAY harnesses return their memory-sink results detached as
+    # LocalTableScans (the real streaming plan executes inside the
+    # harness and is exercised by the streaming tests); flagging those
+    # as "whole plan runs interpreted" would be a false positive.
+    op_lines = [
+        re.sub(r"^[\s:+\-*()\d]*", "", ln)
+        for ln in plan.splitlines()
+        if ln.strip()
+    ]
+    local_only = all(
+        ln.startswith(("LocalTableScan", "Project", "Scan ExistingRDD"))
+        for ln in op_lines
+        if ln
+    )
+    if info["codegen"] == 0 and info["python"] == 0 and not local_only:
         info["flags"].append("NO_CODEGEN")
     if "BatchEvalPython" in plan:
         info["flags"].append("ROWUDF")

@@ -111,6 +111,23 @@ ROUND7_QUERIES = [
     "docs_curation_waterfall",
 ]
 
+#: Round-8 new/changed queries: the two boundary-regime streaming
+#: gates (short-watermark eviction dedup, leftOuter null-pad join),
+#: the two r7 replay gates (their `_run_to_memory` grew UTC + row-count
+#: guards — sf1 also exercises the guard's headroom: the dedup replay
+#: detaches ~200k rows against the documented 1M bound), the
+#: corpus-ingest replay (history-read + blocking-teardown hardening in
+#: streaming/corpus.py), and the waterfall (error-path unpersist).
+#: Run with ``--round8`` to time exactly these and write SF1NEW_r8.json.
+ROUND8_QUERIES = [
+    "events_stream_dedup_evict_replay",
+    "events_stream_interval_join_left_replay",
+    "events_stream_dedup_replay",
+    "events_stream_interval_join_replay",
+    "docs_corpus_ingest_replay",
+    "docs_curation_waterfall",
+]
+
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ETYPES = ["view", "click", "purchase", "signup", "error"]
@@ -232,8 +249,15 @@ def main() -> int:
         action="store_true",
         help="time ROUND7_QUERIES and write SF1NEW_r7.json",
     )
+    ap.add_argument(
+        "--round8",
+        action="store_true",
+        help="time ROUND8_QUERIES and write SF1NEW_r8.json",
+    )
     args = ap.parse_args()
-    if args.round7:
+    if args.round8:
+        names, out_name = ROUND8_QUERIES, "SF1NEW_r8.json"
+    elif args.round7:
         names, out_name = ROUND7_QUERIES, "SF1NEW_r7.json"
     elif args.round6:
         names, out_name = ROUND6_QUERIES, "SF1NEW_r6.json"
