@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (221 queries covering SURVEY.md §2 plus
+engine's registered query surface (222 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -34,10 +34,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: ZERO oracle VALUE failures (round 7 was the first fully-green
 #: window).  This round's window enforces the round-7 verdict's
 #: standing rule — "a query whose code changed re-enters GATE_PRIORITY
-#: the same round" — plus the two NEW round-8 registrations:
-#: (a) the 2 new boundary-regime streaming gates (watermark
-#: eviction/late-drop dedup replay; leftOuter interval-join null-pad
-#: replay — plans/stream_replay.py); (b) every query whose code
+#: the same round" — plus the NEW round-8 registrations:
+#: (a) the 3 new boundary-regime streaming gates (watermark
+#: eviction/late-drop dedup replay; leftOuter and fullOuter
+#: interval-join null-pad replays — plans/stream_replay.py); (b) every
+#: query whose code
 #: changed in round 7 or round 8: the curation waterfall (r7 eager
 #: rewrite + r8 error-path unpersist), the ANN family whose persists
 #: were dropped/kept on A/B evidence (ivfpq/pq/sq8/rrf/lsh), the
@@ -54,6 +55,7 @@ GATE_PRIORITY = [
     #    interval join with a watermark-pusher sentinel epoch) --
     "events_stream_dedup_evict_replay",
     "events_stream_interval_join_left_replay",
+    "events_stream_interval_join_full_replay",
     # -- round-7/8-changed code re-gates --
     "docs_curation_waterfall",
     "embedding_ivfpq_topk",

@@ -84,6 +84,15 @@ EXCLUDED = {
         "fixed micro-batch/state-store overhead; correctness stays "
         "driver-gated at sf0.01 against the plain LEFT JOIN oracle"
     ),
+    "events_stream_interval_join_full_replay": (
+        "gate-only: a certification HARNESS for the fullOuter "
+        "stream-stream interval join (both null-pad paths — unmatched "
+        "clicks AND unmatched purchases) — same seven-micro-batch "
+        "sentinel-epoch replay profile as the leftOuter gate, ~all "
+        "fixed micro-batch/state-store overhead; correctness stays "
+        "driver-gated at sf0.01 against the plain FULL OUTER JOIN "
+        "oracle"
+    ),
     "embedding_cosine_neardup": (
         "gate-only: the synthetic embeddings are near-random, so the "
         "recall-preserving LSH config (b=2, L=40, threshold 0.28) "

@@ -612,3 +612,100 @@ def events_stream_interval_join_left_replay(
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         "purchase_value",
     )
+
+
+@query(
+    "events_stream_interval_join_full_replay",
+    oracle=f"""
+    WITH c AS (
+      SELECT * FROM events
+      WHERE event_type = 'click' AND ts < TIMESTAMP '{HORIZON_END}'
+    ), p AS (
+      SELECT * FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '{HORIZON_END}'
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           c.value AS click_value,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM c FULL JOIN p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+    """,
+)
+def events_stream_interval_join_full_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """fullOuter stream-stream interval join: BOTH null-pad paths in
+    one driver row (the leftOuter gate above flushes unmatched clicks;
+    this adds the RIGHT side — purchases no click preceded within
+    24 h).  Same daily replay + sentinel-epoch mechanics as the
+    leftOuter gate: the final watermark (SENTINEL_TS - 240 h =
+    2024-01-21) passes every real click's join-window end AND every
+    real purchase's event time, so Structured Streaming flushes every
+    unmatched row on either side — a right-side row is safe to
+    null-pad once its event time drops below the watermark, because
+    any future click old enough to match it would be filtered as late.
+    Expected output is therefore exactly the plain SQL FULL OUTER
+    JOIN; the sentinels (non-matching users -1/-2, event times at or
+    beyond the final watermark) never emit, value-visibly.
+    rightOuter is the mirror image of this right-side path and shares
+    the implementation (``streaming/joins.py`` passes ``how``
+    through), so full outer subsumes both remaining variants.
+    """
+    base = _scratch_dir("stream_fjoin_replay_")
+    ev = _horizon_events(spark, sf_dir).withColumn(
+        "epoch", F.datediff(F.col("ts"), F.lit(HORIZON_START).cast("date"))
+    )
+    sides = {}
+    for tag, etype, prefix, sentinel_uid in (
+        ("clicks", "click", "click", -1),
+        ("purchases", "purchase", "purchase", -2),
+    ):
+        feed = ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("value").alias(f"{prefix}_value"),
+            "epoch",
+        )
+        sentinel = spark.range(1).select(
+            F.lit(sentinel_uid).cast("long").alias("user_id"),
+            F.lit(sentinel_uid).cast("long").alias(f"{prefix}_id"),
+            F.lit(SENTINEL_TS).cast("timestamp").alias(f"{prefix}_ts"),
+            F.lit(0.0).alias(f"{prefix}_value"),
+            F.lit(N_EPOCHS).cast("int").alias("epoch"),
+        )
+        feed = feed.unionByName(sentinel)
+        in_dir = os.path.join(base, tag)
+        _write_epoch_files(feed, in_dir, n_epochs=N_EPOCHS + 1)
+        sides[tag] = (
+            spark.readStream.schema(feed.drop("epoch").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    joined = interval_join_streams(
+        sides["clicks"],
+        sides["purchases"],
+        key="user_id",
+        left_time="click_ts",
+        right_time="purchase_ts",
+        max_delay=ATTRIBUTION_DELAY,
+        watermark=WATERMARK,
+        how="fullOuter",
+    )
+    return _run_to_memory(joined, base, "fjoin").select(
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "click_value",
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )

@@ -143,9 +143,9 @@ def test_gate_window_prioritizes_unverified_queries():
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 2 new round-8 gates + 11 r7/r8-changed re-gates + 25 oldest
+    # 3 new round-8 gates + 11 r7/r8-changed re-gates + 25 oldest
     # (r2/r3) canaries + 12 round-4 top-ups
-    assert n == 50
+    assert n == 51
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
@@ -154,6 +154,7 @@ def test_gate_window_prioritizes_unverified_queries():
     for must in (
         "events_stream_dedup_evict_replay",
         "events_stream_interval_join_left_replay",
+        "events_stream_interval_join_full_replay",
         "docs_curation_waterfall",
         "docs_corpus_ingest_replay",
         "docs_leakage_free_split",

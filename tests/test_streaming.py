@@ -751,3 +751,96 @@ def test_left_outer_replay_flushes_unmatched(spark):
     assert matched and padded
     assert all(r["purchase_ts"] is None for r in padded)
     assert not [r for r in rows if r["user_id"] < 0], "sentinel leaked"
+
+
+def test_stream_stream_interval_full_outer_both_sides(spark, tmp_path):
+    """fullOuter interval join: BOTH sides null-pad — an unmatched
+    click flushes once the watermark passes its join window, an
+    unmatched purchase once the watermark passes its event time (no
+    late click could still match it)."""
+    import json as _json
+
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    (tmp_path / "clicks").mkdir()
+    (tmp_path / "buys").mkdir()
+    (tmp_path / "clicks" / "c1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user": "u1", "click_ts": "2024-01-01T10:00:00", "page": "p1"},
+                {"user": "u2", "click_ts": "2024-01-01T10:05:00", "page": "p2"},
+            ]
+        )
+    )
+    # u3's purchase has no preceding click -> right-side null-pad
+    (tmp_path / "buys" / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user": "u1", "buy_ts": "2024-01-01T10:04:00", "amount": 5.0},
+                {"user": "u3", "buy_ts": "2024-01-01T10:06:00", "amount": 9.0},
+            ]
+        )
+    )
+    (tmp_path / "clicks" / "c2.jsonl").write_text(
+        _json.dumps({"user": "w1", "click_ts": "2024-01-01T12:00:00", "page": "px"})
+    )
+    (tmp_path / "buys" / "b2.jsonl").write_text(
+        _json.dumps({"user": "w2", "buy_ts": "2024-01-01T12:00:00", "amount": 0.0})
+    )
+    cs = (
+        spark.readStream.schema("user string, click_ts string, page string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "clicks"))
+        .withColumn("click_ts", F.to_timestamp("click_ts"))
+    )
+    bs = (
+        spark.readStream.schema("user string, buy_ts string, amount double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "buys"))
+        .withColumn("buy_ts", F.to_timestamp("buy_ts"))
+    )
+    joined = interval_join_streams(
+        cs, bs, key="user", left_time="click_ts", right_time="buy_ts",
+        max_delay="10 minutes", watermark="10 minutes", how="fullOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_fo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain([q])
+    rows = {
+        (r["user"], r["page"], r["amount"])
+        for r in spark.sql("SELECT user, page, amount FROM ssjoin_fo").collect()
+    }
+    assert ("u1", "p1", 5.0) in rows            # matched
+    assert ("u2", "p2", None) in rows           # left null-pad
+    assert ("u3", None, 9.0) in rows            # right null-pad
+    assert not [r for r in rows if r[0] in ("w1", "w2")]  # pushers buffered
+
+
+def test_full_outer_replay_covers_both_null_pads(spark):
+    """The fullOuter replay gate must emit matched rows AND null-padded
+    rows on BOTH sides (otherwise it degenerates to the leftOuter
+    gate), with no sentinel leakage."""
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+
+    rows = QUERIES["events_stream_interval_join_full_replay"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    matched = [
+        r for r in rows
+        if r["purchase_id"] is not None and r["click_id"] is not None
+    ]
+    left_pad = [r for r in rows if r["purchase_id"] is None]
+    right_pad = [r for r in rows if r["click_id"] is None]
+    assert matched and left_pad and right_pad
+    assert all(r["click_ts"] is None for r in right_pad)
+    assert not [r for r in rows if r["user_id"] < 0], "sentinel leaked"
