@@ -47,8 +47,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: presence-flag fix), BPE fertility (r7 empty-word fix), and the two
 #: r7 stream replays (r8 _run_to_memory guards); (c) 25 re-validation
 #: canaries = every query whose newest driver row is still round 2 or
-#: round 3; (d) a 12-query top-up from the oldest round-4 rows, in
-#: their round-4 gate order.
+#: round 3; (d) an 11-query top-up from the oldest round-4 rows, in
+#: their round-4 gate order — exactly 50 entries, the driver's
+#: measured window size (CORRECTNESS_r07 checked exactly 50 rows), so
+#: nothing in the window silently falls off the gate's cut.
 GATE_PRIORITY = [
     # -- new round-8: watermark BOUNDARY regimes via real streaming
     #    replay (short-watermark eviction/late-drop dedup; leftOuter
@@ -106,7 +108,6 @@ GATE_PRIORITY = [
     "small_quantity_brand_revenue",
     "big_quantity_orders",
     "idle_rich_customers",
-    "important_part_stock",
 ]
 
 

@@ -119,7 +119,24 @@ def _write_epoch_files(
         os.utime(dst, (base_t + e, base_t + e))
 
 
-def _run_to_memory(stream_df: DataFrame, base: str, tag: str) -> DataFrame:
+def _feed_rows(feed_dirs: list[str]) -> int:
+    """Total row count of the staged epoch files, read from parquet
+    FOOTERS (no Spark job — the r7 empty-guard trick)."""
+    import pyarrow.dataset as ds
+
+    total = 0
+    for d in feed_dirs:
+        for f in sorted(glob.glob(os.path.join(d, "epoch_*.parquet"))):
+            total += ds.dataset(f).count_rows()
+    return total
+
+
+def _run_to_memory(
+    stream_df: DataFrame,
+    base: str,
+    tag: str,
+    feed_dirs: list[str] | None = None,
+) -> DataFrame:
     """Execute a streaming frame to completion under AvailableNow into
     a memory sink; return the sink table (query names are unique per
     invocation via the scratch-dir suffix).
@@ -146,6 +163,22 @@ def _run_to_memory(stream_df: DataFrame, base: str, tag: str) -> DataFrame:
             f"(got {tz!r}): the memory-sink detach round-trips "
             "timestamps through tz-naive pandas"
         )
+    # PRE-FLIGHT size guard: the memory sink accumulates every output
+    # row on the driver DURING the run, so a post-hoc check alone
+    # cannot stop an oversized replay from exhausting driver memory
+    # inside awaitTermination.  The staged feed's footer row counts
+    # (no Spark job) bound the dedup gates' output exactly (output <=
+    # input) and catch an SF far past the harness's sizing before any
+    # streaming starts; join fan-out is data-dependent, so the
+    # post-run output count below stays as the backstop.
+    if feed_dirs is not None:
+        n_in = _feed_rows(feed_dirs)
+        if n_in > MAX_SINK_ROWS:
+            raise RuntimeError(
+                f"stream replay feed has {n_in} rows, over the "
+                f"documented {MAX_SINK_ROWS}-row driver-detach bound — "
+                "the harness is being run at an SF it was not sized for"
+            )
     qname = f"sr_{tag}_{os.path.basename(base).rsplit('_', 1)[-1]}"
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -232,7 +265,7 @@ def events_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(
         stream, ["event_id"], event_time_col="ts", watermark=WATERMARK
     )
-    return _run_to_memory(deduped, base, "dedup").select(
+    return _run_to_memory(deduped, base, "dedup", feed_dirs=[in_dir]).select(
         "event_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         "user_id",
@@ -309,7 +342,9 @@ def events_stream_interval_join_replay(
         max_delay=ATTRIBUTION_DELAY,
         watermark=WATERMARK,
     )
-    return _run_to_memory(joined, base, "ijoin").select(
+    return _run_to_memory(
+        joined, base, "ijoin", feed_dirs=[os.path.join(base, t) for t in sides]
+    ).select(
         "user_id",
         "click_id",
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
@@ -508,12 +543,86 @@ def events_stream_dedup_evict_replay(
     deduped = dedup_within_watermark(
         stream, ["event_id"], event_time_col="ts", watermark=WATERMARK_EVICT
     )
-    return _run_to_memory(deduped, base, "dedupev").select(
+    return _run_to_memory(
+        deduped, base, "dedupev", feed_dirs=[in_dir]
+    ).select(
         "event_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         "user_id",
         "event_type",
         "value",
+    )
+
+
+
+def _outer_join_replay(
+    spark: SparkSession, sf_dir: str, how: str, prefix: str, tag: str
+) -> DataFrame:
+    """Shared harness for the outer interval-join gates: six daily
+    epoch files per side plus a SENTINEL epoch (non-matching users
+    -1/-2, event time SENTINEL_TS) that advances the final watermark
+    to SENTINEL_TS - 240 h = 2024-01-21 — past every real click's
+    join-window end and every real purchase's event time, so
+    Structured Streaming flushes every unmatched real row null-padded
+    before the query drains, while the sentinels' own windows stay
+    beyond the final watermark and never emit (value-visibly: a
+    sentinel leak would be an oracle mismatch)."""
+    base = _scratch_dir(prefix)
+    ev = _horizon_events(spark, sf_dir).withColumn(
+        "epoch", F.datediff(F.col("ts"), F.lit(HORIZON_START).cast("date"))
+    )
+    sides = {}
+    for side_tag, etype, pfx, sentinel_uid in (
+        ("clicks", "click", "click", -1),
+        ("purchases", "purchase", "purchase", -2),
+    ):
+        feed = ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(f"{pfx}_id"),
+            F.col("ts").alias(f"{pfx}_ts"),
+            F.col("value").alias(f"{pfx}_value"),
+            "epoch",
+        )
+        sentinel = spark.range(1).select(
+            F.lit(sentinel_uid).cast("long").alias("user_id"),
+            F.lit(sentinel_uid).cast("long").alias(f"{pfx}_id"),
+            F.lit(SENTINEL_TS).cast("timestamp").alias(f"{pfx}_ts"),
+            F.lit(0.0).alias(f"{pfx}_value"),
+            F.lit(N_EPOCHS).cast("int").alias("epoch"),
+        )
+        feed = feed.unionByName(sentinel)
+        in_dir = os.path.join(base, side_tag)
+        _write_epoch_files(feed, in_dir, n_epochs=N_EPOCHS + 1)
+        sides[side_tag] = (
+            spark.readStream.schema(feed.drop("epoch").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    joined = interval_join_streams(
+        sides["clicks"],
+        sides["purchases"],
+        key="user_id",
+        left_time="click_ts",
+        right_time="purchase_ts",
+        max_delay=ATTRIBUTION_DELAY,
+        watermark=WATERMARK,
+        how=how,
+    )
+    return _run_to_memory(
+        joined, base, tag, feed_dirs=[os.path.join(base, t) for t in sides]
+    ).select(
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "click_value",
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
     )
 
 
@@ -557,60 +666,8 @@ def events_stream_interval_join_left_replay(
     additionally pins that both matched, null-padded, and zero
     sentinel rows are present.
     """
-    base = _scratch_dir("stream_ljoin_replay_")
-    ev = _horizon_events(spark, sf_dir).withColumn(
-        "epoch", F.datediff(F.col("ts"), F.lit(HORIZON_START).cast("date"))
-    )
-    sides = {}
-    for tag, etype, prefix, sentinel_uid in (
-        ("clicks", "click", "click", -1),
-        ("purchases", "purchase", "purchase", -2),
-    ):
-        feed = ev.filter(F.col("event_type") == etype).select(
-            "user_id",
-            F.col("event_id").alias(f"{prefix}_id"),
-            F.col("ts").alias(f"{prefix}_ts"),
-            F.col("value").alias(f"{prefix}_value"),
-            "epoch",
-        )
-        sentinel = spark.range(1).select(
-            F.lit(sentinel_uid).cast("long").alias("user_id"),
-            F.lit(sentinel_uid).cast("long").alias(f"{prefix}_id"),
-            F.lit(SENTINEL_TS).cast("timestamp").alias(f"{prefix}_ts"),
-            F.lit(0.0).alias(f"{prefix}_value"),
-            F.lit(N_EPOCHS).cast("int").alias("epoch"),
-        )
-        feed = feed.unionByName(sentinel)
-        in_dir = os.path.join(base, tag)
-        _write_epoch_files(feed, in_dir, n_epochs=N_EPOCHS + 1)
-        sides[tag] = (
-            spark.readStream.schema(feed.drop("epoch").schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(in_dir)
-        )
-
-    from bigdata_covid19_real_time_spark.streaming.joins import (
-        interval_join_streams,
-    )
-
-    joined = interval_join_streams(
-        sides["clicks"],
-        sides["purchases"],
-        key="user_id",
-        left_time="click_ts",
-        right_time="purchase_ts",
-        max_delay=ATTRIBUTION_DELAY,
-        watermark=WATERMARK,
-        how="leftOuter",
-    )
-    return _run_to_memory(joined, base, "ljoin").select(
-        "user_id",
-        "click_id",
-        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
-        "click_value",
-        "purchase_id",
-        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
-        "purchase_value",
+    return _outer_join_replay(
+        spark, sf_dir, how="leftOuter", prefix="stream_ljoin_replay_", tag="ljoin"
     )
 
 
@@ -654,58 +711,6 @@ def events_stream_interval_join_full_replay(
     the implementation (``streaming/joins.py`` passes ``how``
     through), so full outer subsumes both remaining variants.
     """
-    base = _scratch_dir("stream_fjoin_replay_")
-    ev = _horizon_events(spark, sf_dir).withColumn(
-        "epoch", F.datediff(F.col("ts"), F.lit(HORIZON_START).cast("date"))
-    )
-    sides = {}
-    for tag, etype, prefix, sentinel_uid in (
-        ("clicks", "click", "click", -1),
-        ("purchases", "purchase", "purchase", -2),
-    ):
-        feed = ev.filter(F.col("event_type") == etype).select(
-            "user_id",
-            F.col("event_id").alias(f"{prefix}_id"),
-            F.col("ts").alias(f"{prefix}_ts"),
-            F.col("value").alias(f"{prefix}_value"),
-            "epoch",
-        )
-        sentinel = spark.range(1).select(
-            F.lit(sentinel_uid).cast("long").alias("user_id"),
-            F.lit(sentinel_uid).cast("long").alias(f"{prefix}_id"),
-            F.lit(SENTINEL_TS).cast("timestamp").alias(f"{prefix}_ts"),
-            F.lit(0.0).alias(f"{prefix}_value"),
-            F.lit(N_EPOCHS).cast("int").alias("epoch"),
-        )
-        feed = feed.unionByName(sentinel)
-        in_dir = os.path.join(base, tag)
-        _write_epoch_files(feed, in_dir, n_epochs=N_EPOCHS + 1)
-        sides[tag] = (
-            spark.readStream.schema(feed.drop("epoch").schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(in_dir)
-        )
-
-    from bigdata_covid19_real_time_spark.streaming.joins import (
-        interval_join_streams,
-    )
-
-    joined = interval_join_streams(
-        sides["clicks"],
-        sides["purchases"],
-        key="user_id",
-        left_time="click_ts",
-        right_time="purchase_ts",
-        max_delay=ATTRIBUTION_DELAY,
-        watermark=WATERMARK,
-        how="fullOuter",
-    )
-    return _run_to_memory(joined, base, "fjoin").select(
-        "user_id",
-        "click_id",
-        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
-        "click_value",
-        "purchase_id",
-        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
-        "purchase_value",
+    return _outer_join_replay(
+        spark, sf_dir, how="fullOuter", prefix="stream_fjoin_replay_", tag="fjoin"
     )

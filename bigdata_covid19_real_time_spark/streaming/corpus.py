@@ -64,15 +64,24 @@ DOC_WIRE_SCHEMA = StructType(
 
 def _has_data_files(table_dir: str) -> bool:
     """True if ``table_dir`` (recursively — the sink writes
-    ``epoch=N`` partition subdirs) contains any non-metadata file.
-    Distinguishes the benign empty-commit layout (only ``_SUCCESS`` /
-    ``.crc`` markers) from a directory whose DATA files exist but
-    failed to read — the latter must fail the batch, not be treated
-    as 'no history yet'.  Local-filesystem walk: this deployment's
-    sink paths are local; an object-store deployment would swap in a
+    ``epoch=N`` partition subdirs) contains any non-metadata file
+    that Spark's reader would actually see.  Distinguishes the benign
+    empty-commit layout (only ``_SUCCESS`` / ``.crc`` markers) from a
+    directory whose DATA files exist but failed to read — the latter
+    must fail the batch, not be treated as 'no history yet'.
+
+    The walk PRUNES hidden directories (``_temporary``,
+    ``.spark-staging-*``, ...) exactly like Spark's hidden-path
+    filter: a crashed write's staged part files live under
+    ``_temporary/`` and are invisible to ``spark.read.parquet``, so
+    counting them as data would turn every retry of that batch into a
+    permanent failure instead of the correct 'no committed history
+    yet' recovery.  Local-filesystem walk: this deployment's sink
+    paths are local; an object-store deployment would swap in a
     Hadoop FileSystem listing here.
     """
-    for _root, _dirs, files in os.walk(table_dir):
+    for _root, dirs, files in os.walk(table_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if not f.startswith(("_", ".")):
                 return True

@@ -144,8 +144,10 @@ def test_gate_window_prioritizes_unverified_queries():
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
     # 3 new round-8 gates + 11 r7/r8-changed re-gates + 25 oldest
-    # (r2/r3) canaries + 12 round-4 top-ups
-    assert n == 51
+    # (r2/r3) canaries + 11 round-4 top-ups = exactly the driver's
+    # measured 50-row gate window (CORRECTNESS_r07 checked 50), so no
+    # window entry silently falls off the cut
+    assert n == 50
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
@@ -188,15 +190,26 @@ def test_readme_test_count_is_exact(request):
     path) where the collected count is not the suite size."""
     import re
 
-    if request.config.getoption("-k") or request.config.getoption("-m"):
-        pytest.skip("keyword/mark-filtered run: collection is partial")
-    readme = open(os.path.join(os.path.dirname(__file__), "..", "README.md")).read()
+    cfg = request.config
+    if (
+        cfg.getoption("-k")
+        or cfg.getoption("-m")
+        or cfg.getoption("--deselect", default=[])
+        or cfg.getoption("--ignore", default=[])
+        or cfg.getoption("--ignore-glob", default=[])
+    ):
+        pytest.skip("filtered run: collection is partial")
+    # only a plain full-suite invocation (repo root or tests dir) counts
+    tests_root = os.path.abspath(os.path.dirname(__file__))
+    repo_root = os.path.abspath(os.path.join(tests_root, ".."))
+    args = [os.path.abspath(a.split("::")[0]) for a in cfg.args]
+    if not all(a in (tests_root, repo_root) for a in args):
+        pytest.skip("subset run: collection is partial")
+    readme = open(os.path.join(repo_root, "README.md")).read()
     m = re.search(r"#\s*(\d+) tests incl\.", readme)
     assert m, "README no longer documents the test count"
     advertised = int(m.group(1))
     collected = len(request.session.items)
-    if collected < int(advertised * 0.9):
-        pytest.skip("subset run: collection is partial")
     assert collected == advertised, (
         f"README says {advertised} tests, the suite collects {collected} — "
         "update README.md's pytest line"

@@ -65,8 +65,17 @@ def test_history_table_empty_dir_is_none_unreadable_raises(spark, tmp_path):
     (acc / "epoch=0" / ".part-0.crc").write_bytes(b"\x00")
     assert not _has_data_files(str(acc))
     assert ingest._history_table(spark, "accepted", 1) is None
-    # a DATA file that cannot be read is a storage fault, not "no
-    # history": the batch must fail so the trigger retries it
+    # staged leftovers from a CRASHED write live under hidden dirs
+    # (_temporary, .spark-staging-*) that Spark's reader ignores —
+    # they must NOT count as data, or every retry of the crashed
+    # batch would fail forever instead of recovering
+    staged = acc / "_temporary" / "0" / "task_0"
+    staged.mkdir(parents=True)
+    (staged / "part-00000-attempt.parquet").write_bytes(b"staged bytes")
+    assert not _has_data_files(str(acc))
+    assert ingest._history_table(spark, "accepted", 1) is None
+    # a committed DATA file that cannot be read is a storage fault,
+    # not "no history": the batch must fail so the trigger retries it
     (acc / "epoch=0" / "part-00000.parquet").write_bytes(b"not a parquet")
     assert _has_data_files(str(acc))
     with pytest.raises(Exception):
