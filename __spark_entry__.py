@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (222 queries covering SURVEY.md §2 plus
+engine's registered query surface (223 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -35,9 +35,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: window).  This round's window enforces the round-7 verdict's
 #: standing rule — "a query whose code changed re-enters GATE_PRIORITY
 #: the same round" — plus the NEW round-8 registrations:
-#: (a) the 3 new boundary-regime streaming gates (watermark
-#: eviction/late-drop dedup replay; leftOuter and fullOuter
-#: interval-join null-pad replays — plans/stream_replay.py); (b) every
+#: (a) the 4 new streaming gates (watermark eviction/late-drop dedup
+#: replay; leftOuter and fullOuter interval-join null-pad replays;
+#: cross-batch session_window sessionization replay —
+#: plans/stream_replay.py); (b) every
 #: query whose code
 #: changed in round 7 or round 8: the curation waterfall (r7 eager
 #: rewrite + r8 error-path unpersist), the ANN family whose persists
@@ -47,17 +48,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: presence-flag fix), BPE fertility (r7 empty-word fix), and the two
 #: r7 stream replays (r8 _run_to_memory guards); (c) 25 re-validation
 #: canaries = every query whose newest driver row is still round 2 or
-#: round 3; (d) an 11-query top-up from the oldest round-4 rows, in
+#: round 3; (d) a 10-query top-up from the oldest round-4 rows, in
 #: their round-4 gate order — exactly 50 entries, the driver's
 #: measured window size (CORRECTNESS_r07 checked exactly 50 rows), so
 #: nothing in the window silently falls off the gate's cut.
 GATE_PRIORITY = [
-    # -- new round-8: watermark BOUNDARY regimes via real streaming
-    #    replay (short-watermark eviction/late-drop dedup; leftOuter
-    #    interval join with a watermark-pusher sentinel epoch) --
+    # -- new round-8 streaming gates: watermark BOUNDARY regimes +
+    #    sessionization via real multi-micro-batch replay
+    #    (short-watermark eviction/late-drop dedup; leftOuter and
+    #    fullOuter interval joins with a watermark-pusher sentinel
+    #    epoch; cross-batch merging session_window) --
     "events_stream_dedup_evict_replay",
     "events_stream_interval_join_left_replay",
     "events_stream_interval_join_full_replay",
+    "events_stream_sessions_replay",
     # -- round-7/8-changed code re-gates --
     "docs_curation_waterfall",
     "embedding_ivfpq_topk",
@@ -107,7 +111,6 @@ GATE_PRIORITY = [
     "disjunctive_brand_revenue",
     "small_quantity_brand_revenue",
     "big_quantity_orders",
-    "idle_rich_customers",
 ]
 
 

@@ -93,6 +93,16 @@ EXCLUDED = {
         "driver-gated at sf0.01 against the plain FULL OUTER JOIN "
         "oracle"
     ),
+    "events_stream_sessions_replay": (
+        "gate-only: a certification HARNESS for streaming merging-"
+        "session_window sessionization (cross-batch session state + "
+        "append-mode watermark emission) — a real seven-micro-batch "
+        "replay with planted cross-midnight bridge sessions; ~all "
+        "fixed micro-batch/state-store overhead; the OPERATOR's batch "
+        "shape is timed in the headline as user_sessions; correctness "
+        "stays driver-gated at sf0.01 against the gaps-and-islands "
+        "oracle"
+    ),
     "embedding_cosine_neardup": (
         "gate-only: the synthetic embeddings are near-random, so the "
         "recall-preserving LSH config (b=2, L=40, threshold 0.28) "

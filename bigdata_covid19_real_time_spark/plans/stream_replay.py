@@ -714,3 +714,161 @@ def events_stream_interval_join_full_replay(
     return _outer_join_replay(
         spark, sf_dir, how="fullOuter", prefix="stream_fjoin_replay_", tag="fjoin"
     )
+
+
+#: Synthetic cross-midnight BRIDGE sessions for the streaming
+#: sessionization gate: the driver corpus's natural per-user event
+#: density leaves ZERO midnight-spanning sessions at sf0.001/sf0.01
+#: (the vacuous-gate trap), so one two-row session is planted across
+#: each of the five day boundaries — rows 10 minutes either side of
+#: midnight, 20-minute gap < the 30-minute session gap, landing in
+#: CONSECUTIVE epoch files.  A within-batch-only sessionizer would
+#: emit each as two one-event sessions, value-visibly.  Synthetic
+#: user ids are negative (distinct from the -1 sentinel) and the rows
+#: are literal, so the oracle reproduces them with a VALUES union and
+#: the gate stays exact on any SF including zero-row input.
+BRIDGE_USER_BASE = -100
+
+#: (user_id, ts, value, epoch): for each day boundary d|d+1, one row
+#: at 23:50 of day d (epoch d) and one at 00:10 of day d+1 (epoch
+#: d+1) — a 20-minute gap, one merged session.
+_BRIDGE_ROWS = [
+    row
+    for d in range(N_EPOCHS - 1)
+    for row in (
+        (BRIDGE_USER_BASE - d, f"2024-01-{d + 1:02d} 23:50:00", 1.0, d),
+        (BRIDGE_USER_BASE - d, f"2024-01-{d + 2:02d} 00:10:00", 2.0, d + 1),
+    )
+]
+
+_BRIDGE_VALUES_SQL = ",\n      ".join(
+    f"(CAST({u} AS BIGINT), TIMESTAMP '{ts}', CAST({v} AS DOUBLE))"
+    for (u, ts, v, _e) in _BRIDGE_ROWS
+)
+
+
+def _bridge_rows(spark: SparkSession) -> DataFrame:
+    """JVM-literal plan of the planted bridge rows (never
+    ``createDataFrame(python_rows)`` — pickled-reship trap)."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(u).cast("long").alias("user_id"),
+                            F.lit(ts).cast("timestamp").alias("ts"),
+                            F.lit(v).alias("value"),
+                            F.lit(e).cast("int").alias("epoch"),
+                        )
+                        for (u, ts, v, e) in _BRIDGE_ROWS
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+
+
+@query(
+    "events_stream_sessions_replay",
+    oracle=f"""
+    WITH horizon AS (
+      SELECT user_id, ts, value FROM events
+      WHERE ts < TIMESTAMP '{HORIZON_END}'
+      UNION ALL
+      SELECT * FROM (VALUES
+      {_BRIDGE_VALUES_SQL}
+      ) AS bridge(user_id, ts, value)
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes' OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM horizon
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS events_count,
+           ROUND(SUM(value) + 1e-9, 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def events_stream_sessions_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING sessionization through the real merging
+    ``session_window`` state store, replayed over six daily
+    micro-batches — the streaming twin of the driver-certified batch
+    ``user_sessions`` (same 30-minute gap, same output shape, same
+    gaps-and-islands oracle idiom restricted to the replay horizon).
+
+    What only this gate certifies: session state MERGES ACROSS
+    micro-batches (the planted bridge sessions span midnight with rows
+    in consecutive epoch files — a within-batch-only sessionizer would
+    split each into two one-event rows), and append-mode emission
+    waits for the watermark to pass each session's end.  The sentinel
+    epoch (user -1, far-future ts) advances the final watermark to
+    SENTINEL_TS - 240 h = 2024-01-21, past every real session's end,
+    so every real and planted session closes and emits exactly once;
+    the sentinel's own session end lies beyond the final watermark and
+    never emits (value-visibly — a leak is an oracle mismatch).
+    Margin watermark: nothing in the replay is ever late.
+    """
+    base = _scratch_dir("stream_sessions_replay_")
+    ev = (
+        _horizon_events(spark, sf_dir)
+        .select("user_id", "ts", "value")
+        .withColumn(
+            "epoch",
+            F.datediff(F.col("ts"), F.lit(HORIZON_START).cast("date")),
+        )
+    )
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(SENTINEL_TS).cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"),
+        F.lit(N_EPOCHS).cast("int").alias("epoch"),
+    )
+    feed = ev.unionByName(_bridge_rows(spark)).unionByName(sentinel)
+    in_dir = os.path.join(base, "feed")
+    _write_epoch_files(feed, in_dir, n_epochs=N_EPOCHS + 1)
+
+    stream = (
+        spark.readStream.schema(feed.drop("epoch").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    from bigdata_covid19_real_time_spark.plans.registry import stable_round
+
+    sessions = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_count"),
+            stable_round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "events_count",
+            "session_value",
+        )
+    )
+    return _run_to_memory(sessions, base, "sess", feed_dirs=[in_dir])

@@ -143,8 +143,8 @@ def test_gate_window_prioritizes_unverified_queries():
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 3 new round-8 gates + 11 r7/r8-changed re-gates + 25 oldest
-    # (r2/r3) canaries + 11 round-4 top-ups = exactly the driver's
+    # 4 new round-8 gates + 11 r7/r8-changed re-gates + 25 oldest
+    # (r2/r3) canaries + 10 round-4 top-ups = exactly the driver's
     # measured 50-row gate window (CORRECTNESS_r07 checked 50), so no
     # window entry silently falls off the cut
     assert n == 50
@@ -157,6 +157,7 @@ def test_gate_window_prioritizes_unverified_queries():
         "events_stream_dedup_evict_replay",
         "events_stream_interval_join_left_replay",
         "events_stream_interval_join_full_replay",
+        "events_stream_sessions_replay",
         "docs_curation_waterfall",
         "docs_corpus_ingest_replay",
         "docs_leakage_free_split",

@@ -844,3 +844,32 @@ def test_full_outer_replay_covers_both_null_pads(spark):
     assert matched and left_pad and right_pad
     assert all(r["click_ts"] is None for r in right_pad)
     assert not [r for r in rows if r["user_id"] < 0], "sentinel leaked"
+
+
+def test_sessions_replay_merges_across_batches(spark):
+    """The streaming sessionization gate is non-vacuous: the planted
+    bridge sessions (rows in CONSECUTIVE epoch files, 20-minute gap)
+    come back as ONE two-event session each — a within-batch-only
+    sessionizer would emit two one-event rows — and the
+    watermark-pusher sentinel never leaks."""
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+    from bigdata_covid19_real_time_spark.plans.stream_replay import (
+        BRIDGE_USER_BASE,
+        N_EPOCHS,
+    )
+
+    rows = QUERIES["events_stream_sessions_replay"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    bridges = {
+        r["user_id"]: r for r in rows if r["user_id"] <= BRIDGE_USER_BASE
+    }
+    assert len(bridges) == N_EPOCHS - 1
+    for u, r in bridges.items():
+        assert r["events_count"] == 2, (u, r)
+        assert r["session_value"] == 3.0
+        # the session genuinely spans midnight
+        assert r["session_start"][:10] != r["session_end"][:10]
+    assert not [r for r in rows if r["user_id"] == -1], "sentinel leaked"
+    # natural sessions ride through the same operator
+    assert len(rows) > len(bridges)

@@ -123,6 +123,7 @@ ROUND8_QUERIES = [
     "events_stream_dedup_evict_replay",
     "events_stream_interval_join_left_replay",
     "events_stream_interval_join_full_replay",
+    "events_stream_sessions_replay",
     "events_stream_dedup_replay",
     "events_stream_interval_join_replay",
     "docs_corpus_ingest_replay",
