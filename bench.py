@@ -93,6 +93,16 @@ EXCLUDED = {
         "driver-gated at sf0.01 against the plain FULL OUTER JOIN "
         "oracle"
     ),
+    "events_stream_interval_join_right_replay": (
+        "gate-only: a certification HARNESS for the rightOuter "
+        "stream-stream interval join's null-pad path (the direct "
+        "driver row the round-8 verdict asked for in place of the "
+        "fullOuter mirror argument) — same seven-micro-batch "
+        "sentinel-epoch replay profile as the other outer-join gates, "
+        "~all fixed micro-batch/state-store overhead; correctness "
+        "stays driver-gated at sf0.01 against the plain RIGHT JOIN "
+        "oracle"
+    ),
     "events_stream_sessions_replay": (
         "gate-only: a certification HARNESS for streaming merging-"
         "session_window sessionization (cross-batch session state + "

@@ -76,9 +76,10 @@ WATERMARK = "240 hours"
 #: from buffered join state — a routine occurrence at every SF.
 ATTRIBUTION_DELAY = "24 hours"
 
-#: Hard ceiling on how many rows `_run_to_memory` will pull back from
-#: the memory sink.  The dedup gate's output is "every horizon event",
-#: which grows LINEARLY with SF — the detach (`toPandas`) is bounded by
+#: Hard ceiling on how many rows `_run_to_memory` will let the memory
+#: sink accumulate.  The sink holds every output row on the DRIVER for
+#: the duration of the run, and the dedup gate's output is "every
+#: horizon event", which grows LINEARLY with SF — bounded by
 #: construction at gate SFs (2k/0.2k rows at sf0.01, ~20k at sf0.1,
 #: ~200k at sf1) but a future SF bump must fail loudly here instead of
 #: silently ballooning driver memory.  1M rows of the widest replay
@@ -151,17 +152,18 @@ def _run_to_memory(
     fresh per-invocation checkpoint records it, and results are
     partitioning-invariant (values, not order, are gated)."""
     spark = stream_df.sparkSession
-    # the detach below round-trips TIMESTAMP values through tz-naive
-    # pandas; that is value-preserving ONLY under a UTC session (which
-    # sources/batch.load_table pins).  Fail loudly rather than let a
-    # non-UTC caller get silently shifted timestamps and an opaque
-    # oracle mismatch.
+    # the gate feeds are built with datediff-on-ts epoch arithmetic and
+    # every caller casts the emitted TIMESTAMP back to TIMESTAMP_NTZ
+    # for oracle comparability — both are value-preserving ONLY under a
+    # UTC session (which sources/batch.load_table pins).  Fail loudly
+    # rather than let a non-UTC caller get silently shifted timestamps
+    # and an opaque oracle mismatch.
     tz = spark.conf.get("spark.sql.session.timeZone")
     if tz != "UTC":
         raise RuntimeError(
             f"stream replay requires spark.sql.session.timeZone=UTC "
-            f"(got {tz!r}): the memory-sink detach round-trips "
-            "timestamps through tz-naive pandas"
+            f"(got {tz!r}): epoch slicing and the timestamp_ntz "
+            "re-casts are only value-preserving under UTC"
         )
     # PRE-FLIGHT size guard: the memory sink accumulates every output
     # row on the driver DURING the run, so a post-hoc check alone
@@ -199,8 +201,15 @@ def _run_to_memory(
     # Detach the result from the memory sink: each invocation registers
     # a uniquely-named sink table whose rows would otherwise stay
     # referenced by the catalog for the session's lifetime (a leak for
-    # looping callers).  The result is bounded by the 6-day horizon, so
-    # it rides back in as one Arrow batch and the temp view drops.
+    # looping callers).  The detach is a scratch-parquet write +
+    # schema-pinned re-read — pure JVM, so it is independent of EVERY
+    # Python-side session conf.  (The round-8 driver gate proved the
+    # previous toPandas -> createDataFrame round-trip conf-dependent:
+    # an outer join null-pads LongType columns, pandas widens them to
+    # float64, and with spark.sql.execution.arrow.pyspark.enabled=false
+    # — the driver's session, unlike b/session.py — the row-verifier
+    # path rejects the floats.  tests/test_replay_guards.py now runs a
+    # null-padded detach with Arrow explicitly OFF to pin the fix.)
     out = spark.table(qname)
     # result-size guard: the sink rows are already driver-resident, so
     # the count is cheap — refuse to detach an unexpectedly large
@@ -213,9 +222,12 @@ def _run_to_memory(
             f"documented {MAX_SINK_ROWS}-row driver-detach bound — "
             "the harness is being run at an SF it was not sized for"
         )
-    pdf = out.toPandas()
+    snap = os.path.join(base, f"snap_{tag}")
+    out.write.mode("overwrite").parquet(snap)
     spark.catalog.dropTempView(qname)
-    return spark.createDataFrame(pdf, schema=out.schema)
+    # schema pinned explicitly: an empty result writes no data files
+    # (only _SUCCESS) and a bare re-read would fail schema inference
+    return spark.read.schema(out.schema).parquet(snap)
 
 
 @query(
@@ -707,9 +719,8 @@ def events_stream_interval_join_full_replay(
     Expected output is therefore exactly the plain SQL FULL OUTER
     JOIN; the sentinels (non-matching users -1/-2, event times at or
     beyond the final watermark) never emit, value-visibly.
-    rightOuter is the mirror image of this right-side path and shares
-    the implementation (``streaming/joins.py`` passes ``how``
-    through), so full outer subsumes both remaining variants.
+    rightOuter shares this right-side path's implementation and gets
+    its own direct gate below (``events_stream_interval_join_right_replay``).
     """
     return _outer_join_replay(
         spark, sf_dir, how="fullOuter", prefix="stream_fjoin_replay_", tag="fjoin"
@@ -872,3 +883,52 @@ def events_stream_sessions_replay(
         )
     )
     return _run_to_memory(sessions, base, "sess", feed_dirs=[in_dir])
+
+
+# ---------------------------------------------------------------------------
+# Round-9 gate: rightOuter, registered at END of module (append-only
+# registration order).  The round-8 verdict accepted fullOuter's right
+# side as rightOuter's mirror "but it only counts once the fullOuter
+# gate itself is green" — one more `_outer_join_replay` call makes the
+# mirror-image argument unnecessary entirely.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_stream_interval_join_right_replay",
+    oracle=f"""
+    WITH c AS (
+      SELECT * FROM events
+      WHERE event_type = 'click' AND ts < TIMESTAMP '{HORIZON_END}'
+    ), p AS (
+      SELECT * FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '{HORIZON_END}'
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           c.value AS click_value,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM c RIGHT JOIN p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+    """,
+)
+def events_stream_interval_join_right_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """rightOuter stream-stream interval join — the direct driver row
+    the round-8 verdict asked for instead of the fullOuter
+    mirror-image argument.  Identical replay + sentinel mechanics to
+    the fullOuter gate: a purchase is safe to null-pad once the
+    watermark passes its event time (any click old enough to match it
+    would be filtered as late), and the sentinel epoch pushes the final
+    watermark to 2024-01-21 — past every real purchase — so EVERY
+    unmatched real purchase flushes before the query drains.  Expected
+    output is exactly the plain SQL RIGHT JOIN; unmatched clicks never
+    emit under rightOuter, and the sentinels (non-matching users -1/-2)
+    never emit on either side, value-visibly.
+    """
+    return _outer_join_replay(
+        spark, sf_dir, how="rightOuter", prefix="stream_rjoin_replay_", tag="rjoin"
+    )

@@ -1,14 +1,18 @@
-"""Round-8 hardening guards (VERDICT r7 #5 + ADVICE items).
+"""Round-8/9 hardening guards (VERDICT r7 #5 / r8 #1-2 + ADVICE items).
 
 Pins: (1) the stream-replay harness refuses to detach an
 unexpectedly-large memory-sink result to the driver instead of
 silently ballooning; (2) the harness refuses to run under a non-UTC
-session (the pandas detach would silently shift timestamps); (3) the
-corpus history read distinguishes a benign empty-commit directory
-(only _SUCCESS) from a directory whose data files failed to read —
-the latter fails the batch; (4) the per-epoch cache sweep defaults to
-BLOCKING teardown (the async variant races the next job's
-execution-memory acquisition — observed UnsafeInMemorySorter NPE).
+session (epoch slicing and the timestamp_ntz re-casts would silently
+shift); (3) the corpus history read distinguishes a benign
+empty-commit directory (only _SUCCESS) from a directory whose data
+files failed to read — the latter fails the batch; (4) the per-epoch
+cache sweep defaults to BLOCKING teardown (the async variant races the
+next job's execution-memory acquisition — observed
+UnsafeInMemorySorter NPE); (5) the memory-sink detach is
+Arrow-INDEPENDENT — the round-8 driver gate errored because the old
+toPandas -> createDataFrame round-trip rejected null-padded LongType
+columns under the driver's Arrow-off session.
 """
 
 from __future__ import annotations
@@ -35,7 +39,8 @@ def test_run_to_memory_requires_utc_session(spark):
 
 def test_run_to_memory_result_size_guard(spark, monkeypatch):
     """An SF bump past the documented driver-detach bound fails loudly
-    (RuntimeError naming the bound), never a silent toPandas balloon."""
+    (RuntimeError naming the bound), never a silent memory-sink
+    balloon on the driver."""
     from bigdata_covid19_real_time_spark.plans import stream_replay
 
     monkeypatch.setattr(stream_replay, "MAX_SINK_ROWS", 5)
@@ -47,6 +52,34 @@ def test_run_to_memory_result_size_guard(spark, monkeypatch):
     assert not [
         t for t in spark.catalog.listTables() if t.name.startswith("sr_dedup")
     ]
+
+
+def test_replay_detach_null_padded_longs_with_arrow_off(spark):
+    """Round-8 driver defect, pinned red-then-green: the driver's
+    session runs with spark.sql.execution.arrow.pyspark.enabled=false,
+    and the old pandas detach rejected the outer-join replays'
+    null-padded LongType columns there (`LongType() can not accept
+    object 130.0`).  The detach is now a scratch-parquet write +
+    schema-pinned re-read (pure JVM), so the SAME null-padded replay
+    must produce typed rows — matched longs as ints, unmatched as None
+    — with Arrow explicitly OFF."""
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        out = QUERIES["events_stream_interval_join_left_replay"](
+            spark, "/root/testdata/sf0.001"
+        )
+        rows = out.collect()
+    finally:
+        spark.conf.set(key, prev)
+    assert dict(out.dtypes)["purchase_id"] == "bigint"
+    matched = [r for r in rows if r["purchase_id"] is not None]
+    padded = [r for r in rows if r["purchase_id"] is None]
+    assert matched and padded, "gate degenerated — both paths must emit"
+    assert all(isinstance(r["purchase_id"], int) for r in matched)
 
 
 def test_history_table_empty_dir_is_none_unreadable_raises(spark, tmp_path):

@@ -753,6 +753,26 @@ def test_left_outer_replay_flushes_unmatched(spark):
     assert not [r for r in rows if r["user_id"] < 0], "sentinel leaked"
 
 
+def test_right_outer_replay_flushes_unmatched(spark):
+    """The rightOuter replay gate (round-9 direct gate replacing the
+    fullOuter mirror argument) must emit BOTH matched and left-side
+    null-padded rows, keep the right side fully populated, and never
+    leak a sentinel."""
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+
+    rows = QUERIES["events_stream_interval_join_right_replay"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    matched = [r for r in rows if r["click_id"] is not None]
+    padded = [r for r in rows if r["click_id"] is None]
+    assert matched and padded
+    assert all(
+        r["click_ts"] is None and r["click_value"] is None for r in padded
+    )
+    assert all(r["purchase_id"] is not None for r in rows)
+    assert not [r for r in rows if r["user_id"] < 0], "sentinel leaked"
+
+
 def test_stream_stream_interval_full_outer_both_sides(spark, tmp_path):
     """fullOuter interval join: BOTH sides null-pad — an unmatched
     click flushes once the watermark passes its join window, an
