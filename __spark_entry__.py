@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (223 queries covering SURVEY.md §2 plus
+engine's registered query surface (224 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -29,88 +29,80 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries surfaced FIRST to the driver's correctness gate this round.
-#: The gate checks the first ~50 entries in dict order.  Rounds 1-7
-#: cumulatively driver-certified all 219 then-registered queries with
-#: ZERO oracle VALUE failures (round 7 was the first fully-green
-#: window).  This round's window enforces the round-7 verdict's
-#: standing rule — "a query whose code changed re-enters GATE_PRIORITY
-#: the same round" — plus the NEW round-8 registrations:
-#: (a) the 4 new streaming gates (watermark eviction/late-drop dedup
-#: replay; leftOuter and fullOuter interval-join null-pad replays;
-#: cross-batch session_window sessionization replay —
-#: plans/stream_replay.py); (b) every
-#: query whose code
-#: changed in round 7 or round 8: the curation waterfall (r7 eager
-#: rewrite + r8 error-path unpersist), the ANN family whose persists
-#: were dropped/kept on A/B evidence (ivfpq/pq/sq8/rrf/lsh), the
-#: corpus-ingest replay (r7 NULL-text oracle branch + r8 history-read
-#: and blocking-teardown hardening), the MG heavy-hitters replay (r7
-#: presence-flag fix), BPE fertility (r7 empty-word fix), and the two
-#: r7 stream replays (r8 _run_to_memory guards); (c) 25 re-validation
-#: canaries = every query whose newest driver row is still round 2 or
-#: round 3; (d) a 10-query top-up from the oldest round-4 rows, in
-#: their round-4 gate order — exactly 50 entries, the driver's
-#: measured window size (CORRECTNESS_r07 checked exactly 50 rows), so
-#: nothing in the window silently falls off the gate's cut.
+#: The gate checks the first ~50 entries in dict order.  Rounds 1-8
+#: cumulatively driver-certified 221 of the 223 then-registered
+#: queries with ZERO oracle VALUE failures; the two `err` rows of
+#: round 8 (the outer interval-join replays, broken by the
+#: Arrow-dependent memory-sink detach in the driver's Arrow-off
+#: session) lead this round's window after the round-9 fix.  The
+#: window enforces the standing rule — "a query whose code changed
+#: re-enters GATE_PRIORITY the same round":
+#: (a) the two round-8 `err` re-gates plus the NEW direct rightOuter
+#: gate (plans/stream_replay.py); (b) the other four replay gates,
+#: whose shared detach (`_run_to_memory`) changed this round
+#: (toPandas round-trip -> scratch-parquet re-read); (c) the 36
+#: queries whose newest driver row is still round 4, in their round-4
+#: gate order; (d) a 7-query top-up from the oldest round-5 rows, in
+#: their round-5 gate order — exactly 50 entries, the driver's
+#: measured window size (CORRECTNESS_r07/r08 checked exactly 50
+#: rows), so nothing in the window silently falls off the gate's cut.
 GATE_PRIORITY = [
-    # -- new round-8 streaming gates: watermark BOUNDARY regimes +
-    #    sessionization via real multi-micro-batch replay
-    #    (short-watermark eviction/late-drop dedup; leftOuter and
-    #    fullOuter interval joins with a watermark-pusher sentinel
-    #    epoch; cross-batch merging session_window) --
-    "events_stream_dedup_evict_replay",
+    # -- round-8 `err` re-gates (Arrow-independent detach fix) + the
+    #    new direct rightOuter gate --
     "events_stream_interval_join_left_replay",
     "events_stream_interval_join_full_replay",
-    "events_stream_sessions_replay",
-    # -- round-7/8-changed code re-gates --
-    "docs_curation_waterfall",
-    "embedding_ivfpq_topk",
-    "embedding_pq_topk",
-    "embedding_sq8_topk",
-    "embedding_rrf_topk",
-    "embedding_lsh_topk",
-    "docs_corpus_ingest_replay",
-    "events_mg_heavy_hitters_replay",
-    "docs_bpe_fertility",
+    "events_stream_interval_join_right_replay",
+    # -- remaining replay gates: shared _run_to_memory detach changed --
     "events_stream_dedup_replay",
     "events_stream_interval_join_replay",
-    # -- re-validation canaries: newest driver row is round 2/3 --
-    "docs_leakage_free_split",
-    "purchase_graph_pagerank",
-    "corpus_token_budget",
-    "docs_bigram_lm_score",
-    "docs_chunked",
-    "docs_corpus_ingest_verdict",
-    "docs_decontam",
-    "docs_incremental_dedup",
-    "docs_pii_redaction",
-    "docs_quality_filter",
-    "docs_repetition_stats",
-    "docs_sample_10pct",
-    "docs_sequence_packing",
-    "docs_stratified_sample",
-    "docs_token_stats",
-    "docs_unigram_lm_score",
-    "docs_winnow_fingerprints",
-    "embedding_cosine_neardup",
-    "embedding_label_centroids",
-    "embedding_semantic_dedup",
-    "events_value_anomalies",
-    "events_value_mad",
-    "events_value_psi",
-    "events_zorder_keys",
-    "user_retention_cohorts",
-    # -- top-up: oldest round-4 rows, round-4 gate order --
-    "shipping_priority",
-    "order_priority_pipeline",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "min_cost_supplier",
-    "promo_revenue_share",
-    "promo_part_suppliers",
-    "disjunctive_brand_revenue",
-    "small_quantity_brand_revenue",
-    "big_quantity_orders",
+    "events_stream_dedup_evict_replay",
+    "events_stream_sessions_replay",
+    # -- rotation: every query whose newest driver row is round 4,
+    #    round-4 gate order --
+    "idle_rich_customers",
+    "important_part_stock",
+    "nation_pair_trade",
+    "regional_market_share",
+    "nation_profit_by_year",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "part_supplier_diversity",
+    "waiting_sole_late_supplier",
+    "returned_item_customers",
+    "priority_shipping_punctuality",
+    "customer_revenue_pareto",
+    "lineitem_corr_stats",
+    "purchase_funnel",
+    "purchase_window_clicks",
+    "purchase_attribution_join",
+    "user_trailing_week_avg",
+    "click_and_purchase_user_days",
+    "events_grouping_sets",
+    "events_user_skew_report",
+    "embedding_knn_label",
+    "embedding_negative_samples",
+    "docs_bm25_topk",
+    "docs_cdc_chunks",
+    "docs_repeated_span_removal",
+    "corpus_temperature_mix",
+    "part_name_fuzzy_pairs",
+    "supplier_triangles",
+    "orders_merge_preview",
+    "orders_snapshot_diff",
+    "orders_profile",
+    "lineitem_expectations",
+    "events_user_daily_gapfill",
+    "bloom_pruned_revenue",
+    "orders_time_travel",
+    "events_incremental_rollup",
+    # -- top-up: oldest round-5 rows, round-5 gate order --
+    "covid_trend_ols",
+    "events_dow_seasonality",
+    "events_embargo_split",
+    "docs_media_features",
+    "docs_thumbnail_plan",
+    "docs_audio_meta",
+    "embedding_covariance",
 ]
 
 

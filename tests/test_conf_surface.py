@@ -1,0 +1,116 @@
+"""Session-conf surface contract (round-8 verdict task #3).
+
+The round-8 driver gate failed on a conf divergence: the repo session
+(``b/session.py``) enables Arrow, the driver's session does not, and
+the stream-replay detach silently depended on the difference.  These
+tests make the package's conf surface EXPLICIT and hold it closed:
+
+Queries may depend on exactly this much of the session:
+
+- **timezone** — self-managed: ``sources/batch.py:load_table`` pins
+  ``spark.sql.session.timeZone=UTC`` on every load (all queries load
+  through it), and the stream-replay harness additionally hard-fails
+  under a non-UTC session rather than emit shifted timestamps.
+- **shuffle partitions** — never assumed: results are
+  partitioning-invariant (PARTCHECK sweeps the whole registry at
+  local[5]/sp=5); the stream-replay harness pins sp=8 for the
+  duration of each streaming run and restores the caller's value in a
+  ``finally``.
+- **ANSI mode** — assumed ON (the Spark 4 default); engine code uses
+  ``try_cast``/``try_to_timestamp``/guarded arithmetic, never toggles
+  the conf.
+- **Arrow** (``spark.sql.execution.arrow.pyspark.enabled``) — NOT
+  depended on in either state: the only conf-sensitive conversion
+  APIs are driver-side ``toPandas``/pandas-``createDataFrame``
+  round-trips, and the package contains none (the round-8 defect was
+  the last one).  ``mapInPandas``/``applyInPandas*`` kernels always
+  use Arrow regardless of this flag, so they are not conf-sensitive.
+
+Anything new that reads or writes session conf must be added to the
+whitelists below — the tests fail otherwise, turning a silent conf
+dependency into a review prompt.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "bigdata_covid19_real_time_spark",
+)
+
+
+def _package_sources() -> dict[str, str]:
+    out = {}
+    for root, _dirs, files in os.walk(PKG):
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, PKG)] = open(p).read()
+    return out
+
+
+def test_no_pandas_conversion_apis_in_package():
+    """No ``toPandas`` anywhere in the package: it is the one API whose
+    BEHAVIOR flips with spark.sql.execution.arrow.pyspark.enabled (and
+    whose pandas round-trip mangles null-padded integer columns — the
+    round-8 driver defect).  Bounded driver-side results detach via
+    scratch-parquet re-reads or JVM-literal plans instead."""
+    hits = [
+        f"{rel}: {ln.strip()}"
+        for rel, src in _package_sources().items()
+        for ln in src.splitlines()
+        if ".toPandas" in ln and not ln.lstrip().startswith("#")
+    ]
+    assert not hits, f"Arrow-conf-sensitive conversion crept in: {hits}"
+
+
+#: Every sanctioned session-conf read/write in the package, by file.
+#: stream_replay: the UTC guard (read), the sp pin for streaming runs
+#: (read + set + finally-restore).  sources/batch: the UTC pin and the
+#: nanosAsLong legacy toggle every load applies unconditionally —
+#: self-managed, not inherited from the session builder.
+_CONF_WHITELIST = {
+    "plans/stream_replay.py": 4,
+    "sources/batch.py": 2,
+}
+
+
+def test_session_conf_touch_sites_are_whitelisted():
+    counts: dict[str, int] = {}
+    for rel, src in _package_sources().items():
+        n = len(
+            [
+                ln
+                for ln in src.splitlines()
+                if re.search(r"conf\.(set|get)\(", ln)
+                and not ln.lstrip().startswith("#")
+            ]
+        )
+        if n:
+            counts[rel] = n
+    assert counts == _CONF_WHITELIST, (
+        f"session-conf touch sites changed: {counts} != {_CONF_WHITELIST} — "
+        "audit the new site for driver-session parity (the driver runs "
+        "with stock Spark confs, not b/session.py's) and update the "
+        "whitelist with a rationale"
+    )
+
+
+def test_shuffle_partition_pin_is_restored_on_failure(spark):
+    """The stream-replay sp pin must restore the caller's value even
+    when the streaming run raises (the restore lives in a finally)."""
+    import pytest
+
+    from bigdata_covid19_real_time_spark.plans.stream_replay import (
+        _run_to_memory,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # a batch frame has no writeStream; the pin happens before the
+    # failure, so a missing finally would leak sp=8
+    with pytest.raises(Exception):
+        _run_to_memory(spark.range(1), "/tmp/doesnotmatter_sp", "spguard")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev

@@ -132,36 +132,37 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 8's window: the 2 new
-    boundary-regime streaming gates first, then every query whose code
-    changed in round 7 or 8 (the verdict's standing changed-code
-    re-gate rule), then canaries rotated from the OLDEST green driver
-    rows (the full round-2/3 residue plus a round-4 top-up).
-    oracle_sql() iterates in the same order so the driver sees
-    identical windows from both."""
+    queries() in dict order.  Round 9's window: the two round-8 `err`
+    rows first (the outer interval-join replays, re-gated after the
+    Arrow-independent detach fix) plus the new direct rightOuter gate,
+    then the other four replay gates (shared `_run_to_memory` detach
+    changed — the standing changed-code re-gate rule), then canaries
+    rotated from the OLDEST green driver rows (the full round-4
+    residue plus a round-5 top-up).  oracle_sql() iterates in the same
+    order so the driver sees identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 4 new round-8 gates + 11 r7/r8-changed re-gates + 25 oldest
-    # (r2/r3) canaries + 10 round-4 top-ups = exactly the driver's
-    # measured 50-row gate window (CORRECTNESS_r07 checked 50), so no
-    # window entry silently falls off the cut
+    # 2 r8-err re-gates + 1 new rightOuter gate + 4 detach-changed
+    # replay re-gates + 36 round-4 canaries + 7 round-5 top-ups =
+    # exactly the driver's measured 50-row gate window
+    # (CORRECTNESS_r07/r08 checked 50), so no window entry silently
+    # falls off the cut
     assert n == 50
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
-    # new registrations gate first; changed-code re-gates and oldest
-    # canaries ride along
+    # the err re-gates and the new registration gate first; the
+    # detach-changed re-gates and oldest canaries ride along
     for must in (
-        "events_stream_dedup_evict_replay",
         "events_stream_interval_join_left_replay",
         "events_stream_interval_join_full_replay",
+        "events_stream_interval_join_right_replay",
+        "events_stream_dedup_evict_replay",
         "events_stream_sessions_replay",
-        "docs_curation_waterfall",
-        "docs_corpus_ingest_replay",
-        "docs_leakage_free_split",
-        "shipping_priority",
+        "idle_rich_customers",
+        "covid_trend_ols",
     ):
         assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)

@@ -753,6 +753,72 @@ def test_left_outer_replay_flushes_unmatched(spark):
     assert not [r for r in rows if r["user_id"] < 0], "sentinel leaked"
 
 
+def test_session_window_exact_gap_tie_merges(spark):
+    """Adjudicates the round-8 advice claim that Spark's
+    ``session_window`` uses [start, end) semantics and would START A
+    NEW SESSION for an event exactly gap-duration after its
+    predecessor, diverging from the oracles' ``ts - lag(ts) >
+    INTERVAL '30 minutes'`` predicate (which merges the tie).
+
+    Measured, the claim is wrong: Spark MERGES the exact-gap event
+    (sessions coalesce when the new window's start equals an existing
+    session's end), exactly like the oracle predicate — so the
+    certified ``user_sessions`` / ``events_stream_sessions_replay``
+    oracles are already aligned and an exact-gap tie in gate data
+    cannot mismatch.  This test pins that agreement on both engines so
+    a Spark- or DuckDB-side semantics change surfaces here, not as an
+    opaque driver hash mismatch."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("2024-01-01 10:00:00",),
+        ("2024-01-01 10:30:00",),  # exactly one 30-min gap after
+        ("2024-01-01 10:59:59",),  # just under the gap after that
+    ]
+    df = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(1).cast("long").alias("user_id"),
+                            F.lit(ts).cast("timestamp").alias("ts"),
+                        )
+                        for (ts,) in rows
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    sessions = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(sessions) == 1 and sessions[0]["n"] == 3
+
+    values = ", ".join(f"(1, TIMESTAMP '{ts}')" for (ts,) in rows)
+    [(n_sessions,)] = duckdb.connect().execute(
+        f"""
+        WITH horizon AS (SELECT * FROM (VALUES {values}) t(user_id, ts)),
+        flagged AS (
+          SELECT CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts)
+                           > INTERVAL '30 minutes'
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+          FROM horizon)
+        SELECT SUM(new_session) FROM flagged
+        """
+    ).fetchall()
+    assert n_sessions == 1
+
+
 def test_right_outer_replay_flushes_unmatched(spark):
     """The rightOuter replay gate (round-9 direct gate replacing the
     fullOuter mirror argument) must emit BOTH matched and left-side

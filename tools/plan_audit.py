@@ -58,21 +58,28 @@ def audit_plan(plan: str) -> dict:
     }
     if "CartesianProduct" in plan:
         info["flags"].append("CARTESIAN")
-    # A plan whose every operator is a driver-local relation (plus
-    # trivial projections) has no per-row work to compile — the stream
-    # REPLAY harnesses return their memory-sink results detached as
-    # LocalTableScans (the real streaming plan executes inside the
-    # harness and is exercised by the streaming tests); flagging those
-    # as "whole plan runs interpreted" would be a false positive.
+    # A plan whose every operator is a driver-local literal relation
+    # (plus trivial projections) has no per-row work to compile —
+    # harnesses that assemble a bounded result driver-side return it
+    # as a LocalTableScan; flagging those as "whole plan runs
+    # interpreted" would be a false positive.  Scoped tightly (round-8
+    # advice): at least one LocalTableScan must be present, a
+    # `Scan ExistingRDD` (a genuinely interpreted RDD-backed plan —
+    # the exact shape NO_CODEGEN exists to catch) disqualifies, and an
+    # empty operator list is NOT local-only.
     op_lines = [
-        re.sub(r"^[\s:+\-*()\d]*", "", ln)
+        ln2
         for ln in plan.splitlines()
         if ln.strip()
+        for ln2 in [re.sub(r"^[\s:+\-*()\d]*", "", ln)]
+        if ln2
     ]
-    local_only = all(
-        ln.startswith(("LocalTableScan", "Project", "Scan ExistingRDD"))
-        for ln in op_lines
-        if ln
+    local_only = (
+        bool(op_lines)
+        and any(ln.startswith("LocalTableScan") for ln in op_lines)
+        and all(
+            ln.startswith(("LocalTableScan", "Project")) for ln in op_lines
+        )
     )
     if info["codegen"] == 0 and info["python"] == 0 and not local_only:
         info["flags"].append("NO_CODEGEN")

@@ -109,6 +109,22 @@ def main() -> int:
     )
     ap.add_argument("--out", default=os.path.join(REPO, "SELFCHECK.json"))
     ap.add_argument("--queries", nargs="*", help="subset of query names")
+    ap.add_argument(
+        "--driver-conf",
+        action="store_true",
+        help=(
+            "run under DRIVER-PARITY session confs instead of the "
+            "engine's b/session.py defaults: Arrow explicitly OFF and "
+            "stock Spark defaults for everything b/session.py would "
+            "otherwise set (shuffle partitions 200, no extra tuning) — "
+            "only the local master, UTC timezone (matching this host's "
+            "OS tz, which the driver's JVM inherits), and driver "
+            "memory are pinned.  The round-8 gate failed on exactly "
+            "this divergence: a precheck green under Arrow-on "
+            "session.py confs did not predict the driver's Arrow-off "
+            "session."
+        ),
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -119,16 +135,37 @@ def main() -> int:
 
     queries, oracles = entry.queries(), entry.oracle_sql()
     names = args.queries or sorted(queries)
-    spark = get_spark(
-        app_name="selfcheck",
-        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
-        extra_conf={"spark.cleaner.periodicGC.interval": "60s"},
-    )
+    if args.driver_conf:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("selfcheck-driver-parity")
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            )
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(
+            app_name="selfcheck",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+            shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            extra_conf={"spark.cleaner.periodicGC.interval": "60s"},
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
-    result: dict = {"n_queries": len(names), "sf_dirs": args.sf_dirs, "runs": {}}
+    result: dict = {
+        "n_queries": len(names),
+        "sf_dirs": args.sf_dirs,
+        "driver_conf": args.driver_conf,
+        "runs": {},
+    }
     fails = 0
     for sf_dir in args.sf_dirs:
         duck = duckdb.connect()

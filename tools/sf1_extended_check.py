@@ -130,6 +130,19 @@ ROUND8_QUERIES = [
     "docs_curation_waterfall",
 ]
 
+#: Round-9 changed/new: the six replay gates whose shared memory-sink
+#: detach became a scratch-parquet re-read, plus the new direct
+#: rightOuter interval-join gate.
+ROUND9_QUERIES = [
+    "events_stream_interval_join_left_replay",
+    "events_stream_interval_join_full_replay",
+    "events_stream_interval_join_right_replay",
+    "events_stream_dedup_replay",
+    "events_stream_interval_join_replay",
+    "events_stream_dedup_evict_replay",
+    "events_stream_sessions_replay",
+]
+
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ETYPES = ["view", "click", "purchase", "signup", "error"]
@@ -256,8 +269,15 @@ def main() -> int:
         action="store_true",
         help="time ROUND8_QUERIES and write SF1NEW_r8.json",
     )
+    ap.add_argument(
+        "--round9",
+        action="store_true",
+        help="time ROUND9_QUERIES and write SF1NEW_r9.json",
+    )
     args = ap.parse_args()
-    if args.round8:
+    if args.round9:
+        names, out_name = ROUND9_QUERIES, "SF1NEW_r9.json"
+    elif args.round8:
         names, out_name = ROUND8_QUERIES, "SF1NEW_r8.json"
     elif args.round7:
         names, out_name = ROUND7_QUERIES, "SF1NEW_r7.json"
