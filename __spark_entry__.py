@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (224 queries covering SURVEY.md §2 plus
+engine's registered query surface (225 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -40,12 +40,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: (a) the two round-8 `err` re-gates plus the NEW direct rightOuter
 #: gate (plans/stream_replay.py); (b) the other four replay gates,
 #: whose shared detach (`_run_to_memory`) changed this round
-#: (toPandas round-trip -> scratch-parquet re-read); (c) the 36
-#: queries whose newest driver row is still round 4, in their round-4
-#: gate order; (d) a 7-query top-up from the oldest round-5 rows, in
-#: their round-5 gate order — exactly 50 entries, the driver's
-#: measured window size (CORRECTNESS_r07/r08 checked exactly 50
-#: rows), so nothing in the window silently falls off the gate's cut.
+#: (toPandas round-trip -> scratch-parquet re-read), plus the NEW
+#: stream-static broadcast-dim join gate (the one streaming-join
+#: class the harness had not yet gated); (c) the 36 queries whose
+#: newest driver row is still round 4, in their round-4 gate order;
+#: (d) a 6-query top-up from the oldest round-5 rows, in their
+#: round-5 gate order — exactly 50 entries, the driver's measured
+#: window size (CORRECTNESS_r07/r08 checked exactly 50 rows), so
+#: nothing in the window silently falls off the gate's cut.
 GATE_PRIORITY = [
     # -- round-8 `err` re-gates (Arrow-independent detach fix) + the
     #    new direct rightOuter gate --
@@ -57,6 +59,8 @@ GATE_PRIORITY = [
     "events_stream_interval_join_replay",
     "events_stream_dedup_evict_replay",
     "events_stream_sessions_replay",
+    # -- NEW round-9 registration: stateless stream-static dim join --
+    "events_stream_static_join_replay",
     # -- rotation: every query whose newest driver row is round 4,
     #    round-4 gate order --
     "idle_rich_customers",
@@ -102,7 +106,6 @@ GATE_PRIORITY = [
     "docs_media_features",
     "docs_thumbnail_plan",
     "docs_audio_meta",
-    "embedding_covariance",
 ]
 
 

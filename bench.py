@@ -103,6 +103,16 @@ EXCLUDED = {
         "stays driver-gated at sf0.01 against the plain RIGHT JOIN "
         "oracle"
     ),
+    "events_stream_static_join_replay": (
+        "gate-only: a certification HARNESS for the stateless "
+        "stream-STATIC broadcast dimension join (per-micro-batch "
+        "enrichment, null-pad on dim misses) — a six-micro-batch "
+        "daily-file replay, ~all fixed micro-batch overhead; the "
+        "OPERATOR's batch shape (broadcast dim equi-join) is timed "
+        "throughout the headline's star-join queries; correctness "
+        "stays driver-gated at sf0.01 against the plain LEFT JOIN "
+        "oracle"
+    ),
     "events_stream_sessions_replay": (
         "gate-only: a certification HARNESS for streaming merging-"
         "session_window sessionization (cross-batch session state + "

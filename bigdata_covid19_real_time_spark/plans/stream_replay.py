@@ -932,3 +932,82 @@ def events_stream_interval_join_right_replay(
     return _outer_join_replay(
         spark, sf_dir, how="rightOuter", prefix="stream_rjoin_replay_", tag="rjoin"
     )
+
+
+@query(
+    "events_stream_static_join_replay",
+    oracle=f"""
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+           c.c_mktsegment AS segment, n.n_name AS nation
+    FROM events e
+    LEFT JOIN customer c
+      ON c.c_custkey = e.user_id AND c.c_custkey % 3 <> 0
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.ts < TIMESTAMP '{HORIZON_END}'
+    """,
+)
+def events_stream_static_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-STATIC dimension join (``streaming/joins.py:
+    enrich_stream_with_dim``) — the one streaming-join class the
+    replay harness did not yet gate (the five join/dedup/session gates
+    above all exercise stream-STREAM state).  The daily event feed is
+    left-outer enriched per micro-batch with a static customer→nation
+    dimension; stream-static joins are STATELESS (no watermark, no
+    buffered state — the static side is complete), so the expected
+    output is exactly the plain SQL LEFT JOIN over the horizon.
+
+    Non-vacuousness is built in: the dim drops every third customer
+    (``c_custkey % 3 == 0``), so events of those users emit
+    null-padded (string columns — and the detach is the pure-JVM
+    scratch-parquet re-read, so null-padding any type is
+    conf-independent) while the rest pick up segment + nation; both
+    populations exist at every gate SF (user_ids are dense small
+    ints) and ``tests/test_streaming.py`` pins that both are present.
+
+    Scale: the dim rides a broadcast hint — the 100 TB side never
+    shuffles to meet a MB-scale dimension; per-batch cost is one
+    broadcast-hash-join stage with no state-store open/commit at all.
+    """
+    base = _scratch_dir("stream_sjoin_replay_")
+    ev = _horizon_events(spark, sf_dir).withColumn(
+        "epoch", F.datediff(F.col("ts"), F.lit(HORIZON_START).cast("date"))
+    )
+    in_dir = os.path.join(base, "feed")
+    _write_epoch_files(ev, in_dir)
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        enrich_stream_with_dim,
+    )
+
+    stream = (
+        spark.readStream.schema(ev.drop("epoch").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    enriched = enrich_stream_with_dim(stream, dim, key="user_id")
+    return _run_to_memory(enriched, base, "sjoin", feed_dirs=[in_dir]).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "segment",
+        "nation",
+    )

@@ -23,6 +23,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "leftOuter",
+) -> DataFrame:
+    """Stream-static dimension join: enrich a streaming frame with a
+    batch dimension table on ``key``.
+
+    Not in the reference (covid_streaming.py:1-229 joins nothing; its
+    sink DDL's descriptive columns arrive pre-joined from NiFi) — this
+    is the standard enrichment shape of a training-data ingest: a live
+    event/doc feed picks up static attributes (user segment, source
+    registry, license tier) from a slowly-changing dimension.
+
+    Structured Streaming evaluates the static side against every
+    micro-batch with NO streaming state: the join is stateless, needs
+    no watermark, and emits in append mode immediately.  Only the
+    stream-on-the-left variants are plannable (``inner``,
+    ``leftOuter``, ``leftSemi``, ``leftAnti``) — a right/full outer
+    against a static right would require knowing which dim rows never
+    match, i.e. unbounded state, and Spark rejects it at plan time; we
+    reject it here with a clearer message.
+
+    Scale: the dim is broadcast-hinted — enrichment dims are orders of
+    magnitude smaller than the feed, and the broadcast keeps the
+    stream side shuffle-free (no repartition of 100 TB of events to
+    co-locate with a MB-scale dimension).  A dim too large to
+    broadcast is a modeling smell; callers with one can drop the hint
+    and accept the shuffle by pre-partitioning the dim themselves.
+    """
+    supported = {"inner", "leftOuter", "left_outer", "left", "leftSemi",
+                 "left_semi", "semi", "leftAnti", "left_anti", "anti"}
+    if how not in supported:
+        raise ValueError(
+            f"stream-static join how={how!r} is not plannable: the "
+            "static side is complete but the stream is not, so only "
+            f"stream-preserving variants are supported ({sorted(supported)})"
+        )
+    return stream.join(F.broadcast(dim), on=key, how=how)
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -136,19 +136,20 @@ def test_gate_window_prioritizes_unverified_queries():
     rows first (the outer interval-join replays, re-gated after the
     Arrow-independent detach fix) plus the new direct rightOuter gate,
     then the other four replay gates (shared `_run_to_memory` detach
-    changed — the standing changed-code re-gate rule), then canaries
-    rotated from the OLDEST green driver rows (the full round-4
-    residue plus a round-5 top-up).  oracle_sql() iterates in the same
-    order so the driver sees identical windows from both."""
+    changed — the standing changed-code re-gate rule) plus the new
+    stream-static dim-join gate, then canaries rotated from the
+    OLDEST green driver rows (the full round-4 residue plus a round-5
+    top-up).  oracle_sql() iterates in the same order so the driver
+    sees identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 2 r8-err re-gates + 1 new rightOuter gate + 4 detach-changed
-    # replay re-gates + 36 round-4 canaries + 7 round-5 top-ups =
-    # exactly the driver's measured 50-row gate window
-    # (CORRECTNESS_r07/r08 checked 50), so no window entry silently
-    # falls off the cut
+    # 2 r8-err re-gates + 2 new gates (rightOuter, stream-static dim
+    # join) + 4 detach-changed replay re-gates + 36 round-4 canaries
+    # + 6 round-5 top-ups = exactly the driver's measured 50-row gate
+    # window (CORRECTNESS_r07/r08 checked 50), so no window entry
+    # silently falls off the cut
     assert n == 50
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
@@ -161,6 +162,7 @@ def test_gate_window_prioritizes_unverified_queries():
         "events_stream_interval_join_right_replay",
         "events_stream_dedup_evict_replay",
         "events_stream_sessions_replay",
+        "events_stream_static_join_replay",
         "idle_rich_customers",
         "covid_trend_ols",
     ):

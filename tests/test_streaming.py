@@ -959,3 +959,46 @@ def test_sessions_replay_merges_across_batches(spark):
     assert not [r for r in rows if r["user_id"] == -1], "sentinel leaked"
     # natural sessions ride through the same operator
     assert len(rows) > len(bridges)
+
+
+def test_stream_static_join_replay_enriches_and_null_pads(spark):
+    """The stream-static dim-join gate is non-vacuous: events of
+    dim-present users (c_custkey % 3 != 0) come back enriched with
+    segment + nation, events of dropped users come back null-padded,
+    every horizon event emits exactly once (the dim key is unique, so
+    a leftOuter cannot fan out or drop), and the join is stateless —
+    no row waits on a watermark."""
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+    from bigdata_covid19_real_time_spark.plans.stream_replay import (
+        _horizon_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_stream_static_join_replay"](spark, sf).collect()
+    enriched = [r for r in rows if r["nation"] is not None]
+    padded = [r for r in rows if r["nation"] is None]
+    assert enriched and padded
+    assert all(r["user_id"] % 3 != 0 for r in enriched)
+    assert all(r["segment"] is not None for r in enriched)
+    assert all(
+        r["user_id"] % 3 == 0 and r["segment"] is None for r in padded
+    )
+    assert len(rows) == _horizon_events(spark, sf).count()
+    assert len({r["event_id"] for r in rows}) == len(rows)
+
+
+def test_enrich_stream_with_dim_rejects_unplannable_how(spark):
+    """Right/full outer against a static right side would need
+    unbounded state (which dim rows never match is unknowable while
+    the stream lives); the helper rejects them with a clear message
+    instead of Spark's plan-time error."""
+    import pytest as _pytest
+
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        enrich_stream_with_dim,
+    )
+
+    df = spark.range(1)
+    for how in ("rightOuter", "fullOuter", "cross"):
+        with _pytest.raises(ValueError, match="not plannable"):
+            enrich_stream_with_dim(df, df, key="id", how=how)

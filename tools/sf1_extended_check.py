@@ -141,6 +141,7 @@ ROUND9_QUERIES = [
     "events_stream_interval_join_replay",
     "events_stream_dedup_evict_replay",
     "events_stream_sessions_replay",
+    "events_stream_static_join_replay",
 ]
 
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
