@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry`` runs the flagship query; ``queries``/``oracle_sql`` expose the
-engine's registered query surface (225 queries covering SURVEY.md §2 plus
+engine's registered query surface (226 queries covering SURVEY.md §2 plus
 the training-data extension operators; COVERAGE.md maps every operator
 ID to its query/test), keyed identically so the driver can hash-compare
 Spark results against DuckDB oracles at sf0.01.  All carry oracles —
@@ -40,11 +40,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: (a) the two round-8 `err` re-gates plus the NEW direct rightOuter
 #: gate (plans/stream_replay.py); (b) the other four replay gates,
 #: whose shared detach (`_run_to_memory`) changed this round
-#: (toPandas round-trip -> scratch-parquet re-read), plus the NEW
-#: stream-static broadcast-dim join gate (the one streaming-join
-#: class the harness had not yet gated); (c) the 36 queries whose
+#: (toPandas round-trip -> scratch-parquet re-read), plus the TWO new
+#: round-9 gates — the stream-static broadcast-dim join and the
+#: streaming decontamination anti-join (the two streaming-join
+#: classes the harness had not yet gated); (c) the 36 queries whose
 #: newest driver row is still round 4, in their round-4 gate order;
-#: (d) a 6-query top-up from the oldest round-5 rows, in their
+#: (d) a 5-query top-up from the oldest round-5 rows, in their
 #: round-5 gate order — exactly 50 entries, the driver's measured
 #: window size (CORRECTNESS_r07/r08 checked exactly 50 rows), so
 #: nothing in the window silently falls off the gate's cut.
@@ -59,8 +60,10 @@ GATE_PRIORITY = [
     "events_stream_interval_join_replay",
     "events_stream_dedup_evict_replay",
     "events_stream_sessions_replay",
-    # -- NEW round-9 registration: stateless stream-static dim join --
+    # -- NEW round-9 registrations: stateless stream-static dim join +
+    #    streaming benchmark decontamination (leftAnti path) --
     "events_stream_static_join_replay",
+    "docs_stream_decontam_replay",
     # -- rotation: every query whose newest driver row is round 4,
     #    round-4 gate order --
     "idle_rich_customers",
@@ -105,7 +108,6 @@ GATE_PRIORITY = [
     "events_embargo_split",
     "docs_media_features",
     "docs_thumbnail_plan",
-    "docs_audio_meta",
 ]
 
 

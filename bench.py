@@ -113,6 +113,15 @@ EXCLUDED = {
         "stays driver-gated at sf0.01 against the plain LEFT JOIN "
         "oracle"
     ),
+    "docs_stream_decontam_replay": (
+        "gate-only: a certification HARNESS for STREAMING benchmark "
+        "decontamination (per-micro-batch broadcast anti-join on "
+        "content fingerprints, planted contaminated copies + novel "
+        "probes) — a six-micro-batch replay, ~all fixed micro-batch "
+        "overhead; the OPERATOR's batch shape is timed as "
+        "docs_decontam; correctness stays driver-gated at sf0.01 "
+        "against the NOT EXISTS oracle"
+    ),
     "events_stream_sessions_replay": (
         "gate-only: a certification HARNESS for streaming merging-"
         "session_window sessionization (cross-batch session state + "

@@ -1011,3 +1011,127 @@ def events_stream_static_join_replay(
         "segment",
         "nation",
     )
+
+
+#: Id offset for the planted CONTAMINATED COPIES in the streaming
+#: decontamination gate (blocklist texts under fresh doc_ids — an
+#: id-based filter would keep them, a content-fingerprint filter drops
+#: them, value-visibly).  Far above any real doc_id at every SF.
+COPY_ID_OFFSET = 10_000_000
+
+#: Id base + deterministic texts for the planted NOVEL probe docs (one
+#: per epoch) that must SURVIVE decontamination — proving the operator
+#: passes clean rows through rather than dropping everything synthetic.
+NOVEL_ID_BASE = 20_000_000
+_NOVEL_TEXTS = [
+    f"novel probe document {e} zq{e}vx" for e in range(N_EPOCHS)
+]
+
+_NOVEL_VALUES_SQL = ",\n      ".join(
+    f"(CAST({NOVEL_ID_BASE + e} AS BIGINT), '{t}', 'en', 'probe', "
+    f"CAST({len(t)} AS BIGINT))"
+    for e, t in enumerate(_NOVEL_TEXTS)
+)
+
+
+@query(
+    "docs_stream_decontam_replay",
+    oracle=f"""
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents b
+      WHERE b.doc_id % 10 = 3 AND md5(b.text) = md5(d.text)
+    )
+    UNION ALL
+    SELECT * FROM (VALUES
+      {_NOVEL_VALUES_SQL}
+    ) AS probe(doc_id, text, lang, source, n_chars)
+    """,
+)
+def docs_stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING benchmark decontamination: a live document feed is
+    left-anti joined per micro-batch against a broadcast blocklist of
+    content fingerprints (``streaming/joins.py:enrich_stream_with_dim``
+    ``how='leftAnti'`` — the stream-preserving anti variant, whose
+    end-to-end streaming path had no driver row; the batch twin is
+    ``operators/decontam.py``'s broadcast semi-join report).
+
+    The feed is the documents table in six doc_id-mod epochs, PLUS two
+    planted populations that make the CONTENT semantics value-visible:
+    (a) contaminated COPIES — every blocklist text re-enters under a
+    fresh doc_id (+{COPY_ID_OFFSET}); an id-based filter would pass
+    them, the fingerprint filter must drop them; (b) NOVEL probe docs
+    (one per epoch, literal texts) that must survive.  The blocklist is
+    the md5 of every doc with ``doc_id % 10 == 3`` — so expected output
+    is exactly the batch NOT EXISTS over the original table plus the
+    novel probes, which the DuckDB oracle states directly (NOT EXISTS,
+    not NOT IN, so a NULL text could never flip row membership — the
+    same kept-on-null behavior as Spark's left_anti).
+
+    Stateless like the stream-static join gate: no watermark, no state
+    store; per-batch cost is one broadcast-hash anti-join stage.  At
+    100 TB the blocklist (benchmark shingle/fingerprint sets are
+    MB-scale) broadcasts and the corpus never shuffles.
+    """
+    base = _scratch_dir("stream_decontam_replay_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    real = docs.withColumn(
+        "epoch", (F.col("doc_id") % N_EPOCHS).cast("int")
+    )
+    copies = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(COPY_ID_OFFSET))
+        .withColumn("epoch", ((F.col("doc_id") + 1) % N_EPOCHS).cast("int"))
+    )
+    novel = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(NOVEL_ID_BASE + e)
+                            .cast("long")
+                            .alias("doc_id"),
+                            F.lit(t).alias("text"),
+                            F.lit("en").alias("lang"),
+                            F.lit("probe").alias("source"),
+                            F.lit(len(t)).cast("long").alias("n_chars"),
+                            F.lit(e).cast("int").alias("epoch"),
+                        )
+                        for e, t in enumerate(_NOVEL_TEXTS)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    feed = real.unionByName(copies).unionByName(novel)
+    in_dir = os.path.join(base, "feed")
+    _write_epoch_files(feed, in_dir)
+
+    blocklist = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .select(F.md5(F.col("text")).alias("fp"))
+        .distinct()
+    )
+
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        enrich_stream_with_dim,
+    )
+
+    stream = (
+        spark.readStream.schema(feed.drop("epoch").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("fp", F.md5(F.col("text")))
+    )
+    clean = enrich_stream_with_dim(
+        stream, blocklist, key="fp", how="leftAnti"
+    )
+    return _run_to_memory(clean, base, "decontam", feed_dirs=[in_dir]).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )

@@ -145,11 +145,11 @@ def test_gate_window_prioritizes_unverified_queries():
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 2 r8-err re-gates + 2 new gates (rightOuter, stream-static dim
-    # join) + 4 detach-changed replay re-gates + 36 round-4 canaries
-    # + 6 round-5 top-ups = exactly the driver's measured 50-row gate
-    # window (CORRECTNESS_r07/r08 checked 50), so no window entry
-    # silently falls off the cut
+    # 2 r8-err re-gates + 3 new gates (rightOuter, stream-static dim
+    # join, streaming decontam) + 4 detach-changed replay re-gates +
+    # 36 round-4 canaries + 5 round-5 top-ups = exactly the driver's
+    # measured 50-row gate window (CORRECTNESS_r07/r08 checked 50),
+    # so no window entry silently falls off the cut
     assert n == 50
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
@@ -163,6 +163,7 @@ def test_gate_window_prioritizes_unverified_queries():
         "events_stream_dedup_evict_replay",
         "events_stream_sessions_replay",
         "events_stream_static_join_replay",
+        "docs_stream_decontam_replay",
         "idle_rich_customers",
         "covid_trend_ols",
     ):

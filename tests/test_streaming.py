@@ -1002,3 +1002,33 @@ def test_enrich_stream_with_dim_rejects_unplannable_how(spark):
     for how in ("rightOuter", "fullOuter", "cross"):
         with _pytest.raises(ValueError, match="not plannable"):
             enrich_stream_with_dim(df, df, key="id", how=how)
+
+
+def test_stream_decontam_replay_drops_by_content_not_id(spark):
+    """The streaming decontamination gate is non-vacuous in both
+    directions: the planted contaminated COPIES (blocklist texts under
+    fresh doc_ids — an id-based filter would keep them) are absent,
+    the planted NOVEL probes survive, every blocklist doc is dropped,
+    and clean originals ride through untouched."""
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+    from bigdata_covid19_real_time_spark.plans.stream_replay import (
+        COPY_ID_OFFSET,
+        N_EPOCHS,
+        NOVEL_ID_BASE,
+    )
+
+    rows = QUERIES["docs_stream_decontam_replay"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert not [i for i in ids if COPY_ID_OFFSET <= i < NOVEL_ID_BASE], (
+        "a contaminated copy survived — the filter matched on id, not content"
+    )
+    novel = [r for r in rows if r["doc_id"] >= NOVEL_ID_BASE]
+    assert len(novel) == N_EPOCHS
+    assert all(r["source"] == "probe" for r in novel)
+    originals = [r for r in rows if r["doc_id"] < COPY_ID_OFFSET]
+    assert originals, "no clean originals survived"
+    assert not [r for r in originals if r["doc_id"] % 10 == 3], (
+        "a blocklist doc leaked through"
+    )

@@ -142,6 +142,7 @@ ROUND9_QUERIES = [
     "events_stream_dedup_evict_replay",
     "events_stream_sessions_replay",
     "events_stream_static_join_replay",
+    "docs_stream_decontam_replay",
 ]
 
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
