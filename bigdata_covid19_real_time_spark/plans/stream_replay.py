@@ -397,37 +397,40 @@ CLOCK_ID_BASE = 2_000_000_000
 SENTINEL_TS = "2024-01-31 00:00:00"
 
 
+def _literal_rows(spark: SparkSession, structs: list) -> DataFrame:
+    """One-row-per-struct frame built as a pure JVM-literal plan
+    (range/explode/array-of-structs) — never
+    ``createDataFrame(python_rows)``, whose pickled rows would reship
+    with every micro-batch re-evaluation (the pickled-reship trap all
+    three planted-row builders in this module share)."""
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+    )
+
+
 def _clock_rows(spark: SparkSession) -> DataFrame:
     """One synthetic row per epoch with ``ts`` pinned to the NEXT
     midnight — the unique maximum event time of its file, making the
     watermark trajectory EXACT by construction (wm during epoch e =
     day_e - delay) independent of which real rows exist at a given SF
-    (including zero-row inputs).  JVM-literal plan, never
-    ``createDataFrame(python_rows)`` (pickled-reship trap)."""
-    return (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(CLOCK_ID_BASE + e)
-                            .cast("long")
-                            .alias("event_id"),
-                            F.lit(f"2024-01-{e + 2:02d} 00:00:00")
-                            .cast("timestamp")
-                            .alias("ts"),
-                            F.lit(-1).cast("long").alias("user_id"),
-                            F.lit("clock").alias("event_type"),
-                            F.lit(0.0).alias("value"),
-                            F.lit(e).cast("int").alias("epoch"),
-                        )
-                        for e in range(N_EPOCHS)
-                    ]
-                )
-            ).alias("s")
-        )
-        .select("s.*")
+    (including zero-row inputs)."""
+    return _literal_rows(
+        spark,
+        [
+            F.struct(
+                F.lit(CLOCK_ID_BASE + e).cast("long").alias("event_id"),
+                F.lit(f"2024-01-{e + 2:02d} 00:00:00")
+                .cast("timestamp")
+                .alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("clock").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(e).cast("int").alias("epoch"),
+            )
+            for e in range(N_EPOCHS)
+        ],
     )
 
 
@@ -759,26 +762,19 @@ _BRIDGE_VALUES_SQL = ",\n      ".join(
 
 
 def _bridge_rows(spark: SparkSession) -> DataFrame:
-    """JVM-literal plan of the planted bridge rows (never
-    ``createDataFrame(python_rows)`` — pickled-reship trap)."""
-    return (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(u).cast("long").alias("user_id"),
-                            F.lit(ts).cast("timestamp").alias("ts"),
-                            F.lit(v).alias("value"),
-                            F.lit(e).cast("int").alias("epoch"),
-                        )
-                        for (u, ts, v, e) in _BRIDGE_ROWS
-                    ]
-                )
-            ).alias("s")
-        )
-        .select("s.*")
+    """JVM-literal plan of the planted bridge rows (see
+    ``_literal_rows`` for the pickled-reship rationale)."""
+    return _literal_rows(
+        spark,
+        [
+            F.struct(
+                F.lit(u).cast("long").alias("user_id"),
+                F.lit(ts).cast("timestamp").alias("ts"),
+                F.lit(v).alias("value"),
+                F.lit(e).cast("int").alias("epoch"),
+            )
+            for (u, ts, v, e) in _BRIDGE_ROWS
+        ],
     )
 
 
@@ -977,6 +973,11 @@ def events_stream_static_join_replay(
     in_dir = os.path.join(base, "feed")
     _write_epoch_files(ev, in_dir)
 
+    # cache the dim for the run: Structured Streaming re-evaluates the
+    # un-cached static side of a stream-static join EVERY trigger, so
+    # without this the customer-nation join would re-run once per
+    # micro-batch (6x per invocation) — the same one-materialization
+    # discipline a real deployment applies to its dimension snapshot
     dim = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 3 != 0)
@@ -990,6 +991,7 @@ def events_stream_static_join_replay(
             F.col("c_mktsegment").alias("segment"),
             F.col("n_name").alias("nation"),
         )
+        .cache()
     )
 
     from bigdata_covid19_real_time_spark.streaming.joins import (
@@ -1002,7 +1004,11 @@ def events_stream_static_join_replay(
         .parquet(in_dir)
     )
     enriched = enrich_stream_with_dim(stream, dim, key="user_id")
-    return _run_to_memory(enriched, base, "sjoin", feed_dirs=[in_dir]).select(
+    try:
+        out = _run_to_memory(enriched, base, "sjoin", feed_dirs=[in_dir])
+    finally:
+        dim.unpersist()
+    return out.select(
         "event_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         "user_id",
@@ -1081,42 +1087,44 @@ def docs_stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     real = docs.withColumn(
         "epoch", (F.col("doc_id") % N_EPOCHS).cast("int")
     )
+    # NULL-text blocklist docs (admissible in the schema) are excluded
+    # from the planting: their copy's fingerprint would be NULL, which
+    # left_anti KEEPS — the copy would emit while the oracle expects
+    # only original rows + probes.  The ORIGINAL null-text rows stay
+    # consistent on both engines without the filter (left_anti keeps
+    # them; NOT EXISTS's md5(b.text) = md5(d.text) is never true
+    # against NULL, so the oracle keeps them too).
     copies = (
-        docs.filter(F.col("doc_id") % 10 == 3)
+        docs.filter((F.col("doc_id") % 10 == 3) & F.col("text").isNotNull())
         .withColumn("doc_id", F.col("doc_id") + F.lit(COPY_ID_OFFSET))
         .withColumn("epoch", ((F.col("doc_id") + 1) % N_EPOCHS).cast("int"))
     )
-    novel = (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(NOVEL_ID_BASE + e)
-                            .cast("long")
-                            .alias("doc_id"),
-                            F.lit(t).alias("text"),
-                            F.lit("en").alias("lang"),
-                            F.lit("probe").alias("source"),
-                            F.lit(len(t)).cast("long").alias("n_chars"),
-                            F.lit(e).cast("int").alias("epoch"),
-                        )
-                        for e, t in enumerate(_NOVEL_TEXTS)
-                    ]
-                )
-            ).alias("s")
-        )
-        .select("s.*")
+    novel = _literal_rows(
+        spark,
+        [
+            F.struct(
+                F.lit(NOVEL_ID_BASE + e).cast("long").alias("doc_id"),
+                F.lit(t).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("probe").alias("source"),
+                F.lit(len(t)).cast("long").alias("n_chars"),
+                F.lit(e).cast("int").alias("epoch"),
+            )
+            for e, t in enumerate(_NOVEL_TEXTS)
+        ],
     )
     feed = real.unionByName(copies).unionByName(novel)
     in_dir = os.path.join(base, "feed")
     _write_epoch_files(feed, in_dir)
 
+    # cached for the run: the un-cached static side would re-run the
+    # md5 scan + distinct shuffle once per micro-batch (see the
+    # stream-static gate above for the discipline)
     blocklist = (
         docs.filter(F.col("doc_id") % 10 == 3)
         .select(F.md5(F.col("text")).alias("fp"))
         .distinct()
+        .cache()
     )
 
     from bigdata_covid19_real_time_spark.streaming.joins import (
@@ -1132,6 +1140,10 @@ def docs_stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = enrich_stream_with_dim(
         stream, blocklist, key="fp", how="leftAnti"
     )
-    return _run_to_memory(clean, base, "decontam", feed_dirs=[in_dir]).select(
+    try:
+        out = _run_to_memory(clean, base, "decontam", feed_dirs=[in_dir])
+    finally:
+        blocklist.unpersist()
+    return out.select(
         "doc_id", "text", "lang", "source", "n_chars"
     )

@@ -54,9 +54,12 @@ def enrich_stream_with_dim(
     broadcast is a modeling smell; callers with one can drop the hint
     and accept the shuffle by pre-partitioning the dim themselves.
     """
-    supported = {"inner", "leftOuter", "left_outer", "left", "leftSemi",
-                 "left_semi", "semi", "leftAnti", "left_anti", "anti"}
-    if how not in supported:
+    # normalize the way Spark's JoinType parser does (lowercase, drop
+    # underscores) so every alias Spark itself accepts for a
+    # stream-preserving variant passes the gate
+    supported = {"inner", "leftouter", "left", "leftsemi", "semi",
+                 "leftanti", "anti"}
+    if how.lower().replace("_", "") not in supported:
         raise ValueError(
             f"stream-static join how={how!r} is not plannable: the "
             "static side is complete but the stream is not, so only "

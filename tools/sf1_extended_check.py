@@ -131,8 +131,9 @@ ROUND8_QUERIES = [
 ]
 
 #: Round-9 changed/new: the six replay gates whose shared memory-sink
-#: detach became a scratch-parquet re-read, plus the new direct
-#: rightOuter interval-join gate.
+#: detach became a scratch-parquet re-read, plus the three new round-9
+#: gates — the direct rightOuter interval join, the stream-static
+#: broadcast-dim join, and the streaming decontamination anti-join.
 ROUND9_QUERIES = [
     "events_stream_interval_join_left_replay",
     "events_stream_interval_join_full_replay",
