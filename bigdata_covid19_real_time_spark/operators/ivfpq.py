@@ -18,9 +18,11 @@ the whole pipeline is a pure function of the corpus, which is what
 makes it fully SQL-oracle-replicable (plans/ann_composed.py).
 
 Plan shape: cell assignment and encoding are broadcast-codebook narrow
-maps; the candidate join is index x broadcast(probes); ADC is m
-broadcast hash joins on (query, code) + a sum (codegen); the rerank
-joins the exploded corpus ONLY against the shortlist.
+maps; the candidate join is index x broadcast(probes); ADC is ONE
+broadcast hash join on query_id against the per-query term-array
+lookup table + m ``element_at`` indexings and a sum (codegen; see
+``pq._adc_terms_frame``); the rerank joins the exploded corpus ONLY
+against the shortlist.
 """
 
 from __future__ import annotations
@@ -36,9 +38,8 @@ from bigdata_covid19_real_time_spark.operators.ivf import (
     centroid_array_frame,
 )
 from bigdata_covid19_real_time_spark.operators.pq import (
-    _books_frame,
-    _dot,
-    _normalized,
+    _adc_score,
+    _adc_terms_frame,
     pq_encode,
 )
 
@@ -62,7 +63,6 @@ def ivfpq_topk(
     cosines; recall is bounded by cell pruning and ADC shortlist quality.
     """
     m = len(codebooks)
-    sub = len(codebooks[0][0])
     spark = corpus.sparkSession
 
     c_vecs = corpus.select(
@@ -92,38 +92,13 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id", *[f"code_{s}" for s in range(m)])
     )
 
-    # per-query ADC lookup table, then m broadcast joins + a sum
-    qn = q_vecs.select(
-        "query_id", _normalized(F.col("__vec")).alias("__q")
+    # per-query ADC term-array lookup table: one broadcast hash join
+    # on query_id, then m element_at indexings + a sum (codegen)
+    cand = cand.join(
+        F.broadcast(_adc_terms_frame(queries, codebooks, id_col, vec_col)),
+        "query_id",
     )
-    lut = (
-        qn.join(_books_frame(spark, codebooks))
-        .select("query_id", "__q", F.posexplode(F.col("__books")).alias("__s", "__book"))
-        .select("query_id", "__s", F.explode("__book").alias("__c"), "__q")
-        .select(
-            "query_id",
-            "__s",
-            F.col("__c.cid").alias("__code"),
-            _dot(
-                F.slice(F.col("__q"), F.col("__s") * sub + 1, F.lit(sub)),
-                F.col("__c.cvec"),
-            ).alias("__term"),
-        )
-    )
-    for s in range(m):
-        lut_s = F.broadcast(
-            lut.filter(F.col("__s") == s).select(
-                F.col("query_id").alias(f"__q{s}"),
-                F.col("__code").alias(f"__k{s}"),
-                F.col("__term").alias(f"__t{s}"),
-            )
-        )
-        cand = cand.join(
-            lut_s,
-            (F.col("query_id") == F.col(f"__q{s}"))
-            & (F.col(f"code_{s}") == F.col(f"__k{s}")),
-        )
-    adc = sum((F.col(f"__t{s}") for s in range(1, m)), F.col("__t0"))
+    adc = _adc_score(m)
     shortlist_w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc("neighbor_id")
     )

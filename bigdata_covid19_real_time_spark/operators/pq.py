@@ -17,15 +17,19 @@ Spark-first shape:
   partial-aggregated argmax + pivot — no corpus shuffle (map-side
   partial aggregation collapses the k-way expansion before any
   exchange), value-independent generated code;
-- ADC SCORING precomputes the classic per-query LOOKUP TABLE first
-  (``|queries| x m x k`` partial scores — one tiny job's worth of
-  higher-order-function work), then scores candidates with m broadcast
-  HASH JOINS + a sum: the per-candidate hot path is pure
-  whole-stage-codegen arithmetic, no array expressions per row (a
-  per-row ``element_at``/``aggregate`` formulation measured ~35 s at
-  sf0.1 vs ~2 s for the LUT join — higher-order functions don't
-  codegen and re-copy the codebook per evaluation).  The only wide
-  operation is the final per-query top-k.
+- ADC SCORING precomputes the classic per-query LOOKUP TABLE first —
+  as ONE nested-array column per query (``__terms[s][code]``,
+  ``|queries| x m x k`` doubles; all the higher-order-function work
+  confined to the bounded query side) — then scores candidates with a
+  SINGLE broadcast join + m plain ``element_at`` indexings and a sum.
+  ``element_at`` into a joined array is a simple codegen expression;
+  what must stay OFF the corpus-sized hot path is lambda-expression
+  evaluation (an ``aggregate``-per-row formulation measured ~35 s at
+  sf0.1 — higher-order functions don't codegen and re-copy the
+  codebook per evaluation).  The single-join shape replaced m
+  per-subspace broadcast hash joins whose broadcast sides each re-ran
+  the LUT subplan (2.3x on ``pq_topk`` at sf0.1, bit-identical).  The
+  only wide operation is the final per-query top-k.
 
 The whole pipeline is a pure function of (corpus, m, k, iters), so the
 correctness gate replicates training + encoding + ADC independently in
@@ -183,6 +187,57 @@ def pq_encode(
     )
 
 
+def _adc_terms_frame(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, __terms): the classic per-query ADC lookup table as
+    ONE nested array column — ``__terms[s][code] = dot(q_sub_s,
+    book_s[code])``, |q| rows of m*k doubles.
+
+    All the higher-order-function work (the nested ``transform`` +
+    ``aggregate`` dot products) happens here on the bounded query side;
+    candidates then resolve their score terms with plain ``element_at``
+    indexing into the broadcast row — simple codegen expressions, no
+    lambda evaluation in the corpus-sized hot path.  One broadcast join
+    replaces the previous m per-subspace broadcast hash joins, which
+    each re-ran the whole LUT subplan to build their broadcast side
+    (measured 2.3x on ``pq_topk`` at sf0.1, bit-identical output).
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _normalized(F.transform(vec_col, lambda x: x.cast("double"))).alias("__q"),
+    )
+    return q.join(_books_frame(queries.sparkSession, codebooks)).select(
+        "query_id",
+        F.transform(
+            F.col("__books"),
+            lambda book, s: F.transform(
+                book,
+                lambda c: _dot(
+                    F.slice(F.col("__q"), s * sub + 1, F.lit(sub)), c["cvec"]
+                ),
+            ),
+        ).alias("__terms"),
+    )
+
+
+def _adc_score(m: int) -> Column:
+    """ADC inner product from a joined ``__terms`` row: sum over the m
+    subspaces of the term the candidate's ``code_s`` selects (1-based
+    ``element_at`` indexing; code ids are 0-based)."""
+    terms = (
+        F.element_at(F.element_at("__terms", s + 1), F.col(f"code_{s}") + 1)
+        for s in range(m)
+    )
+    first = next(terms)
+    return sum(terms, first)
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -203,54 +258,11 @@ def pq_topk(
     full-precision operand.
     """
     m = len(codebooks)
-    sub = len(codebooks[0][0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _normalized(F.transform(vec_col, lambda x: x.cast("double"))).alias("__q"),
-    )
-    # per-query ADC lookup table: (query_id, s, code, term) — all the
-    # higher-order-function work happens here, on |q| x m x k rows
-    lut = (
-        q.join(_books_frame(codes.sparkSession, codebooks))
-        .select(
-            "query_id",
-            "__q",
-            F.posexplode(F.col("__books")).alias("__s", "__book"),
-        )
-        .select(
-            "query_id",
-            "__s",
-            F.explode("__book").alias("__c"),
-            F.col("__q"),
-        )
-        .select(
-            "query_id",
-            "__s",
-            F.col("__c.cid").alias("__code"),
-            _dot(
-                F.slice(F.col("__q"), F.col("__s") * sub + 1, F.lit(sub)),
-                F.col("__c.cvec"),
-            ).alias("__term"),
-        )
-    )
-    # candidate hot path: m broadcast hash joins + a sum — pure codegen
     cand = codes.join(
-        F.broadcast(q.select("query_id")), codes[id_col] != F.col("query_id")
+        F.broadcast(_adc_terms_frame(queries, codebooks, id_col, vec_col)),
+        codes[id_col] != F.col("query_id"),
     )
-    for s in range(m):
-        lut_s = F.broadcast(
-            lut.filter(F.col("__s") == s).select(
-                F.col("query_id").alias(f"__q{s}"),
-                F.col("__code").alias(f"__k{s}"),
-                F.col("__term").alias(f"__t{s}"),
-            )
-        )
-        cand = cand.join(
-            lut_s,
-            (F.col("query_id") == F.col(f"__q{s}"))
-            & (F.col(f"code_{s}") == F.col(f"__k{s}")),
-        )
-    score = sum((F.col(f"__t{s}") for s in range(1, m)), F.col("__t0"))
+    score = _adc_score(m)
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
