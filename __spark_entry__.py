@@ -29,85 +29,80 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries surfaced FIRST to the driver's correctness gate this round.
-#: The gate checks the first ~50 entries in dict order.  Rounds 1-8
-#: cumulatively driver-certified 221 of the 223 then-registered
-#: queries with ZERO oracle VALUE failures; the two `err` rows of
-#: round 8 (the outer interval-join replays, broken by the
-#: Arrow-dependent memory-sink detach in the driver's Arrow-off
-#: session) lead this round's window after the round-9 fix.  The
-#: window enforces the standing rule — "a query whose code changed
-#: re-enters GATE_PRIORITY the same round":
-#: (a) the two round-8 `err` re-gates plus the NEW direct rightOuter
-#: gate (plans/stream_replay.py); (b) the other four replay gates,
-#: whose shared detach (`_run_to_memory`) changed this round
-#: (toPandas round-trip -> scratch-parquet re-read), plus the TWO new
-#: round-9 gates — the stream-static broadcast-dim join and the
-#: streaming decontamination anti-join (the two streaming-join
-#: classes the harness had not yet gated); (c) the 36 queries whose
-#: newest driver row is still round 4, in their round-4 gate order;
-#: (d) a 5-query top-up from the oldest round-5 rows, in their
-#: round-5 gate order — exactly 50 entries, the driver's measured
+#: The gate checks the first ~50 entries in dict order.  Rounds 1-9
+#: cumulatively driver-certified ALL 226 registered queries with ZERO
+#: oracle VALUE failures (round 9: 50/50 green, closing the last two
+#: round-8 `err` rows).  This round's window enforces the standing
+#: rules:
+#: (a) "a query whose code changed re-enters GATE_PRIORITY the same
+#: round" — the three ANN queries whose ADC hot path changed this
+#: round (operators/pq.py::pq_topk + the shared _adc_terms_frame /
+#: _adc_score helpers, operators/ivfpq.py::ivfpq_topk: m per-subspace
+#: LUT broadcast joins collapsed into one term-array broadcast join);
+#: (b) rotation from the OLDEST green driver rows — the 42 queries
+#: whose newest driver row is still round 5, in their round-5 gate
+#: order; (c) a 5-query top-up from the oldest round-6 rows, in their
+#: round-6 gate order — exactly 50 entries, the driver's measured
 #: window size (CORRECTNESS_r07/r08 checked exactly 50 rows), so
-#: nothing in the window silently falls off the gate's cut.
+#: nothing in the window silently falls off the gate's cut.  After
+#: this round no registry query's newest driver row is older than
+#: round 6.
 GATE_PRIORITY = [
-    # -- round-8 `err` re-gates (Arrow-independent detach fix) + the
-    #    new direct rightOuter gate --
-    "events_stream_interval_join_left_replay",
-    "events_stream_interval_join_full_replay",
-    "events_stream_interval_join_right_replay",
-    # -- remaining replay gates: shared _run_to_memory detach changed --
-    "events_stream_dedup_replay",
-    "events_stream_interval_join_replay",
-    "events_stream_dedup_evict_replay",
-    "events_stream_sessions_replay",
-    # -- NEW round-9 registrations: stateless stream-static dim join +
-    #    streaming benchmark decontamination (leftAnti path) --
-    "events_stream_static_join_replay",
-    "docs_stream_decontam_replay",
-    # -- rotation: every query whose newest driver row is round 4,
-    #    round-4 gate order --
-    "idle_rich_customers",
-    "important_part_stock",
-    "nation_pair_trade",
-    "regional_market_share",
-    "nation_profit_by_year",
-    "customer_order_distribution",
-    "top_revenue_suppliers",
-    "part_supplier_diversity",
-    "waiting_sole_late_supplier",
-    "returned_item_customers",
-    "priority_shipping_punctuality",
-    "customer_revenue_pareto",
-    "lineitem_corr_stats",
-    "purchase_funnel",
-    "purchase_window_clicks",
-    "purchase_attribution_join",
-    "user_trailing_week_avg",
-    "click_and_purchase_user_days",
-    "events_grouping_sets",
-    "events_user_skew_report",
-    "embedding_knn_label",
-    "embedding_negative_samples",
-    "docs_bm25_topk",
-    "docs_cdc_chunks",
-    "docs_repeated_span_removal",
-    "corpus_temperature_mix",
-    "part_name_fuzzy_pairs",
-    "supplier_triangles",
-    "orders_merge_preview",
-    "orders_snapshot_diff",
-    "orders_profile",
-    "lineitem_expectations",
-    "events_user_daily_gapfill",
-    "bloom_pruned_revenue",
-    "orders_time_travel",
-    "events_incremental_rollup",
-    # -- top-up: oldest round-5 rows, round-5 gate order --
-    "covid_trend_ols",
-    "events_dow_seasonality",
-    "events_embargo_split",
-    "docs_media_features",
-    "docs_thumbnail_plan",
+    # -- ADC hot-path change (one-term-array-join restructure): the
+    #    three callers of pq._adc_terms_frame/_adc_score re-enter --
+    "embedding_pq_topk",
+    "embedding_rrf_topk",
+    "embedding_ivfpq_topk",
+    # -- rotation: every query whose newest driver row is round 5,
+    #    round-5 gate order --
+    "docs_audio_meta",
+    "embedding_covariance",
+    "events_user_heavy_hitters",
+    "docs_bpe_pair_counts",
+    "docs_bpe_vocab",
+    "docs_source_novelty",
+    "events_value_ks",
+    "docs_weighted_sample",
+    "orders_expectations",
+    "docs_shuffle_shards",
+    "events_skewed_heavy_hitters_sketch",
+    "docs_bpe_tokenize",
+    "docs_global_span_dedup",
+    "events_value_quantile_sketch",
+    "events_userday_hll_distinct",
+    "event_type_transitions",
+    "events_value_cusum",
+    "brand_pair_affinity",
+    "docs_k_anonymity",
+    "customer_rfm_segments",
+    "user_recency_weighted_value",
+    "orders_open_backlog",
+    "nation_revenue_yoy",
+    "events_hourly_profile",
+    "docs_filter_funnel",
+    "source_overlap_matrix",
+    "docs_dup_cluster_sizes",
+    "embedding_norm_outliers",
+    "user_event_runs",
+    "events_daily_autocorr",
+    "orders_benford_audit",
+    "nation_order_target_encoding",
+    "events_type_dow_mutual_info",
+    "nation_customer_gini",
+    "lineitem_qty_histogram",
+    "orders_fulfillment_survival",
+    "brand_return_woe",
+    "docs_bigram_pmi",
+    "docs_zipf_fit",
+    "event_value_welch",
+    "cohort_ltv_curve",
+    "docs_dedup_clusters",
+    # -- top-up: oldest round-6 rows, round-6 gate order --
+    "lineitem_discount_auc",
+    "embedding_retrieval_metrics",
+    "events_click_calibration",
+    "docs_rater_kappa",
+    "docs_temperature_mix_plan",
 ]
 
 

@@ -132,40 +132,32 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 9's window: the two round-8 `err`
-    rows first (the outer interval-join replays, re-gated after the
-    Arrow-independent detach fix) plus the new direct rightOuter gate,
-    then the other four replay gates (shared `_run_to_memory` detach
-    changed — the standing changed-code re-gate rule) plus the new
-    stream-static dim-join gate, then canaries rotated from the
-    OLDEST green driver rows (the full round-4 residue plus a round-5
-    top-up).  oracle_sql() iterates in the same order so the driver
-    sees identical windows from both."""
+    queries() in dict order.  Round 10's window: the three ANN queries
+    whose ADC hot path changed this round (the standing changed-code
+    re-gate rule: pq_topk/ivfpq_topk now score through one broadcast
+    term-array join), then canaries rotated from the OLDEST green
+    driver rows (the full round-5 residue plus a round-6 top-up).
+    oracle_sql() iterates in the same order so the driver sees
+    identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 2 r8-err re-gates + 3 new gates (rightOuter, stream-static dim
-    # join, streaming decontam) + 4 detach-changed replay re-gates +
-    # 36 round-4 canaries + 5 round-5 top-ups = exactly the driver's
-    # measured 50-row gate window (CORRECTNESS_r07/r08 checked 50),
-    # so no window entry silently falls off the cut
+    # 3 ADC-changed re-gates + 42 round-5 canaries + 5 round-6
+    # top-ups = exactly the driver's measured 50-row gate window
+    # (CORRECTNESS_r07/r08 checked 50), so no window entry silently
+    # falls off the cut
     assert n == 50
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
-    # the err re-gates and the new registration gate first; the
-    # detach-changed re-gates and oldest canaries ride along
+    # the changed-code re-gates lead; the oldest canaries ride along
     for must in (
-        "events_stream_interval_join_left_replay",
-        "events_stream_interval_join_full_replay",
-        "events_stream_interval_join_right_replay",
-        "events_stream_dedup_evict_replay",
-        "events_stream_sessions_replay",
-        "events_stream_static_join_replay",
-        "docs_stream_decontam_replay",
-        "idle_rich_customers",
-        "covid_trend_ols",
+        "embedding_pq_topk",
+        "embedding_rrf_topk",
+        "embedding_ivfpq_topk",
+        "docs_audio_meta",
+        "docs_temperature_mix_plan",
     ):
         assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)
