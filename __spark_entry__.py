@@ -38,21 +38,25 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: round" — the three ANN queries whose ADC hot path changed this
 #: round (operators/pq.py::pq_topk + the shared _adc_terms_frame /
 #: _adc_score helpers, operators/ivfpq.py::ivfpq_topk: m per-subspace
-#: LUT broadcast joins collapsed into one term-array broadcast join);
+#: LUT broadcast joins collapsed into one term-array broadcast join),
+#: plus the streaming decontam gate, which gained a footer-only
+#: id-band guard (round-9 advice item #1);
 #: (b) rotation from the OLDEST green driver rows — the 42 queries
 #: whose newest driver row is still round 5, in their round-5 gate
-#: order; (c) a 5-query top-up from the oldest round-6 rows, in their
+#: order; (c) a 4-query top-up from the oldest round-6 rows, in their
 #: round-6 gate order — exactly 50 entries, the driver's measured
 #: window size (CORRECTNESS_r07/r08 checked exactly 50 rows), so
 #: nothing in the window silently falls off the gate's cut.  After
 #: this round no registry query's newest driver row is older than
 #: round 6.
 GATE_PRIORITY = [
-    # -- ADC hot-path change (one-term-array-join restructure): the
-    #    three callers of pq._adc_terms_frame/_adc_score re-enter --
+    # -- changed-code re-gates: the three callers of
+    #    pq._adc_terms_frame/_adc_score (one-term-array-join ADC
+    #    restructure) + the id-band-guarded decontam gate --
     "embedding_pq_topk",
     "embedding_rrf_topk",
     "embedding_ivfpq_topk",
+    "docs_stream_decontam_replay",
     # -- rotation: every query whose newest driver row is round 5,
     #    round-5 gate order --
     "docs_audio_meta",
@@ -102,7 +106,6 @@ GATE_PRIORITY = [
     "embedding_retrieval_metrics",
     "events_click_calibration",
     "docs_rater_kappa",
-    "docs_temperature_mix_plan",
 ]
 
 

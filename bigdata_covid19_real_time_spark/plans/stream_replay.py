@@ -1081,6 +1081,32 @@ def docs_stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     MB-scale) broadcasts and the corpus never shuffles.
     """
     base = _scratch_dir("stream_decontam_replay_")
+    # id-band guard (footer-only, no Spark job — same trick as
+    # _feed_rows): the copy/novel classification is an id-band
+    # arithmetic on doc_id, so a corpus whose real ids reach
+    # COPY_ID_OFFSET would silently corrupt the oracle's semantics
+    # (a real doc misread as a planted copy) rather than fail.  Both
+    # bands reduce to one bound: max real id < COPY_ID_OFFSET also
+    # keeps every copy id (max real + COPY_ID_OFFSET) under
+    # NOVEL_ID_BASE, because NOVEL_ID_BASE = 2 * COPY_ID_OFFSET.
+    import pyarrow.parquet as pq_meta
+
+    meta = pq_meta.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata
+    doc_idx = meta.schema.to_arrow_schema().get_field_index("doc_id")
+    maxes = [
+        meta.row_group(g).column(doc_idx).statistics.max
+        for g in range(meta.num_row_groups)
+        if meta.row_group(g).column(doc_idx).statistics is not None
+    ]
+    if not maxes or max(maxes) >= COPY_ID_OFFSET:
+        raise RuntimeError(
+            f"documents.doc_id max {max(maxes) if maxes else 'unknown'} "
+            f"reaches the planted-copy id band (COPY_ID_OFFSET = "
+            f"{COPY_ID_OFFSET}) — the gate's copy/novel id arithmetic "
+            "is not sized for this corpus"
+        )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )

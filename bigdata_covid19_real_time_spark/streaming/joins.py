@@ -53,6 +53,16 @@ def enrich_stream_with_dim(
     co-locate with a MB-scale dimension).  A dim too large to
     broadcast is a modeling smell; callers with one can drop the hint
     and accept the shuffle by pre-partitioning the dim themselves.
+
+    Batch degradation (deliberate): ``stream`` is not required to be
+    streaming — given a batch frame the same expression is a plain
+    broadcast-hash join with identical row semantics, which is what
+    makes the batch/streaming twin tests comparable.  Callers that
+    need a guarantee the STREAMING path executed should assert
+    ``stream.isStreaming`` themselves (the replay gates get it by
+    construction — their result comes out of ``writeStream``, which
+    does not exist on a batch frame); this helper does not raise,
+    because the degradation is semantically sound, not a misuse.
     """
     # normalize the way Spark's JoinType parser does (lowercase, drop
     # underscores) so every alias Spark itself accepts for a

@@ -181,3 +181,24 @@ def test_waterfall_cache_footprint_does_not_grow(spark):
         df = QUERIES[_Q](spark, d)
         assert len(df.collect()) == 6
         assert jsc.getPersistentRDDs().size() <= after_first + 1
+    # The +1 slack distinguishes churn from a leak by EVENTUAL
+    # COLLECTION (round-9 review): a superseded plan-equal entry is
+    # unreferenced once the frames die, so dropping the frame refs and
+    # forcing GC lets the ContextCleaner reap it back to the baseline;
+    # a genuine one-time leak (an operator holding its persist) stays
+    # referenced and the count stays elevated — visible here instead
+    # of hiding in the slack.
+    if jsc.getPersistentRDDs().size() > after_first:
+        import gc
+        import time as _time
+
+        del df
+        deadline = _time.time() + 30
+        while (
+            jsc.getPersistentRDDs().size() > after_first
+            and _time.time() < deadline
+        ):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            _time.sleep(0.5)
+        assert jsc.getPersistentRDDs().size() <= after_first

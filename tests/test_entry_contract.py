@@ -132,18 +132,18 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 10's window: the three ANN queries
-    whose ADC hot path changed this round (the standing changed-code
-    re-gate rule: pq_topk/ivfpq_topk now score through one broadcast
-    term-array join), then canaries rotated from the OLDEST green
-    driver rows (the full round-5 residue plus a round-6 top-up).
-    oracle_sql() iterates in the same order so the driver sees
-    identical windows from both."""
+    queries() in dict order.  Round 10's window: the four queries
+    whose code changed this round (the standing changed-code re-gate
+    rule — pq_topk/ivfpq_topk now score through one broadcast
+    term-array join; the decontam gate gained an id-band guard), then
+    canaries rotated from the OLDEST green driver rows (the full
+    round-5 residue plus a round-6 top-up).  oracle_sql() iterates in
+    the same order so the driver sees identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 3 ADC-changed re-gates + 42 round-5 canaries + 5 round-6
+    # 4 changed-code re-gates + 42 round-5 canaries + 4 round-6
     # top-ups = exactly the driver's measured 50-row gate window
     # (CORRECTNESS_r07/r08 checked 50), so no window entry silently
     # falls off the cut
@@ -156,8 +156,9 @@ def test_gate_window_prioritizes_unverified_queries():
         "embedding_pq_topk",
         "embedding_rrf_topk",
         "embedding_ivfpq_topk",
+        "docs_stream_decontam_replay",
         "docs_audio_meta",
-        "docs_temperature_mix_plan",
+        "docs_rater_kappa",
     ):
         assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)

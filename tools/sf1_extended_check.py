@@ -146,6 +146,25 @@ ROUND9_QUERIES = [
     "docs_stream_decontam_replay",
 ]
 
+#: Round-10 refresh (round-9 verdict task 4): not new registrations —
+#: the 10 most expensive HEADLINE queries by BENCH_DETAIL_r9, so the
+#: scaling claims for the queries that actually cost something stay
+#: current.  Three of them (pq/rrf/ivfpq) also changed code in r10
+#: (the one-term-array-join ADC restructure).  Run with ``--round10``
+#: to time exactly these and write SF1NEW_r10.json.
+ROUND10_QUERIES = [
+    "docs_curation_waterfall",
+    "embedding_rrf_topk",
+    "docs_leakage_free_split",
+    "docs_dedup_clusters",
+    "embedding_ivfpq_topk",
+    "docs_winnow_fingerprints",
+    "docs_minhash_lsh",
+    "events_value_bootstrap_ci",
+    "docs_cdc_chunks",
+    "embedding_pq_topk",
+]
+
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ETYPES = ["view", "click", "purchase", "signup", "error"]
@@ -277,8 +296,15 @@ def main() -> int:
         action="store_true",
         help="time ROUND9_QUERIES and write SF1NEW_r9.json",
     )
+    ap.add_argument(
+        "--round10",
+        action="store_true",
+        help="time ROUND10_QUERIES and write SF1NEW_r10.json",
+    )
     args = ap.parse_args()
-    if args.round9:
+    if args.round10:
+        names, out_name = ROUND10_QUERIES, "SF1NEW_r10.json"
+    elif args.round9:
         names, out_name = ROUND9_QUERIES, "SF1NEW_r9.json"
     elif args.round8:
         names, out_name = ROUND8_QUERIES, "SF1NEW_r8.json"
@@ -333,7 +359,10 @@ def main() -> int:
             "sf1 relational tables are a seeded synthetic 10x twin "
             "(distributions approximate; 310-word doc vocab per "
             "sf1_neardup_check) — ratios certify scaling shape, and the "
-            "~2s fixed job overhead pulls honest linear ratios below 10"
+            "~2s fixed job overhead pulls honest linear ratios below 10. "
+            "generator_sec 0.0 means the twin was REUSED from an "
+            "earlier round's generation (the generator is seeded, so "
+            "the data is identical), not regenerated for free"
         ),
         "queries": {},
     }
