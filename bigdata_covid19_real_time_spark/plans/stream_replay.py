@@ -1096,16 +1096,26 @@ def docs_stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).metadata
     doc_idx = meta.schema.to_arrow_schema().get_field_index("doc_id")
     maxes = [
-        meta.row_group(g).column(doc_idx).statistics.max
+        stats.max
         for g in range(meta.num_row_groups)
-        if meta.row_group(g).column(doc_idx).statistics is not None
+        for stats in [meta.row_group(g).column(doc_idx).statistics]
+        if stats is not None and stats.has_min_max
     ]
-    if not maxes or max(maxes) >= COPY_ID_OFFSET:
+    if meta.num_rows > 0 and not maxes:
+        # rows exist but the writer omitted stats: one single-column
+        # distributed max instead of guessing (still trivial at gate
+        # SFs; a zero-row corpus passes vacuously — no band to collide)
+        maxes = [
+            load_table(spark, sf_dir, "documents")
+            .agg(F.max("doc_id"))
+            .first()[0]
+        ]
+    if maxes and max(maxes) >= COPY_ID_OFFSET:
         raise RuntimeError(
-            f"documents.doc_id max {max(maxes) if maxes else 'unknown'} "
-            f"reaches the planted-copy id band (COPY_ID_OFFSET = "
-            f"{COPY_ID_OFFSET}) — the gate's copy/novel id arithmetic "
-            "is not sized for this corpus"
+            f"documents.doc_id max {max(maxes)} reaches the "
+            f"planted-copy id band (COPY_ID_OFFSET = {COPY_ID_OFFSET}) "
+            "— the gate's copy/novel id arithmetic is not sized for "
+            "this corpus"
         )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"

@@ -123,3 +123,53 @@ def test_cache_sweep_blocks_by_default():
 
     sig = inspect.signature(CorpusIngest._unpersist_new_since)
     assert sig.parameters["blocking"].default is True
+
+
+def test_decontam_id_band_guard(spark, tmp_path):
+    """The decontam gate's copy/novel classification is doc_id band
+    arithmetic (round-9 advice #1): a corpus whose real ids reach
+    COPY_ID_OFFSET must FAIL LOUDLY (the gate would silently misread a
+    real doc as a planted copy), while a ZERO-ROW corpus passes
+    vacuously (no id can collide; the round-10 EMPTYCHECK regression —
+    an empty parquet has no row-group stats to read)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_covid19_real_time_spark.plans.stream_replay import (
+        COPY_ID_OFFSET,
+        docs_stream_decontam_replay,
+    )
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, COPY_ID_OFFSET + 5],
+                "text": ["a", "b"],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": [1, 1],
+            },
+            schema=schema,
+        ),
+        str(bad / "documents.parquet"),
+    )
+    with pytest.raises(RuntimeError, match="id band"):
+        docs_stream_decontam_replay(spark, str(bad))
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(schema.empty_table(), str(empty / "documents.parquet"))
+    out = docs_stream_decontam_replay(spark, str(empty))
+    # only the planted novel probes survive an empty corpus
+    assert all(r["source"] == "probe" for r in out.collect())
