@@ -72,6 +72,24 @@ QUERY_NAMES = [
 #: ~200/cell -> k=100 at the sf1 twin's 20k vectors, k=1000 at 200k.
 SEMDEDUP_ROWS_PER_CELL = 200
 
+SF10_REL_DIR = os.environ.get("SF10_REL_DIR", "/tmp/sf10_scale_rel")
+
+#: --relational: the heaviest events/orders/lineitem plans by
+#: BENCH_DETAIL_r10, one per family — resampling statistics, graph
+#: (communities, pagerank, triangles), HLL sketch union, item-item CF,
+#: governance audit, point-in-time join.  15M orders / 60M lineitem /
+#: 10M events at the sf10 twin (generate_relational scale=10).
+REL_QUERY_NAMES = [
+    "events_value_bootstrap_ci",
+    "brand_copurchase_communities",
+    "purchase_graph_pagerank",
+    "user_erasure_audit",
+    "events_audience_overlap_hll",
+    "brand_item_cf_similarity",
+    "supplier_triangles",
+    "lineitem_pit_priority_mix",
+]
+
 
 def generate(out_dir: str) -> float:
     """Seeded x100-sf0.1 documents + embeddings twin (vectorized)."""
@@ -146,14 +164,38 @@ def generate(out_dir: str) -> float:
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--relational",
+        action="store_true",
+        help=(
+            "time REL_QUERY_NAMES on a scale=10 relational twin and "
+            "merge a 'relational' section into SF10CHECK.json"
+        ),
+    )
+    args = ap.parse_args()
+
     gen_sec = 0.0
-    if not os.path.exists(os.path.join(SF10_DIR, "documents.parquet")):
-        gen_sec = generate(SF10_DIR)
-        print(f"generated {SF10_DIR} in {gen_sec:.1f}s", flush=True)
-    if not os.path.exists(os.path.join(SF1_DIR, "documents.parquet")):
-        raise SystemExit(
-            f"sf1 twin missing at {SF1_DIR} — run sf1_extended_check first"
-        )
+    if args.relational:
+        if not os.path.exists(os.path.join(SF10_REL_DIR, "events.parquet")):
+            from sf1_extended_check import generate_relational
+
+            gen_sec = generate_relational(SF10_REL_DIR, scale=10)
+            print(f"generated {SF10_REL_DIR} in {gen_sec:.1f}s", flush=True)
+        if not os.path.exists(os.path.join(SF1_DIR, "events.parquet")):
+            raise SystemExit(
+                f"sf1 twin missing at {SF1_DIR} — run sf1_extended_check"
+            )
+    else:
+        if not os.path.exists(os.path.join(SF10_DIR, "documents.parquet")):
+            gen_sec = generate(SF10_DIR)
+            print(f"generated {SF10_DIR} in {gen_sec:.1f}s", flush=True)
+        if not os.path.exists(os.path.join(SF1_DIR, "documents.parquet")):
+            raise SystemExit(
+                f"sf1 twin missing at {SF1_DIR} — run sf1_extended_check"
+            )
 
     from bigdata_covid19_real_time_spark.plans import QUERIES
     from bigdata_covid19_real_time_spark.session import get_spark
@@ -180,7 +222,41 @@ def main() -> int:
         spark.catalog.clearCache()
         return round(best, 3)
 
-    report: dict = {
+    out = os.path.join(REPO, "SF10CHECK.json")
+
+    if args.relational:
+        report = (
+            json.load(open(out)) if os.path.exists(out) else {}
+        )
+        rel: dict = {
+            "dir": SF10_REL_DIR,
+            "generator_sec": round(gen_sec, 1),
+            "rows": {
+                "orders": 15_000_000,
+                "lineitem": 60_000_000,
+                "events": 10_000_000,
+            },
+            "queries": {},
+        }
+        report["relational"] = rel
+        for name in REL_QUERY_NAMES:
+            s1 = timed(name, SF1_DIR)
+            s10 = timed(name, SF10_REL_DIR)
+            rel["queries"][name] = {
+                "sf1_sec": s1,
+                "sf10_sec": s10,
+                "ratio": round(s10 / s1, 2) if s1 > 0 else None,
+            }
+            print(f"{name}: sf1 {s1}s -> sf10 {s10}s "
+                  f"(x{rel['queries'][name]['ratio']})", flush=True)
+            with open(out, "w") as fh:
+                json.dump(report, fh, indent=1)
+                fh.write("\n")
+        print(f"wrote {out} (relational section)")
+        spark.stop()
+        return 0
+
+    report = {
         "dir": SF10_DIR,
         "generator_sec": round(gen_sec, 1),
         "rows": {"documents": N_BASE + N_NEAR + N_EXACT,
@@ -199,7 +275,6 @@ def main() -> int:
         ),
         "queries": {},
     }
-    out = os.path.join(REPO, "SF10CHECK.json")
 
     def flush_report() -> None:
         with open(out, "w") as fh:

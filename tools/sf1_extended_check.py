@@ -170,8 +170,14 @@ PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ETYPES = ["view", "click", "purchase", "signup", "error"]
 
 
-def generate_relational(out_dir: str) -> float:
-    """10x-sf0.1 synthetic relational twin (seeded, numpy-vectorized)."""
+def generate_relational(out_dir: str, scale: int = 1) -> float:
+    """10x-sf0.1 synthetic relational twin (seeded, numpy-vectorized).
+
+    ``scale`` multiplies every fact/dimension row count (1 = the sf1
+    twin; 10 = the sf10 twin used by tools/sf10_scale_check.py).  The
+    event span and per-customer order density stay fixed so per-key
+    work scales with the data, not with the recipe.
+    """
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -180,9 +186,9 @@ def generate_relational(out_dir: str) -> float:
     rng = np.random.default_rng(77)
     os.makedirs(out_dir, exist_ok=True)
 
-    n_cust, n_supp, n_part = 150_000, 10_000, 200_000
-    n_orders, n_li_per = 1_500_000, 4
-    n_events, n_users, span_days = 1_000_000, 15_000, 30
+    n_cust, n_supp, n_part = 150_000 * scale, 10_000 * scale, 200_000 * scale
+    n_orders, n_li_per = 1_500_000 * scale, 4
+    n_events, n_users, span_days = 1_000_000 * scale, 15_000 * scale, 30
 
     def w(name, table):
         pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
