@@ -29,83 +29,81 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries surfaced FIRST to the driver's correctness gate this round.
-#: The gate checks the first ~50 entries in dict order.  Rounds 1-9
+#: The gate checks the first ~50 entries in dict order.  Rounds 1-10
 #: cumulatively driver-certified ALL 226 registered queries with ZERO
-#: oracle VALUE failures (round 9: 50/50 green, closing the last two
-#: round-8 `err` rows).  This round's window enforces the standing
-#: rules:
+#: oracle VALUE failures (round 10: 50/50 green).  This round's window
+#: enforces the standing rules:
 #: (a) "a query whose code changed re-enters GATE_PRIORITY the same
-#: round" — the three ANN queries whose ADC hot path changed this
-#: round (operators/pq.py::pq_topk + the shared _adc_terms_frame /
-#: _adc_score helpers, operators/ivfpq.py::ivfpq_topk: m per-subspace
-#: LUT broadcast joins collapsed into one term-array broadcast join),
-#: plus the streaming decontam gate, which gained a footer-only
-#: id-band guard (round-9 advice item #1);
-#: (b) rotation from the OLDEST green driver rows — the 42 queries
-#: whose newest driver row is still round 5, in their round-5 gate
-#: order; (c) a 4-query top-up from the oldest round-6 rows, in their
-#: round-6 gate order — exactly 50 entries, the driver's measured
-#: window size (CORRECTNESS_r07/r08 checked exactly 50 rows), so
-#: nothing in the window silently falls off the gate's cut.  After
-#: this round no registry query's newest driver row is older than
-#: round 6.
+#: round" — only the streaming decontam gate changed (its footer
+#: id-band guard now falls back to a distributed max whenever ANY row
+#: group lacks doc_id stats, and tolerates an all-NULL id column —
+#: round-10 advice item #1; the round-11 bm25/waterfall perf
+#: candidates were measured and REJECTED, so their queries' code is
+#: untouched, see BENCH_ISOLATED_r11.json);
+#: (b) rotation from the OLDEST green driver rows — the 39 queries
+#: whose newest driver row is still round 6, in their round-6 gate
+#: order; (c) a 10-query top-up from the oldest round-7 rows, in
+#: their round-7 gate order — exactly 50 entries, the driver's
+#: measured window size (CORRECTNESS_r07/r08 checked exactly 50
+#: rows), so nothing in the window silently falls off the gate's
+#: cut.  After this round no registry query's newest driver row is
+#: older than round 7.
 GATE_PRIORITY = [
-    # -- changed-code re-gates: the three callers of
-    #    pq._adc_terms_frame/_adc_score (one-term-array-join ADC
-    #    restructure) + the id-band-guarded decontam gate --
-    "embedding_pq_topk",
-    "embedding_rrf_topk",
-    "embedding_ivfpq_topk",
+    # -- changed-code re-gate: the id-band guard's stats-gap fallback
+    #    (plans/stream_replay.py) --
     "docs_stream_decontam_replay",
-    # -- rotation: every query whose newest driver row is round 5,
-    #    round-5 gate order --
-    "docs_audio_meta",
-    "embedding_covariance",
-    "events_user_heavy_hitters",
-    "docs_bpe_pair_counts",
-    "docs_bpe_vocab",
-    "docs_source_novelty",
-    "events_value_ks",
-    "docs_weighted_sample",
-    "orders_expectations",
-    "docs_shuffle_shards",
-    "events_skewed_heavy_hitters_sketch",
-    "docs_bpe_tokenize",
-    "docs_global_span_dedup",
-    "events_value_quantile_sketch",
-    "events_userday_hll_distinct",
-    "event_type_transitions",
-    "events_value_cusum",
-    "brand_pair_affinity",
-    "docs_k_anonymity",
-    "customer_rfm_segments",
-    "user_recency_weighted_value",
-    "orders_open_backlog",
-    "nation_revenue_yoy",
-    "events_hourly_profile",
-    "docs_filter_funnel",
-    "source_overlap_matrix",
-    "docs_dup_cluster_sizes",
-    "embedding_norm_outliers",
-    "user_event_runs",
-    "events_daily_autocorr",
-    "orders_benford_audit",
-    "nation_order_target_encoding",
-    "events_type_dow_mutual_info",
-    "nation_customer_gini",
-    "lineitem_qty_histogram",
-    "orders_fulfillment_survival",
-    "brand_return_woe",
-    "docs_bigram_pmi",
-    "docs_zipf_fit",
-    "event_value_welch",
-    "cohort_ltv_curve",
-    "docs_dedup_clusters",
-    # -- top-up: oldest round-6 rows, round-6 gate order --
-    "lineitem_discount_auc",
-    "embedding_retrieval_metrics",
-    "events_click_calibration",
-    "docs_rater_kappa",
+    # -- rotation: every query whose newest driver row is round 6,
+    #    round-6 gate order --
+    "docs_temperature_mix_plan",
+    "customer_retention_triangle",
+    "events_neyman_allocation",
+    "events_ab_srm_check",
+    "lineitem_pit_priority_mix",
+    "user_erasure_audit",
+    "brand_copurchase_communities",
+    "events_theilsen_trend",
+    "brand_item_cf_similarity",
+    "events_funnel_conversion",
+    "customer_growth_accounting",
+    "brand_price_elasticity",
+    "events_seasonal_decomposition",
+    "events_audience_overlap_hll",
+    "events_value_ewma",
+    "customer_priority_scd2",
+    "brand_winsorized_stats",
+    "customer_kfold_balance",
+    "docs_readability",
+    "embedding_mmr_topk",
+    "events_walkforward_folds",
+    "events_value_bootstrap_ci",
+    "events_cuped_adjustment",
+    "embedding_hard_negatives",
+    "docs_langid_confusion",
+    "docs_shard_manifest",
+    "events_entropy_rate",
+    "events_power_analysis",
+    "events_session_bounce",
+    "star_schema_integrity",
+    "events_wau_mau_stickiness",
+    "orders_repeat_intervals",
+    "events_sessionize_replay",
+    "events_drift_monitor_replay",
+    "events_ewma_state_replay",
+    "covid_predict",
+    "covid_continent_5min",
+    "covid_windowed_stats",
+    "docs_exact_dedup",
+    # -- top-up: oldest round-7 rows, round-7 gate order --
+    "docs_posting_lists",
+    "covid_clean",
+    "covid_hotspots",
+    "covid_dashboard",
+    "covid_top_affected",
+    "covid_rankings",
+    "covid_enrich",
+    "docs_prefix_neardup",
+    "docs_ngram_jaccard",
+    "embedding_cosine_topk",
 ]
 
 

@@ -1101,15 +1101,22 @@ def docs_stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stats in [meta.row_group(g).column(doc_idx).statistics]
         if stats is not None and stats.has_min_max
     ]
-    if meta.num_rows > 0 and not maxes:
-        # rows exist but the writer omitted stats: one single-column
-        # distributed max instead of guessing (still trivial at gate
-        # SFs; a zero-row corpus passes vacuously — no band to collide)
+    if meta.num_rows > 0 and len(maxes) < meta.num_row_groups:
+        # ANY row group without doc_id stats defeats the footer bound
+        # (the stats-bearing groups alone could underestimate the true
+        # max if the stats-less group holds it), so fall back to one
+        # single-column distributed max instead of guessing (still
+        # trivial at gate SFs; a zero-row corpus passes vacuously — no
+        # band to collide).
         maxes = [
             load_table(spark, sf_dir, "documents")
             .agg(F.max("doc_id"))
             .first()[0]
         ]
+    # An all-NULL doc_id column yields max(doc_id) = NULL (and a
+    # footer can carry null stats too): no non-null id exists, so no
+    # band collision is possible — drop the Nones before comparing.
+    maxes = [m for m in maxes if m is not None]
     if maxes and max(maxes) >= COPY_ID_OFFSET:
         raise RuntimeError(
             f"documents.doc_id max {max(maxes)} reaches the "

@@ -193,7 +193,8 @@ def test_waterfall_cache_footprint_does_not_grow(spark):
         import time as _time
 
         del df
-        deadline = _time.time() + 30
+        start = jsc.getPersistentRDDs().size()
+        deadline = _time.time() + 60
         while (
             jsc.getPersistentRDDs().size() > after_first
             and _time.time() < deadline
@@ -201,4 +202,18 @@ def test_waterfall_cache_footprint_does_not_grow(spark):
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             _time.sleep(0.5)
-        assert jsc.getPersistentRDDs().size() <= after_first
+        # Retry-aware verdict (round-10 advice #2): the ContextCleaner
+        # reaps asynchronously, so on a loaded host the count may not
+        # reach the baseline inside the deadline even with no leak.  A
+        # genuine leak stays REFERENCED — the count never moves.  So:
+        # back at baseline = clean; still elevated but DECREASING =
+        # cleaner in flight, accept within the +1 churn slack; never
+        # decreased from an elevated start = a held reference, fail.
+        final = jsc.getPersistentRDDs().size()
+        if final > after_first:
+            assert final < start, (
+                "persistent-RDD count never decreased across the GC "
+                f"loop (stuck at {final}, baseline {after_first}) — a "
+                "held persist reference, not ContextCleaner lag"
+            )
+            assert final <= after_first + 1

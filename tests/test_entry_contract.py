@@ -132,18 +132,17 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 10's window: the four queries
-    whose code changed this round (the standing changed-code re-gate
-    rule — pq_topk/ivfpq_topk now score through one broadcast
-    term-array join; the decontam gate gained an id-band guard), then
-    canaries rotated from the OLDEST green driver rows (the full
-    round-5 residue plus a round-6 top-up).  oracle_sql() iterates in
+    queries() in dict order.  Round 11's window: the one query whose
+    code changed this round (the standing changed-code re-gate rule —
+    the decontam gate's id-band guard gained a stats-gap fallback),
+    then canaries rotated from the OLDEST green driver rows (the full
+    round-6 residue plus a round-7 top-up).  oracle_sql() iterates in
     the same order so the driver sees identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 4 changed-code re-gates + 42 round-5 canaries + 4 round-6
+    # 1 changed-code re-gate + 39 round-6 canaries + 10 round-7
     # top-ups = exactly the driver's measured 50-row gate window
     # (CORRECTNESS_r07/r08 checked 50), so no window entry silently
     # falls off the cut
@@ -151,14 +150,13 @@ def test_gate_window_prioritizes_unverified_queries():
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
-    # the changed-code re-gates lead; the oldest canaries ride along
+    # the changed-code re-gate leads; the oldest canaries ride along
     for must in (
-        "embedding_pq_topk",
-        "embedding_rrf_topk",
-        "embedding_ivfpq_topk",
         "docs_stream_decontam_replay",
-        "docs_audio_meta",
-        "docs_rater_kappa",
+        "docs_temperature_mix_plan",
+        "docs_exact_dedup",
+        "docs_posting_lists",
+        "embedding_cosine_topk",
     ):
         assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)

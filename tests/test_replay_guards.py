@@ -173,3 +173,52 @@ def test_decontam_id_band_guard(spark, tmp_path):
     out = docs_stream_decontam_replay(spark, str(empty))
     # only the planted novel probes survive an empty corpus
     assert all(r["source"] == "probe" for r in out.collect())
+
+    # stats-less footer (round-10 advice #1): when ANY row group lacks
+    # doc_id statistics the footer alone cannot bound the band — the
+    # guard must fall back to a distributed max and still fail loudly
+    # on an out-of-band id, not silently underestimate from whatever
+    # stats-bearing groups exist
+    nostats = tmp_path / "nostats"
+    nostats.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, COPY_ID_OFFSET + 5],
+                "text": ["a", "b"],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": [1, 1],
+            },
+            schema=schema,
+        ),
+        str(nostats / "documents.parquet"),
+        write_statistics=False,
+        row_group_size=1,
+    )
+    with pytest.raises(RuntimeError, match="id band"):
+        docs_stream_decontam_replay(spark, str(nostats))
+
+    # all-NULL doc_id (round-10 advice #1): the distributed fallback
+    # max is NULL — no non-null id exists, so no band can collide; the
+    # guard must pass vacuously, not TypeError on max(None, ...)
+    allnull = tmp_path / "allnull"
+    allnull.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([None, None], type=pa.int64()),
+                "text": ["a", "b"],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": [1, 1],
+            },
+            schema=schema,
+        ),
+        str(allnull / "documents.parquet"),
+        write_statistics=False,
+    )
+    out = docs_stream_decontam_replay(spark, str(allnull))
+    # null doc_id rows have no epoch band, so only the probes emit —
+    # the point here is the guard neither raises nor misclassifies
+    assert all(r["source"] == "probe" for r in out.collect())

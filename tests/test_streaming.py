@@ -1004,6 +1004,33 @@ def test_enrich_stream_with_dim_rejects_unplannable_how(spark):
             enrich_stream_with_dim(df, df, key="id", how=how)
 
 
+def test_enrich_stream_with_dim_batch_degradation_is_documented(spark):
+    """Batch degradation contract (round-10 verdict item #4): given a
+    BATCH frame the helper does not raise — it degrades to a plain
+    broadcast-hash join with identical row semantics (what makes the
+    batch/streaming twin tests comparable), and the result is a batch
+    frame the caller can detect via ``isStreaming``.  The docstring
+    must keep saying so, since callers needing a streaming guarantee
+    are told to assert ``stream.isStreaming`` themselves."""
+    from bigdata_covid19_real_time_spark.streaming.joins import (
+        enrich_stream_with_dim,
+    )
+
+    stream = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, payload string"
+    )
+    dim = spark.createDataFrame([(1, "gold"), (3, "free")], "id int, tier string")
+    out = enrich_stream_with_dim(stream, dim, key="id")
+    assert not out.isStreaming  # batch in -> batch out, silently
+    expected = stream.join(F.broadcast(dim), on="id", how="leftOuter")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # the degradation is a documented contract, not an accident
+    assert "Batch degradation" in enrich_stream_with_dim.__doc__
+    assert "isStreaming" in enrich_stream_with_dim.__doc__
+
+
 def test_stream_decontam_replay_drops_by_content_not_id(spark):
     """The streaming decontamination gate is non-vacuous in both
     directions: the planted contaminated COPIES (blocklist texts under

@@ -165,6 +165,26 @@ ROUND10_QUERIES = [
     "embedding_pq_topk",
 ]
 
+#: Round-11 refresh: again not new registrations — the 10 most
+#: expensive HEADLINE queries by BENCH_DETAIL_r10, so the sf1 scaling
+#: evidence tracks whatever actually costs something.  The only
+#: changed-code query this round (docs_stream_decontam_replay) is a
+#: footer-guard change with no plan effect and keeps its r9 sf1 row.
+#: Run with ``--round11`` to time exactly these and write
+#: SF1NEW_r11.json.
+ROUND11_QUERIES = [
+    "docs_curation_waterfall",
+    "docs_bpe_fertility",
+    "docs_leakage_free_split",
+    "docs_minhash_lsh",
+    "docs_dedup_clusters",
+    "docs_winnow_fingerprints",
+    "embedding_ivfpq_topk",
+    "docs_cdc_chunks",
+    "embedding_rrf_topk",
+    "brand_copurchase_communities",
+]
+
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ETYPES = ["view", "click", "purchase", "signup", "error"]
@@ -307,8 +327,15 @@ def main() -> int:
         action="store_true",
         help="time ROUND10_QUERIES and write SF1NEW_r10.json",
     )
+    ap.add_argument(
+        "--round11",
+        action="store_true",
+        help="time ROUND11_QUERIES and write SF1NEW_r11.json",
+    )
     args = ap.parse_args()
-    if args.round10:
+    if args.round11:
+        names, out_name = ROUND11_QUERIES, "SF1NEW_r11.json"
+    elif args.round10:
         names, out_name = ROUND10_QUERIES, "SF1NEW_r10.json"
     elif args.round9:
         names, out_name = ROUND9_QUERIES, "SF1NEW_r9.json"
