@@ -112,6 +112,33 @@ def main() -> int:
         "total_sec": total,
         "normalized_total_sec": round(total / probe_factor, 3),
     }
+    # Round-over-round delta (round-10 verdict task 3): compare against
+    # the newest prior-round artifact so a replay-gate plan regression
+    # is visible in the artifact itself, not just by diffing rounds.
+    prior = None
+    for r in range(args.round - 1, 9, -1):
+        p = os.path.join(REPO, f"REPLAY_BENCH_r{r}.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                prior = json.load(fh)
+            break
+    if prior and prior.get("normalized_total_sec"):
+        ratio = payload["normalized_total_sec"] / prior["normalized_total_sec"]
+        worst = max(
+            (
+                (n, round(s / prior["queries_sec_normalized"][n], 3))
+                for n, s in payload["queries_sec_normalized"].items()
+                if prior.get("queries_sec_normalized", {}).get(n)
+            ),
+            key=lambda kv: kv[1],
+            default=None,
+        )
+        payload["vs_prior_round"] = {
+            "prior_round": prior["round"],
+            "normalized_total_ratio": round(ratio, 3),
+            "worst_query": worst[0] if worst else None,
+            "worst_query_ratio": worst[1] if worst else None,
+        }
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
