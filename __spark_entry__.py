@@ -29,81 +29,78 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries surfaced FIRST to the driver's correctness gate this round.
-#: The gate checks the first ~50 entries in dict order.  Rounds 1-10
+#: The gate checks the first ~50 entries in dict order.  Rounds 1-11
 #: cumulatively driver-certified ALL 226 registered queries with ZERO
-#: oracle VALUE failures (round 10: 50/50 green).  This round's window
+#: oracle VALUE failures (round 11: 50/50 green).  This round's window
 #: enforces the standing rules:
 #: (a) "a query whose code changed re-enters GATE_PRIORITY the same
-#: round" — only the streaming decontam gate changed (its footer
-#: id-band guard now falls back to a distributed max whenever ANY row
-#: group lacks doc_id stats, and tolerates an all-NULL id column —
-#: round-10 advice item #1; the round-11 bm25/waterfall perf
-#: candidates were measured and REJECTED, so their queries' code is
-#: untouched, see BENCH_ISOLATED_r11.json);
-#: (b) rotation from the OLDEST green driver rows — the 39 queries
-#: whose newest driver row is still round 6, in their round-6 gate
-#: order; (c) a 10-query top-up from the oldest round-7 rows, in
-#: their round-7 gate order — exactly 50 entries, the driver's
+#: round" — no query's plan code changed this round, so there are no
+#: re-gates (the round-12 corpus-ingest shuffle-pin perf candidate
+#: was measured under the two-sample fresh-JVM standard and its
+#: disposition is recorded in BENCH_ISOLATED_r12.json; had it landed,
+#: docs_corpus_ingest_replay already sits inside this window);
+#: (b) rotation from the OLDEST green driver rows — the 37 queries
+#: whose newest driver row is still round 7, in their round-7 gate
+#: order; (c) a 13-query top-up from the oldest round-8 rows, in
+#: their round-8 gate order — exactly 50 entries, the driver's
 #: measured window size (CORRECTNESS_r07/r08 checked exactly 50
 #: rows), so nothing in the window silently falls off the gate's
 #: cut.  After this round no registry query's newest driver row is
-#: older than round 7.
+#: older than round 8.
 GATE_PRIORITY = [
-    # -- changed-code re-gate: the id-band guard's stats-gap fallback
-    #    (plans/stream_replay.py) --
-    "docs_stream_decontam_replay",
-    # -- rotation: every query whose newest driver row is round 6,
-    #    round-6 gate order --
-    "docs_temperature_mix_plan",
-    "customer_retention_triangle",
-    "events_neyman_allocation",
-    "events_ab_srm_check",
-    "lineitem_pit_priority_mix",
-    "user_erasure_audit",
-    "brand_copurchase_communities",
-    "events_theilsen_trend",
-    "brand_item_cf_similarity",
-    "events_funnel_conversion",
-    "customer_growth_accounting",
-    "brand_price_elasticity",
-    "events_seasonal_decomposition",
-    "events_audience_overlap_hll",
-    "events_value_ewma",
-    "customer_priority_scd2",
-    "brand_winsorized_stats",
-    "customer_kfold_balance",
-    "docs_readability",
-    "embedding_mmr_topk",
-    "events_walkforward_folds",
-    "events_value_bootstrap_ci",
-    "events_cuped_adjustment",
-    "embedding_hard_negatives",
-    "docs_langid_confusion",
-    "docs_shard_manifest",
-    "events_entropy_rate",
-    "events_power_analysis",
-    "events_session_bounce",
-    "star_schema_integrity",
-    "events_wau_mau_stickiness",
-    "orders_repeat_intervals",
-    "events_sessionize_replay",
-    "events_drift_monitor_replay",
-    "events_ewma_state_replay",
-    "covid_predict",
-    "covid_continent_5min",
-    "covid_windowed_stats",
-    "docs_exact_dedup",
-    # -- top-up: oldest round-7 rows, round-7 gate order --
-    "docs_posting_lists",
-    "covid_clean",
-    "covid_hotspots",
-    "covid_dashboard",
-    "covid_top_affected",
-    "covid_rankings",
-    "covid_enrich",
-    "docs_prefix_neardup",
-    "docs_ngram_jaccard",
-    "embedding_cosine_topk",
+    # -- rotation: every query whose newest driver row is round 7,
+    #    round-7 gate order --
+    "docs_quality_by_lang",
+    "docs_minhash_lsh",
+    "docs_simhash_neardup",
+    "docs_media_meta",
+    "docs_language_scores",
+    "embedding_ivf_topk",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders",
+    "top_customers_by_revenue",
+    "orders_without_lineitems",
+    "user_moving_avg",
+    "user_value_growth",
+    "events_5min_rollup",
+    "daily_event_summary",
+    "events_json_extract",
+    "event_type_rankings",
+    "events_rollup",
+    "events_cube",
+    "purchase_asof_click",
+    "user_sessions",
+    "error_only_user_days",
+    "value_percentiles",
+    "orders_with_big_items",
+    "events_sliding_rollup",
+    "customer_order_coverage",
+    "order_rank_spectrum",
+    "daily_event_summary_sketch",
+    "events_pivot_by_type",
+    "events_unpivot_daily_metrics",
+    "user_event_type_sets",
+    "orders_above_customer_avg",
+    "docs_length_deciles",
+    "docs_duplicate_spans",
+    "docs_source_topk_sample",
+    "docs_tfidf_topterms",
+    "docs_unigram_entropy",
+    # -- top-up: oldest round-8 rows, round-8 gate order --
+    "docs_curation_waterfall",
+    "embedding_sq8_topk",
+    "embedding_lsh_topk",
+    "docs_corpus_ingest_replay",
+    "events_mg_heavy_hitters_replay",
+    "docs_bpe_fertility",
+    "docs_leakage_free_split",
+    "purchase_graph_pagerank",
+    "corpus_token_budget",
+    "docs_bigram_lm_score",
+    "docs_chunked",
+    "docs_corpus_ingest_verdict",
+    "docs_decontam",
 ]
 
 

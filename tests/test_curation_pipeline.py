@@ -202,18 +202,18 @@ def test_waterfall_cache_footprint_does_not_grow(spark):
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             _time.sleep(0.5)
-        # Retry-aware verdict (round-10 advice #2): the ContextCleaner
-        # reaps asynchronously, so on a loaded host the count may not
-        # reach the baseline inside the deadline even with no leak.  A
-        # genuine leak stays REFERENCED — the count never moves.  So:
-        # back at baseline = clean; still elevated but DECREASING =
-        # cleaner in flight, accept within the +1 churn slack; never
-        # decreased from an elevated start = a held reference, fail.
-        final = jsc.getPersistentRDDs().size()
-        if final > after_first:
-            assert final < start, (
-                "persistent-RDD count never decreased across the GC "
-                f"loop (stuck at {final}, baseline {after_first}) — a "
-                "held persist reference, not ContextCleaner lag"
-            )
-            assert final <= after_first + 1
+        # Verdict (round-11 advice #1): the in-loop bound already
+        # guarantees start <= after_first + 1, so an elevated final
+        # can never be STRICTLY below start — a "did it decrease"
+        # check here is unreachable, and distinguishing a one-time
+        # held reference from ContextCleaner lag is not decidable
+        # within a bounded deadline on a loaded shared session.  The
+        # defect under test (PER-INVOCATION growth) is pinned by the
+        # in-loop +1 bound over three runs; here we only assert the
+        # single lingering entry never exceeds the churn slack, and
+        # treat baseline-or-one as clean-or-lag.
+        assert jsc.getPersistentRDDs().size() <= after_first + 1, (
+            "persistent-RDD count grew past the one-entry churn "
+            f"slack (baseline {after_first}, start {start}) — a held "
+            "persist reference, not ContextCleaner churn"
+        )

@@ -132,31 +132,29 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 11's window: the one query whose
-    code changed this round (the standing changed-code re-gate rule —
-    the decontam gate's id-band guard gained a stats-gap fallback),
-    then canaries rotated from the OLDEST green driver rows (the full
-    round-6 residue plus a round-7 top-up).  oracle_sql() iterates in
+    queries() in dict order.  Round 12's window: no query's plan code
+    changed this round (so no changed-code re-gates); the window is
+    pure rotation from the OLDEST green driver rows — the full
+    round-7 residue plus a round-8 top-up.  oracle_sql() iterates in
     the same order so the driver sees identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 1 changed-code re-gate + 39 round-6 canaries + 10 round-7
-    # top-ups = exactly the driver's measured 50-row gate window
-    # (CORRECTNESS_r07/r08 checked 50), so no window entry silently
-    # falls off the cut
+    # 37 round-7 canaries + 13 round-8 top-ups = exactly the
+    # driver's measured 50-row gate window (CORRECTNESS_r07/r08
+    # checked 50), so no window entry silently falls off the cut
     assert n == 50
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
-    # the changed-code re-gate leads; the oldest canaries ride along
+    # the oldest canaries ride along
     for must in (
-        "docs_stream_decontam_replay",
-        "docs_temperature_mix_plan",
-        "docs_exact_dedup",
-        "docs_posting_lists",
-        "embedding_cosine_topk",
+        "docs_quality_by_lang",
+        "docs_unigram_entropy",
+        "docs_curation_waterfall",
+        "docs_corpus_ingest_replay",
+        "docs_decontam",
     ):
         assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)
@@ -210,3 +208,48 @@ def test_readme_test_count_is_exact(request):
         f"README says {advertised} tests, the suite collects {collected} — "
         "update README.md's pytest line"
     )
+
+
+def _load_replay_bench():
+    import importlib.util
+
+    repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    spec = importlib.util.spec_from_file_location(
+        "replay_bench", os.path.join(repo_root, "tools", "replay_bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_replay_bench_delta_same_fixture_set():
+    """vs_prior_round over identical fixture sets: ratio is the plain
+    total ratio, no change flag, worst query identified (round-11
+    advice #2 — the delta block must stay honest when sets drift)."""
+    rb = _load_replay_bench()
+    cur = {"a": 2.0, "b": 4.0}
+    prior = {"round": 11, "queries_sec_normalized": {"a": 1.0, "b": 5.0}}
+    d = rb.vs_prior_round(cur, prior)
+    assert d["prior_round"] == 11
+    assert d["fixture_set_changed"] is False
+    assert d["compared_fixtures"] == 2
+    assert d["only_in_current"] == [] and d["only_in_prior"] == []
+    assert d["normalized_total_ratio"] == 1.0  # 6.0 / 6.0
+    assert d["worst_query"] == "a" and d["worst_query_ratio"] == 2.0
+
+
+def test_replay_bench_delta_fixture_set_changed():
+    """vs_prior_round when the EXCLUDED set gained/lost fixtures: the
+    ratio is computed over the INTERSECTION only (like-for-like), the
+    change is flagged, and the disjoint names are listed — a whole-file
+    total ratio here would silently compare different workloads."""
+    rb = _load_replay_bench()
+    cur = {"a": 3.0, "new": 100.0}
+    prior = {"round": 11, "queries_sec_normalized": {"a": 2.0, "gone": 50.0}}
+    d = rb.vs_prior_round(cur, prior)
+    assert d["fixture_set_changed"] is True
+    assert d["compared_fixtures"] == 1
+    assert d["only_in_current"] == ["new"]
+    assert d["only_in_prior"] == ["gone"]
+    assert d["normalized_total_ratio"] == 1.5  # 3.0/2.0 over {a} only
+    assert d["worst_query"] == "a" and d["worst_query_ratio"] == 1.5

@@ -33,6 +33,41 @@ REPLAY_DIR = "/root/testdata/sf0.01"
 PROBE_DIR = "/root/testdata/sf0.1"
 
 
+def vs_prior_round(current_norm: dict, prior: dict) -> dict:
+    """Round-over-round delta block (round-10 verdict task 3).
+
+    Like-for-like totals (round-11 advice #2): if the EXCLUDED set
+    gained/lost a fixture between rounds, whole-file totals are not
+    comparable — the ratio is computed over the INTERSECTION of query
+    names, and any key-set change is flagged explicitly so a reader
+    never mistakes a fixture-set change for a perf delta.
+    """
+    prior_norm = prior.get("queries_sec_normalized", {})
+    common = sorted(set(current_norm) & set(prior_norm))
+    common_cur = sum(current_norm[n] for n in common)
+    common_prior = sum(prior_norm[n] for n in common)
+    ratio = common_cur / common_prior if common_prior else None
+    worst = max(
+        (
+            (n, round(current_norm[n] / prior_norm[n], 3))
+            for n in common
+            if prior_norm[n]
+        ),
+        key=lambda kv: kv[1],
+        default=None,
+    )
+    return {
+        "prior_round": prior["round"],
+        "normalized_total_ratio": round(ratio, 3) if ratio else None,
+        "compared_fixtures": len(common),
+        "fixture_set_changed": set(current_norm) != set(prior_norm),
+        "only_in_current": sorted(set(current_norm) - set(prior_norm)),
+        "only_in_prior": sorted(set(prior_norm) - set(current_norm)),
+        "worst_query": worst[0] if worst else None,
+        "worst_query_ratio": worst[1] if worst else None,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
@@ -123,22 +158,9 @@ def main() -> int:
                 prior = json.load(fh)
             break
     if prior and prior.get("normalized_total_sec"):
-        ratio = payload["normalized_total_sec"] / prior["normalized_total_sec"]
-        worst = max(
-            (
-                (n, round(s / prior["queries_sec_normalized"][n], 3))
-                for n, s in payload["queries_sec_normalized"].items()
-                if prior.get("queries_sec_normalized", {}).get(n)
-            ),
-            key=lambda kv: kv[1],
-            default=None,
+        payload["vs_prior_round"] = vs_prior_round(
+            payload["queries_sec_normalized"], prior
         )
-        payload["vs_prior_round"] = {
-            "prior_round": prior["round"],
-            "normalized_total_ratio": round(ratio, 3),
-            "worst_query": worst[0] if worst else None,
-            "worst_query_ratio": worst[1] if worst else None,
-        }
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
