@@ -34,11 +34,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: oracle VALUE failures (round 11: 50/50 green).  This round's window
 #: enforces the standing rules:
 #: (a) "a query whose code changed re-enters GATE_PRIORITY the same
-#: round" — no query's plan code changed this round, so there are no
-#: re-gates (the round-12 corpus-ingest shuffle-pin perf candidate
-#: was measured under the two-sample fresh-JVM standard and its
-#: disposition is recorded in BENCH_ISOLATED_r12.json; had it landed,
-#: docs_corpus_ingest_replay already sits inside this window);
+#: round" — exactly one query's code changed this round:
+#: docs_corpus_ingest_replay gained a shuffle-partition pin around its
+#: epoch loop (measured 0.873x with non-overlapping arms under the
+#: two-sample fresh-JVM standard, BENCH_ISOLATED_r12.json), and it
+#: already sits inside this window at position 41 (it is one of the
+#: 13 oldest round-8 rows), so the re-gate rule is satisfied without
+#: displacing a canary;
 #: (b) rotation from the OLDEST green driver rows — the 37 queries
 #: whose newest driver row is still round 7, in their round-7 gate
 #: order; (c) a 13-query top-up from the oldest round-8 rows, in

@@ -254,11 +254,26 @@ def docs_corpus_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest = CorpusIngest(
         base, near_dup_threshold=NEAR_THRESHOLD, bands=LSH_BANDS
     )
-    for e in range(N_EPOCHS):
-        batch = docs.filter(
-            F.col("doc_id").cast("long") % N_EPOCHS == e
-        )
-        ingest.process_batch(batch, e)
+    # Replay-harness capacity pin (SCALE.md lesson 8, same pattern as
+    # plans/stream_replay.py): each epoch chains ~10 shuffle stages
+    # (quality grams, fingerprint window, history joins, LSH bands)
+    # over a per-epoch slice of a gate-SF corpus, so per-task overhead
+    # dominates at the session's 32 partitions.  Pinning 8 measured
+    # 0.873x under the r7 two-sample fresh-JVM interleaved standard
+    # with non-overlapping arms (BENCH_ISOLATED_r12.json).  The
+    # production path (CorpusIngest.run / foreachBatch) inherits the
+    # session conf — partition count there is the deployment's
+    # capacity decision, not this harness's.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for e in range(N_EPOCHS):
+            batch = docs.filter(
+                F.col("doc_id").cast("long") % N_EPOCHS == e
+            )
+            ingest.process_batch(batch, e)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     import glob as _glob
 

@@ -132,11 +132,13 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 12's window: no query's plan code
-    changed this round (so no changed-code re-gates); the window is
-    pure rotation from the OLDEST green driver rows — the full
-    round-7 residue plus a round-8 top-up.  oracle_sql() iterates in
-    the same order so the driver sees identical windows from both."""
+    queries() in dict order.  Round 12's window: rotation from the
+    OLDEST green driver rows — the full round-7 residue plus a round-8
+    top-up; the round's one changed-code re-gate
+    (docs_corpus_ingest_replay, shuffle-pin) already sits inside the
+    round-8 top-up, so the re-gate rule holds without displacing a
+    canary.  oracle_sql() iterates in the same order so the driver
+    sees identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
