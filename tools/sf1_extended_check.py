@@ -185,6 +185,27 @@ ROUND11_QUERIES = [
     "brand_copurchase_communities",
 ]
 
+#: Round-12 refresh: the 10 most expensive HEADLINE queries by
+#: BENCH_DETAIL_r11 (the standing pattern) PLUS this round's one
+#: changed-code query — docs_corpus_ingest_replay, whose new
+#: shuffle-partition pin (8, measured 0.873x at sf0.01 and 0.89x at
+#: sf0.1 with non-overlapping fresh-JVM arms, BENCH_ISOLATED_r12.json)
+#: is a capacity decision that must be shown honest at sf1 too.  Run
+#: with ``--round12`` to time exactly these and write SF1NEW_r12.json.
+ROUND12_QUERIES = [
+    "docs_curation_waterfall",
+    "docs_dedup_clusters",
+    "docs_leakage_free_split",
+    "docs_winnow_fingerprints",
+    "brand_copurchase_communities",
+    "embedding_ivfpq_topk",
+    "events_value_bootstrap_ci",
+    "docs_minhash_lsh",
+    "docs_cdc_chunks",
+    "embedding_rrf_topk",
+    "docs_corpus_ingest_replay",
+]
+
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ETYPES = ["view", "click", "purchase", "signup", "error"]
@@ -332,8 +353,15 @@ def main() -> int:
         action="store_true",
         help="time ROUND11_QUERIES and write SF1NEW_r11.json",
     )
+    ap.add_argument(
+        "--round12",
+        action="store_true",
+        help="time ROUND12_QUERIES and write SF1NEW_r12.json",
+    )
     args = ap.parse_args()
-    if args.round11:
+    if args.round12:
+        names, out_name = ROUND12_QUERIES, "SF1NEW_r12.json"
+    elif args.round11:
         names, out_name = ROUND11_QUERIES, "SF1NEW_r11.json"
     elif args.round10:
         names, out_name = ROUND10_QUERIES, "SF1NEW_r10.json"
