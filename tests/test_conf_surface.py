@@ -13,9 +13,9 @@ Queries may depend on exactly this much of the session:
   under a non-UTC session rather than emit shifted timestamps.
 - **shuffle partitions** — never assumed: results are
   partitioning-invariant (PARTCHECK sweeps the whole registry at
-  local[5]/sp=5); the stream-replay harness pins sp=8 for the
-  duration of each streaming run and restores the caller's value in a
-  ``finally``.
+  local[5]/sp=5); the stream-replay and corpus-replay harnesses pin
+  sp=8 for the duration of each replay run and restore the caller's
+  value in a ``finally``.
 - **ANSI mode** — assumed ON (the Spark 4 default); engine code uses
   ``try_cast``/``try_to_timestamp``/guarded arithmetic, never toggles
   the conf.
@@ -72,7 +72,11 @@ def test_no_pandas_conversion_apis_in_package():
 #: (read + set + finally-restore).  sources/batch: the UTC pin and the
 #: nanosAsLong legacy toggle every load applies unconditionally —
 #: self-managed, not inherited from the session builder.
+#: corpus_replay: the replay harness's shuffle-partition pin (read +
+#: set + finally-restore, same shape as stream_replay's — measured
+#: 0.873x with non-overlapping fresh-JVM arms, BENCH_ISOLATED_r12).
 _CONF_WHITELIST = {
+    "plans/corpus_replay.py": 3,
     "plans/stream_replay.py": 4,
     "sources/batch.py": 2,
 }
@@ -113,4 +117,24 @@ def test_shuffle_partition_pin_is_restored_on_failure(spark):
     # failure, so a missing finally would leak sp=8
     with pytest.raises(Exception):
         _run_to_memory(spark.range(1), "/tmp/doesnotmatter_sp", "spguard")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_corpus_replay_pin_is_restored_on_failure(spark, monkeypatch):
+    """The corpus-replay sp pin must restore the caller's value even
+    when an epoch raises mid-loop (the restore lives in a finally)."""
+    import pytest
+
+    from bigdata_covid19_real_time_spark.plans import corpus_replay
+    from bigdata_covid19_real_time_spark.streaming.corpus import CorpusIngest
+
+    def boom(self, docs, epoch_id):
+        raise RuntimeError("epoch exploded")
+
+    monkeypatch.setattr(CorpusIngest, "process_batch", boom)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError, match="epoch exploded"):
+        corpus_replay.docs_corpus_ingest_replay(
+            spark, "/root/testdata/sf0.001"
+        )
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
