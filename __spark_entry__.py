@@ -29,80 +29,78 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries surfaced FIRST to the driver's correctness gate this round.
-#: The gate checks the first ~50 entries in dict order.  Rounds 1-11
+#: The gate checks the first ~50 entries in dict order.  Rounds 1-12
 #: cumulatively driver-certified ALL 226 registered queries with ZERO
-#: oracle VALUE failures (round 11: 50/50 green).  This round's window
+#: oracle VALUE failures (round 12: 50/50 green).  This round's window
 #: enforces the standing rules:
 #: (a) "a query whose code changed re-enters GATE_PRIORITY the same
-#: round" — exactly one query's code changed this round:
-#: docs_corpus_ingest_replay gained a shuffle-partition pin around its
-#: epoch loop (measured 0.873x with non-overlapping arms under the
-#: two-sample fresh-JVM standard, BENCH_ISOLATED_r12.json), and it
-#: already sits inside this window at position 41 (it is one of the
-#: 13 oldest round-8 rows), so the re-gate rule is satisfied without
-#: displacing a canary;
-#: (b) rotation from the OLDEST green driver rows — the 37 queries
-#: whose newest driver row is still round 7, in their round-7 gate
-#: order; (c) a 13-query top-up from the oldest round-8 rows, in
-#: their round-8 gate order — exactly 50 entries, the driver's
+#: round" — this round's only candidate code change is the
+#: interval-join replay family (round-13 perf adjudication), and all
+#: four events_stream_interval_join_*_replay fixtures already sit
+#: inside this window as round-9 rotation rows, so the re-gate rule
+#: is satisfied without displacing a canary;
+#: (b) rotation from the OLDEST green driver rows — the 28 queries
+#: whose newest driver row is still round 8, in their round-8 gate
+#: order; (c) a 22-query top-up from the oldest round-9 rows, in
+#: their round-9 gate order — exactly 50 entries, the driver's
 #: measured window size (CORRECTNESS_r07/r08 checked exactly 50
 #: rows), so nothing in the window silently falls off the gate's
 #: cut.  After this round no registry query's newest driver row is
-#: older than round 8.
+#: older than round 9.
 GATE_PRIORITY = [
-    # -- rotation: every query whose newest driver row is round 7,
-    #    round-7 gate order --
-    "docs_quality_by_lang",
-    "docs_minhash_lsh",
-    "docs_simhash_neardup",
-    "docs_media_meta",
-    "docs_language_scores",
-    "embedding_ivf_topk",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders",
-    "top_customers_by_revenue",
-    "orders_without_lineitems",
-    "user_moving_avg",
-    "user_value_growth",
-    "events_5min_rollup",
-    "daily_event_summary",
-    "events_json_extract",
-    "event_type_rankings",
-    "events_rollup",
-    "events_cube",
-    "purchase_asof_click",
-    "user_sessions",
-    "error_only_user_days",
-    "value_percentiles",
-    "orders_with_big_items",
-    "events_sliding_rollup",
-    "customer_order_coverage",
-    "order_rank_spectrum",
-    "daily_event_summary_sketch",
-    "events_pivot_by_type",
-    "events_unpivot_daily_metrics",
-    "user_event_type_sets",
-    "orders_above_customer_avg",
-    "docs_length_deciles",
-    "docs_duplicate_spans",
-    "docs_source_topk_sample",
-    "docs_tfidf_topterms",
-    "docs_unigram_entropy",
-    # -- top-up: oldest round-8 rows, round-8 gate order --
-    "docs_curation_waterfall",
-    "embedding_sq8_topk",
-    "embedding_lsh_topk",
-    "docs_corpus_ingest_replay",
-    "events_mg_heavy_hitters_replay",
-    "docs_bpe_fertility",
-    "docs_leakage_free_split",
-    "purchase_graph_pagerank",
-    "corpus_token_budget",
-    "docs_bigram_lm_score",
-    "docs_chunked",
-    "docs_corpus_ingest_verdict",
-    "docs_decontam",
+    # -- rotation: every query whose newest driver row is round 8,
+    #    round-8 gate order --
+    "docs_incremental_dedup",
+    "docs_pii_redaction",
+    "docs_quality_filter",
+    "docs_repetition_stats",
+    "docs_sample_10pct",
+    "docs_sequence_packing",
+    "docs_stratified_sample",
+    "docs_token_stats",
+    "docs_unigram_lm_score",
+    "docs_winnow_fingerprints",
+    "embedding_cosine_neardup",
+    "embedding_label_centroids",
+    "embedding_semantic_dedup",
+    "events_value_anomalies",
+    "events_value_mad",
+    "events_value_psi",
+    "events_zorder_keys",
+    "user_retention_cohorts",
+    "shipping_priority",
+    "order_priority_pipeline",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "min_cost_supplier",
+    "promo_revenue_share",
+    "promo_part_suppliers",
+    "disjunctive_brand_revenue",
+    "small_quantity_brand_revenue",
+    "big_quantity_orders",
+    # -- top-up: oldest round-9 rows, round-9 gate order --
+    "events_stream_interval_join_left_replay",
+    "events_stream_interval_join_full_replay",
+    "events_stream_interval_join_right_replay",
+    "events_stream_dedup_replay",
+    "events_stream_interval_join_replay",
+    "events_stream_dedup_evict_replay",
+    "events_stream_sessions_replay",
+    "events_stream_static_join_replay",
+    "idle_rich_customers",
+    "important_part_stock",
+    "nation_pair_trade",
+    "regional_market_share",
+    "nation_profit_by_year",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "part_supplier_diversity",
+    "waiting_sole_late_supplier",
+    "returned_item_customers",
+    "priority_shipping_punctuality",
+    "customer_revenue_pareto",
+    "lineitem_corr_stats",
+    "purchase_funnel",
 ]
 
 

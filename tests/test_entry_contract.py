@@ -132,18 +132,19 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 12's window: rotation from the
-    OLDEST green driver rows — the full round-7 residue plus a round-8
-    top-up; the round's one changed-code re-gate
-    (docs_corpus_ingest_replay, shuffle-pin) already sits inside the
-    round-8 top-up, so the re-gate rule holds without displacing a
-    canary.  oracle_sql() iterates in the same order so the driver
-    sees identical windows from both."""
+    queries() in dict order.  Round 13's window: rotation from the
+    OLDEST green driver rows — the full round-8 residue (28 queries)
+    plus the 22 oldest round-9 rows; the round's only changed-code
+    re-gate candidates (the interval-join replay family, round-13
+    perf adjudication) already sit inside the round-9 top-up, so the
+    re-gate rule holds without displacing a canary.  oracle_sql()
+    iterates in the same order so the driver sees identical windows
+    from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 37 round-7 canaries + 13 round-8 top-ups = exactly the
+    # 28 round-8 canaries + 22 round-9 top-ups = exactly the
     # driver's measured 50-row gate window (CORRECTNESS_r07/r08
     # checked 50), so no window entry silently falls off the cut
     assert n == 50
@@ -152,11 +153,11 @@ def test_gate_window_prioritizes_unverified_queries():
     assert list(oracles)[:n] == names[:n]
     # the oldest canaries ride along
     for must in (
-        "docs_quality_by_lang",
-        "docs_unigram_entropy",
-        "docs_curation_waterfall",
-        "docs_corpus_ingest_replay",
-        "docs_decontam",
+        "docs_incremental_dedup",
+        "big_quantity_orders",
+        "events_stream_interval_join_left_replay",
+        "events_stream_interval_join_replay",
+        "purchase_funnel",
     ):
         assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)
