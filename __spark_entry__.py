@@ -34,19 +34,23 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: oracle VALUE failures (round 12: 50/50 green).  This round's window
 #: enforces the standing rules:
 #: (a) "a query whose code changed re-enters GATE_PRIORITY the same
-#: round" — this round's only candidate code change is the
-#: interval-join replay family (round-13 perf adjudication), and all
-#: four events_stream_interval_join_*_replay fixtures already sit
-#: inside this window as round-9 rotation rows, so the re-gate rule
-#: is satisfied without displacing a canary;
+#: round" — this round's code change is the replay sp-pin cap
+#: (min(8, session), round-12 advice #4) in plans/stream_replay.py's
+#: shared ``_run_to_memory`` and plans/corpus_replay.py, so all ten
+#: of their gated queries re-enter: the 8 events_stream_*_replay
+#: fixtures already sit inside this window as round-9 rotation rows,
+#: and docs_corpus_ingest_replay + docs_stream_decontam_replay are
+#: re-gated explicitly, displacing the two newest round-9 top-ups
+#: (lineitem_corr_stats, purchase_funnel — they rotate next round);
 #: (b) rotation from the OLDEST green driver rows — the 28 queries
 #: whose newest driver row is still round 8, in their round-8 gate
-#: order; (c) a 22-query top-up from the oldest round-9 rows, in
-#: their round-9 gate order — exactly 50 entries, the driver's
-#: measured window size (CORRECTNESS_r07/r08 checked exactly 50
-#: rows), so nothing in the window silently falls off the gate's
-#: cut.  After this round no registry query's newest driver row is
-#: older than round 9.
+#: order; (c) a 20-query top-up from the oldest round-9 rows, in
+#: their round-9 gate order, plus the 2 changed-code re-gates —
+#: exactly 50 entries, the driver's measured window size
+#: (CORRECTNESS_r07/r08 checked exactly 50 rows), so nothing in the
+#: window silently falls off the gate's cut.  After this round no
+#: registry query's newest driver row is older than round 9 except
+#: the two displaced top-ups (newest row round 9).
 GATE_PRIORITY = [
     # -- rotation: every query whose newest driver row is round 8,
     #    round-8 gate order --
@@ -99,8 +103,10 @@ GATE_PRIORITY = [
     "returned_item_customers",
     "priority_shipping_punctuality",
     "customer_revenue_pareto",
-    "lineitem_corr_stats",
-    "purchase_funnel",
+    # -- changed-code re-gates: the replay sp-pin cap touched
+    #    _run_to_memory (stream_replay) and corpus_replay --
+    "docs_corpus_ingest_replay",
+    "docs_stream_decontam_replay",
 ]
 
 

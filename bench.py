@@ -577,6 +577,26 @@ def main() -> None:
         for n, got in pass_.items()
     ]
     probe_factor = round(statistics.median(probe_ratios), 3)
+    # min/max per-probe ratio across BOTH passes (round-12 verdict
+    # task 5): when the spread is wide (r12 drifted 2.1x -> 1.3x within
+    # one run) a mover list is host noise, and a judge can see that at
+    # a glance without re-deriving it from before/after
+    probe_spread = {
+        "min_ratio": round(min(probe_ratios), 3),
+        "max_ratio": round(max(probe_ratios), 3),
+        "before_median": round(
+            statistics.median(
+                got / PROBE_BASELINE_SEC[n] for n, got in probe_before.items()
+            ),
+            3,
+        ),
+        "after_median": round(
+            statistics.median(
+                got / PROBE_BASELINE_SEC[n] for n, got in probe_after.items()
+            ),
+            3,
+        ),
+    }
 
     # rows-vs-runtime curve for the heaviest plans: re-run at the small
     # SF and report the 10x-rows timing ratio
@@ -671,14 +691,20 @@ def main() -> None:
                 "probe_factor", 1.0
             ) or 1.0
             common = [n for n in timings if n in prior_q and prior_q[n] > 0]
-            movers = sorted(
-                (
-                    (n, round((timings[n] / probe_factor) / (prior_q[n] / prior_pf), 3))
-                    for n in common
-                ),
-                key=lambda kv: abs(math.log(kv[1])) if kv[1] > 0 else 0,
-                reverse=True,
-            )[:5]
+            # rank on the UNROUNDED ratio (round-12 advice: a ratio
+            # that rounds to 0.000 must rank FIRST, not last), round
+            # only for display
+            movers = [
+                (n, round(r, 3))
+                for n, r in sorted(
+                    (
+                        (n, (timings[n] / probe_factor) / (prior_q[n] / prior_pf))
+                        for n in common
+                    ),
+                    key=lambda kv: abs(math.log(max(kv[1], 1e-6))),
+                    reverse=True,
+                )[:5]
+            ]
             prior_frozen217 = prior_detail.get("drift_probe", {}).get(
                 "normalized_totals_sec", {}
             ).get("frozen217")
@@ -737,6 +763,7 @@ def main() -> None:
                     "before": probe_before,
                     "after": probe_after,
                     "probe_factor": probe_factor,
+                    "probe_spread": probe_spread,
                     "normalized_totals_sec": {
                         "value": round(total / probe_factor, 3),
                         "frozen125": round(frozen_total / probe_factor, 3),

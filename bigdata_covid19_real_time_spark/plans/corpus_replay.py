@@ -260,12 +260,17 @@ def docs_corpus_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over a per-epoch slice of a gate-SF corpus, so per-task overhead
     # dominates at the session's 32 partitions.  Pinning 8 measured
     # 0.873x under the r7 two-sample fresh-JVM interleaved standard
-    # with non-overlapping arms (BENCH_ISOLATED_r12.json).  The
-    # production path (CorpusIngest.run / foreachBatch) inherits the
-    # session conf — partition count there is the deployment's
-    # capacity decision, not this harness's.
+    # with non-overlapping arms (BENCH_ISOLATED_r12.json).  The pin is
+    # a CAP, never a raise (round-12 advice #4): min(8, session) keeps
+    # PARTCHECK's low-parallelism sweep exercising this loop at ITS
+    # partition count instead of silently re-widening to 8, while the
+    # driver gate (stock 200) and bench (32) still run the adjudicated
+    # 8.  The production path (CorpusIngest.run / foreachBatch)
+    # inherits the session conf — partition count there is the
+    # deployment's capacity decision, not this harness's.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    pin = str(min(8, int(prev_sp))) if str(prev_sp).isdigit() else "8"
+    spark.conf.set("spark.sql.shuffle.partitions", pin)
     try:
         for e in range(N_EPOCHS):
             batch = docs.filter(

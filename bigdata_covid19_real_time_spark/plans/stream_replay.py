@@ -182,8 +182,14 @@ def _run_to_memory(
                 "the harness is being run at an SF it was not sized for"
             )
     qname = f"sr_{tag}_{os.path.basename(base).rsplit('_', 1)[-1]}"
+    # The pin is a CAP, never a raise (round-12 advice #4, same shape
+    # as plans/corpus_replay.py): min(8, session) keeps PARTCHECK's
+    # low-parallelism sweep exercising the stateful batches at ITS
+    # partition count instead of silently re-widening to 8, while the
+    # driver gate (stock 200) and bench (32) still run the measured 8.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    pin = str(min(8, int(prev_sp))) if str(prev_sp).isdigit() else "8"
+    spark.conf.set("spark.sql.shuffle.partitions", pin)
     try:
         q = (
             stream_df.writeStream.format("memory")

@@ -75,6 +75,10 @@ def test_no_pandas_conversion_apis_in_package():
 #: corpus_replay: the replay harness's shuffle-partition pin (read +
 #: set + finally-restore, same shape as stream_replay's — measured
 #: 0.873x with non-overlapping fresh-JVM arms, BENCH_ISOLATED_r12).
+#: Both replay pins are CAPS — min(8, session sp), never a raise
+#: (round-12 advice #4) — so PARTCHECK's low-parallelism sweep still
+#: exercises the pinned loops at its own partition count; the pinned
+#: harnesses are NOT sp-sweep-exempt.
 _CONF_WHITELIST = {
     "plans/corpus_replay.py": 3,
     "plans/stream_replay.py": 4,
@@ -118,6 +122,54 @@ def test_shuffle_partition_pin_is_restored_on_failure(spark):
     with pytest.raises(Exception):
         _run_to_memory(spark.range(1), "/tmp/doesnotmatter_sp", "spguard")
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_replay_pins_cap_at_session_parallelism(spark, monkeypatch):
+    """The replay sp pins are caps, not raises (round-12 advice #4): a
+    session below 8 shuffle partitions — PARTCHECK's sp=5 sweep — must
+    run the pinned loops at the SESSION's count, so the sweep keeps
+    exercising partition sensitivity on the replay paths."""
+    import pytest
+
+    from bigdata_covid19_real_time_spark.plans import corpus_replay
+    from bigdata_covid19_real_time_spark.plans.stream_replay import (
+        _run_to_memory,
+    )
+    from bigdata_covid19_real_time_spark.streaming.corpus import CorpusIngest
+
+    seen: list[str] = []
+
+    def capture(self, docs, epoch_id):
+        seen.append(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        raise RuntimeError("captured")
+
+    monkeypatch.setattr(CorpusIngest, "process_batch", capture)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        with pytest.raises(RuntimeError, match="captured"):
+            corpus_replay.docs_corpus_ingest_replay(
+                spark, "/root/testdata/sf0.001"
+            )
+        assert seen == ["5"], "pin must cap at the session's 5, not widen to 8"
+        # stream_replay: the pin happens before the (expected) failure
+        # on a batch frame; capture it via a conf.set recorder
+        pins: list[str] = []
+        real_set = spark.conf.set
+
+        def recording_set(key, value):
+            if key == "spark.sql.shuffle.partitions":
+                pins.append(str(value))
+            real_set(key, value)
+
+        monkeypatch.setattr(
+            type(spark.conf), "set", lambda s, k, v: recording_set(k, v)
+        )
+        with pytest.raises(Exception):
+            _run_to_memory(spark.range(1), "/tmp/doesnotmatter_cap", "spcap")
+        assert pins and pins[0] == "5", pins
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_corpus_replay_pin_is_restored_on_failure(spark, monkeypatch):

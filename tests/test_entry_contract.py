@@ -134,30 +134,34 @@ def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
     queries() in dict order.  Round 13's window: rotation from the
     OLDEST green driver rows — the full round-8 residue (28 queries)
-    plus the 22 oldest round-9 rows; the round's only changed-code
-    re-gate candidates (the interval-join replay family, round-13
-    perf adjudication) already sit inside the round-9 top-up, so the
-    re-gate rule holds without displacing a canary.  oracle_sql()
+    plus the 20 oldest round-9 rows — and the round's changed-code
+    re-gates (the replay sp-pin cap touched stream_replay's shared
+    _run_to_memory and corpus_replay): the 8 events_stream_*_replay
+    fixtures already sit in the round-9 top-up, and
+    docs_corpus_ingest_replay + docs_stream_decontam_replay enter
+    explicitly, displacing the two newest top-ups.  oracle_sql()
     iterates in the same order so the driver sees identical windows
     from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 28 round-8 canaries + 22 round-9 top-ups = exactly the
-    # driver's measured 50-row gate window (CORRECTNESS_r07/r08
-    # checked 50), so no window entry silently falls off the cut
+    # 28 round-8 canaries + 20 round-9 top-ups + 2 changed-code
+    # re-gates = exactly the driver's measured 50-row gate window
+    # (CORRECTNESS_r07/r08 checked 50), so no window entry silently
+    # falls off the cut
     assert n == 50
     assert names[:n] == entry_mod.GATE_PRIORITY
     assert all(name in oracles for name in names[:n])
     assert list(oracles)[:n] == names[:n]
-    # the oldest canaries ride along
+    # the oldest canaries and the changed-code re-gates ride along
     for must in (
         "docs_incremental_dedup",
         "big_quantity_orders",
         "events_stream_interval_join_left_replay",
         "events_stream_interval_join_replay",
-        "purchase_funnel",
+        "docs_corpus_ingest_replay",
+        "docs_stream_decontam_replay",
     ):
         assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)
@@ -256,3 +260,22 @@ def test_replay_bench_delta_fixture_set_changed():
     assert d["only_in_prior"] == ["gone"]
     assert d["normalized_total_ratio"] == 1.5  # 3.0/2.0 over {a} only
     assert d["worst_query"] == "a" and d["worst_query_ratio"] == 1.5
+
+
+def test_replay_bench_delta_zero_ratio_and_empty_intersection():
+    """Round-12 advice: a legitimate 0.0 ratio must survive the
+    rounding guard (not collapse to None), and a disjoint fixture set
+    must say so explicitly instead of leaving ratio=None as the only
+    clue."""
+    rb = _load_replay_bench()
+    d = rb.vs_prior_round(
+        {"a": 0.0}, {"round": 12, "queries_sec_normalized": {"a": 2.0}}
+    )
+    assert d["normalized_total_ratio"] == 0.0
+    assert d["empty_intersection"] is False
+    d = rb.vs_prior_round(
+        {"x": 1.0}, {"round": 12, "queries_sec_normalized": {"y": 2.0}}
+    )
+    assert d["compared_fixtures"] == 0
+    assert d["empty_intersection"] is True
+    assert d["normalized_total_ratio"] is None

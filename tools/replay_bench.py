@@ -58,8 +58,11 @@ def vs_prior_round(current_norm: dict, prior: dict) -> dict:
     )
     return {
         "prior_round": prior["round"],
-        "normalized_total_ratio": round(ratio, 3) if ratio else None,
+        # `is not None` (round-12 advice): a legitimate 0.0 ratio must
+        # not be conflated with "no prior data"
+        "normalized_total_ratio": round(ratio, 3) if ratio is not None else None,
         "compared_fixtures": len(common),
+        "empty_intersection": not common,
         "fixture_set_changed": set(current_norm) != set(prior_norm),
         "only_in_current": sorted(set(current_norm) - set(prior_norm)),
         "only_in_prior": sorted(set(prior_norm) - set(current_norm)),

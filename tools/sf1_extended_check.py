@@ -206,6 +206,27 @@ ROUND12_QUERIES = [
     "docs_corpus_ingest_replay",
 ]
 
+#: Round-13 ladder: the round-12 top set (continuity of the series)
+#: with the round's changed-code replay fixtures — the sp-pin cap
+#: (min(8, session), round-12 advice #4) touched stream_replay's
+#: shared ``_run_to_memory`` and corpus_replay, so the dominant
+#: interval-join fixture and the corpus ingest replay are re-laddered
+#: to show the cap stays honest at sf1 (where the session's 32 > 8
+#: means behavior is identical to round 12's pin).  Run with
+#: ``--round13`` to time exactly these and write SF1NEW_r13.json.
+ROUND13_QUERIES = [
+    "docs_curation_waterfall",
+    "docs_dedup_clusters",
+    "docs_leakage_free_split",
+    "docs_minhash_lsh",
+    "embedding_ivfpq_topk",
+    "events_value_bootstrap_ci",
+    "embedding_rrf_topk",
+    "docs_corpus_ingest_replay",
+    "events_stream_interval_join_replay",
+    "docs_stream_decontam_replay",
+]
+
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ETYPES = ["view", "click", "purchase", "signup", "error"]
@@ -358,8 +379,15 @@ def main() -> int:
         action="store_true",
         help="time ROUND12_QUERIES and write SF1NEW_r12.json",
     )
+    ap.add_argument(
+        "--round13",
+        action="store_true",
+        help="time ROUND13_QUERIES and write SF1NEW_r13.json",
+    )
     args = ap.parse_args()
-    if args.round12:
+    if args.round13:
+        names, out_name = ROUND13_QUERIES, "SF1NEW_r13.json"
+    elif args.round12:
         names, out_name = ROUND12_QUERIES, "SF1NEW_r12.json"
     elif args.round11:
         names, out_name = ROUND11_QUERIES, "SF1NEW_r11.json"
