@@ -29,84 +29,83 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries surfaced FIRST to the driver's correctness gate this round.
-#: The gate checks the first ~50 entries in dict order.  Rounds 1-12
+#: The gate checks the first ~50 entries in dict order.  Rounds 1-13
 #: cumulatively driver-certified ALL 226 registered queries with ZERO
-#: oracle VALUE failures (round 12: 50/50 green).  This round's window
+#: oracle VALUE failures (round 13: 50/50 green).  This round's window
 #: enforces the standing rules:
 #: (a) "a query whose code changed re-enters GATE_PRIORITY the same
-#: round" — this round's code change is the replay sp-pin cap
-#: (min(8, session), round-12 advice #4) in plans/stream_replay.py's
-#: shared ``_run_to_memory`` and plans/corpus_replay.py, so all ten
-#: of their gated queries re-enter: the 8 events_stream_*_replay
-#: fixtures already sit inside this window as round-9 rotation rows,
-#: and docs_corpus_ingest_replay + docs_stream_decontam_replay are
-#: re-gated explicitly, displacing the two newest round-9 top-ups
-#: (lineitem_corr_stats, purchase_funnel — they rotate next round);
-#: (b) rotation from the OLDEST green driver rows — the 28 queries
-#: whose newest driver row is still round 8, in their round-8 gate
-#: order; (c) a 20-query top-up from the oldest round-9 rows, in
-#: their round-9 gate order, plus the 2 changed-code re-gates —
-#: exactly 50 entries, the driver's measured window size
-#: (CORRECTNESS_r07/r08 checked exactly 50 rows), so nothing in the
-#: window silently falls off the gate's cut.  After this round no
-#: registry query's newest driver row is older than round 9 except
-#: the two displaced top-ups (newest row round 9).
+#: round" — this round's code change is the non-numeric-conf pin skip
+#: (round-13 advice #2: a session spark.sql.shuffle.partitions like
+#: 'auto' is now left completely untouched instead of falling back to
+#: a pin of 8) in plans/stream_replay.py's shared ``_run_to_memory``
+#: and plans/corpus_replay.py, so all ten of their gated queries
+#: re-enter: the 9 stream_replay fixtures plus
+#: docs_corpus_ingest_replay;
+#: (b) rotation from the OLDEST green driver rows — the 29 queries
+#: whose newest driver row is still round 9, in their round-9 gate
+#: order; (c) an 11-query top-up from the oldest round-10 rows, in
+#: their round-10 gate order — exactly 50 entries, the driver's
+#: measured window size (CORRECTNESS_r07/r08 checked exactly 50
+#: rows), so nothing in the window silently falls off the gate's cut.
+#: After this round no registry query's newest driver row is older
+#: than round 10.
 GATE_PRIORITY = [
-    # -- rotation: every query whose newest driver row is round 8,
-    #    round-8 gate order --
-    "docs_incremental_dedup",
-    "docs_pii_redaction",
-    "docs_quality_filter",
-    "docs_repetition_stats",
-    "docs_sample_10pct",
-    "docs_sequence_packing",
-    "docs_stratified_sample",
-    "docs_token_stats",
-    "docs_unigram_lm_score",
-    "docs_winnow_fingerprints",
-    "embedding_cosine_neardup",
-    "embedding_label_centroids",
-    "embedding_semantic_dedup",
-    "events_value_anomalies",
-    "events_value_mad",
-    "events_value_psi",
-    "events_zorder_keys",
-    "user_retention_cohorts",
-    "shipping_priority",
-    "order_priority_pipeline",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "min_cost_supplier",
-    "promo_revenue_share",
-    "promo_part_suppliers",
-    "disjunctive_brand_revenue",
-    "small_quantity_brand_revenue",
-    "big_quantity_orders",
-    # -- top-up: oldest round-9 rows, round-9 gate order --
-    "events_stream_interval_join_left_replay",
-    "events_stream_interval_join_full_replay",
-    "events_stream_interval_join_right_replay",
+    # -- rotation: every query whose newest driver row is round 9,
+    #    round-9 gate order --
+    "lineitem_corr_stats",
+    "purchase_funnel",
+    "purchase_window_clicks",
+    "purchase_attribution_join",
+    "user_trailing_week_avg",
+    "click_and_purchase_user_days",
+    "events_grouping_sets",
+    "events_user_skew_report",
+    "embedding_knn_label",
+    "embedding_negative_samples",
+    "docs_bm25_topk",
+    "docs_cdc_chunks",
+    "docs_repeated_span_removal",
+    "corpus_temperature_mix",
+    "part_name_fuzzy_pairs",
+    "supplier_triangles",
+    "orders_merge_preview",
+    "orders_snapshot_diff",
+    "orders_profile",
+    "lineitem_expectations",
+    "events_user_daily_gapfill",
+    "bloom_pruned_revenue",
+    "orders_time_travel",
+    "events_incremental_rollup",
+    "covid_trend_ols",
+    "events_dow_seasonality",
+    "events_embargo_split",
+    "docs_media_features",
+    "docs_thumbnail_plan",
+    # -- changed-code re-gates: the non-numeric-conf pin skip touched
+    #    _run_to_memory (stream_replay) and corpus_replay; module
+    #    definition order --
     "events_stream_dedup_replay",
     "events_stream_interval_join_replay",
     "events_stream_dedup_evict_replay",
+    "events_stream_interval_join_left_replay",
+    "events_stream_interval_join_full_replay",
     "events_stream_sessions_replay",
+    "events_stream_interval_join_right_replay",
     "events_stream_static_join_replay",
-    "idle_rich_customers",
-    "important_part_stock",
-    "nation_pair_trade",
-    "regional_market_share",
-    "nation_profit_by_year",
-    "customer_order_distribution",
-    "top_revenue_suppliers",
-    "part_supplier_diversity",
-    "waiting_sole_late_supplier",
-    "returned_item_customers",
-    "priority_shipping_punctuality",
-    "customer_revenue_pareto",
-    # -- changed-code re-gates: the replay sp-pin cap touched
-    #    _run_to_memory (stream_replay) and corpus_replay --
-    "docs_corpus_ingest_replay",
     "docs_stream_decontam_replay",
+    "docs_corpus_ingest_replay",
+    # -- top-up: oldest round-10 rows, round-10 gate order --
+    "embedding_pq_topk",
+    "embedding_rrf_topk",
+    "embedding_ivfpq_topk",
+    "docs_audio_meta",
+    "embedding_covariance",
+    "events_user_heavy_hitters",
+    "docs_bpe_pair_counts",
+    "docs_bpe_vocab",
+    "docs_source_novelty",
+    "events_value_ks",
+    "docs_weighted_sample",
 ]
 
 

@@ -17,10 +17,14 @@ per-query warm-up at sf0.001 amortizes Janino/JIT exactly as a
 cluster-scale job would, and queries >3 s keep the min of two runs.
 
 Machine-drift normalization: five frozen probe queries are re-timed
-before and after the headline loop against committed reference
-timings; ``probe_factor`` (median ratio) and drift-normalized frozen
-totals let a round-over-round comparison separate code regressions
-from the x1.1-1.6 ambient speed drift this host exhibits.
+in FOUR passes -- before, ~1/3, ~2/3, and after the headline loop
+(segmented probes, round-13 verdict task 5) -- against committed
+reference timings; ``probe_factor`` (median ratio over all passes)
+and drift-normalized frozen totals let a round-over-round comparison
+separate code regressions from the x1.1-1.6 ambient speed drift this
+host exhibits, and per-query mover normalization uses the SEGMENT
+factor nearest in time so intra-run drift (r13 spread: 1.1-3.1x
+within one run) stops minting phantom movers.
 """
 
 from __future__ import annotations
@@ -556,47 +560,84 @@ def main() -> None:
         # whole headline sum, so re-run once and keep the minimum
         return min(first, timed_once()) if first > 3.0 else first
 
+    import math
+    import statistics
+
     def probe_pass() -> dict[str, float]:
         """Re-time the drift probes with the same warm+min-of-2
         discipline as the headline loop."""
         return {n: run_query(n, sf_dir) for n in PROBE_BASELINE_SEC}
 
-    probe_before = probe_pass()
+    # Segmented drift probes (round-13 verdict task 5): r13's
+    # probe_spread read 1.099-3.088 within ONE run, so a single
+    # whole-run median cannot separate sub-second scheduler-bound
+    # movement from host noise that drifts DURING the run.  Four probe
+    # passes -- before, ~1/3, ~2/3, after (~8 s of a ~250 s run) --
+    # each yield a per-SEGMENT factor; per-query mover normalization
+    # uses the factor nearest in time, while the whole-run
+    # probe_factor (median over ALL passes) keeps the frozen-series
+    # normalized totals methodologically comparable with prior rounds.
+    # The frozen PROBE_BASELINE_SEC is untouched.
+    headline_names = _headline()
+    n_head = len(headline_names)
+    mid_positions = [n_head // 3, (2 * n_head) // 3]
+    probe_passes: list[dict] = []
+    query_pos: dict[str, int] = {}
 
+    def take_probe(position: int) -> None:
+        pass_timings = probe_pass()
+        probe_passes.append(
+            {
+                "position": position,
+                "timings": pass_timings,
+                "median_ratio": round(
+                    statistics.median(
+                        got / PROBE_BASELINE_SEC[n]
+                        for n, got in pass_timings.items()
+                    ),
+                    3,
+                ),
+            }
+        )
+
+    take_probe(0)
     timings: dict[str, float] = {}
-    for name in _headline():
+    for i, name in enumerate(headline_names):
+        if mid_positions and i == mid_positions[0]:
+            take_probe(i)
+            mid_positions.pop(0)
+        query_pos[name] = i
         timings[name] = run_query(name, sf_dir)
+    take_probe(n_head)
 
-    probe_after = probe_pass()
-    import math
-    import statistics
-
+    probe_before = probe_passes[0]["timings"]
+    probe_after = probe_passes[-1]["timings"]
     probe_ratios = [
         got / PROBE_BASELINE_SEC[n]
-        for pass_ in (probe_before, probe_after)
-        for n, got in pass_.items()
+        for pass_ in probe_passes
+        for n, got in pass_["timings"].items()
     ]
     probe_factor = round(statistics.median(probe_ratios), 3)
-    # min/max per-probe ratio across BOTH passes (round-12 verdict
+    # min/max per-probe ratio across ALL passes (round-12 verdict
     # task 5): when the spread is wide (r12 drifted 2.1x -> 1.3x within
     # one run) a mover list is host noise, and a judge can see that at
     # a glance without re-deriving it from before/after
     probe_spread = {
         "min_ratio": round(min(probe_ratios), 3),
         "max_ratio": round(max(probe_ratios), 3),
-        "before_median": round(
-            statistics.median(
-                got / PROBE_BASELINE_SEC[n] for n, got in probe_before.items()
-            ),
-            3,
-        ),
-        "after_median": round(
-            statistics.median(
-                got / PROBE_BASELINE_SEC[n] for n, got in probe_after.items()
-            ),
-            3,
-        ),
+        "before_median": probe_passes[0]["median_ratio"],
+        "after_median": probe_passes[-1]["median_ratio"],
+        "pass_medians": [p["median_ratio"] for p in probe_passes],
     }
+
+    def segment_factor(name: str) -> float:
+        """The probe factor measured nearest in time to the query's
+        own timing (by headline-loop index)."""
+        pos = query_pos.get(name)
+        if pos is None:
+            return probe_factor
+        nearest = min(probe_passes, key=lambda p: abs(p["position"] - pos))
+        return nearest["median_ratio"] or probe_factor
 
     # rows-vs-runtime curve for the heaviest plans: re-run at the small
     # SF and report the 10x-rows timing ratio
@@ -694,11 +735,19 @@ def main() -> None:
             # rank on the UNROUNDED ratio (round-12 advice: a ratio
             # that rounds to 0.000 must rank FIRST, not last), round
             # only for display
+            # normalize each query by its nearest-in-time SEGMENT
+            # factor (round-13 verdict task 5) -- the whole-run median
+            # hid 3x intra-run drift and made byte-identical code read
+            # as a 4.76x "mover" in r13
             movers = [
                 (n, round(r, 3))
                 for n, r in sorted(
                     (
-                        (n, (timings[n] / probe_factor) / (prior_q[n] / prior_pf))
+                        (
+                            n,
+                            (timings[n] / segment_factor(n))
+                            / (prior_q[n] / prior_pf),
+                        )
                         for n in common
                     ),
                     key=lambda kv: abs(math.log(max(kv[1], 1e-6))),
@@ -725,9 +774,11 @@ def main() -> None:
                     f"{this_round}'s replay-series ratio, the spread is "
                     "driven by the top_normalized_movers listed here "
                     "(per-query cur_norm/prior_norm; >1 slower, <1 faster) "
-                    "— both lenses divide by their own round's "
-                    "probe_factor, so sub-second scheduler-bound queries "
-                    "amplify probe error into apparent movement"
+                    "— this round's side divides by the nearest-in-time "
+                    "SEGMENT probe factor (drift_probe.segments), the "
+                    "prior side by that round's whole-run probe_factor; "
+                    "sub-second scheduler-bound queries still amplify "
+                    "residual probe error into apparent movement"
                 ),
             }
             break
@@ -764,6 +815,14 @@ def main() -> None:
                     "after": probe_after,
                     "probe_factor": probe_factor,
                     "probe_spread": probe_spread,
+                    "segments": [
+                        {
+                            "position": p["position"],
+                            "median_ratio": p["median_ratio"],
+                            "timings": p["timings"],
+                        }
+                        for p in probe_passes
+                    ],
                     "normalized_totals_sec": {
                         "value": round(total / probe_factor, 3),
                         "frozen125": round(frozen_total / probe_factor, 3),

@@ -269,8 +269,15 @@ def docs_corpus_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inherits the session conf — partition count there is the
     # deployment's capacity decision, not this harness's.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    pin = str(min(8, int(prev_sp))) if str(prev_sp).isdigit() else "8"
-    spark.conf.set("spark.sql.shuffle.partitions", pin)
+    # A non-numeric session value (e.g. "auto" on AQE-managed
+    # deployments) is left COMPLETELY untouched — no pin, no restore:
+    # pinning 8 there could be a RAISE, contradicting the cap-only
+    # contract (round-13 advice #2).
+    pinned = str(prev_sp).isdigit()
+    if pinned:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(8, int(prev_sp)))
+        )
     try:
         for e in range(N_EPOCHS):
             batch = docs.filter(
@@ -278,7 +285,8 @@ def docs_corpus_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             ingest.process_batch(batch, e)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        if pinned:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     import glob as _glob
 

@@ -188,8 +188,15 @@ def _run_to_memory(
     # partition count instead of silently re-widening to 8, while the
     # driver gate (stock 200) and bench (32) still run the measured 8.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    pin = str(min(8, int(prev_sp))) if str(prev_sp).isdigit() else "8"
-    spark.conf.set("spark.sql.shuffle.partitions", pin)
+    # A non-numeric session value (e.g. "auto" on AQE-managed
+    # deployments) is left COMPLETELY untouched — no pin, no restore:
+    # pinning 8 there could be a RAISE, contradicting the cap-only
+    # contract (round-13 advice #2).
+    pinned = str(prev_sp).isdigit()
+    if pinned:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(8, int(prev_sp)))
+        )
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -203,7 +210,8 @@ def _run_to_memory(
             q.stop()
             raise RuntimeError(f"stream replay {qname} did not drain in 600s")
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        if pinned:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     # Detach the result from the memory sink: each invocation registers
     # a uniquely-named sink table whose rows would otherwise stay
     # referenced by the catalog for the session's lifetime (a leak for

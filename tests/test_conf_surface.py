@@ -172,6 +172,53 @@ def test_replay_pins_cap_at_session_parallelism(spark, monkeypatch):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def test_replay_pin_skipped_for_non_numeric_session_conf(spark, monkeypatch):
+    """Round-13 advice #2: a non-numeric session
+    spark.sql.shuffle.partitions (e.g. 'auto' on AQE-managed
+    deployments) must leave the conf COMPLETELY untouched — no pin, no
+    restore. The old fallback pinned 8 unconditionally, which can be a
+    RAISE, contradicting the cap-only contract."""
+    import pytest
+
+    from bigdata_covid19_real_time_spark.plans import corpus_replay
+    from bigdata_covid19_real_time_spark.plans.stream_replay import (
+        _run_to_memory,
+    )
+    from bigdata_covid19_real_time_spark.streaming.corpus import CorpusIngest
+
+    sp_sets: list[str] = []
+    real_get = spark.conf.get
+    real_set = spark.conf.set
+
+    def fake_get(key, *args):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(key, *args)
+
+    def fake_set(key, value):
+        if key == "spark.sql.shuffle.partitions":
+            # record instead of applying: stock Spark rejects 'auto',
+            # so any recorded entry here IS the contract violation
+            sp_sets.append(str(value))
+            return
+        real_set(key, value)
+
+    monkeypatch.setattr(type(spark.conf), "get", lambda s, k, *a: fake_get(k, *a))
+    monkeypatch.setattr(type(spark.conf), "set", lambda s, k, v: fake_set(k, v))
+
+    with pytest.raises(Exception):
+        _run_to_memory(spark.range(1), "/tmp/doesnotmatter_auto", "spauto")
+    assert sp_sets == [], f"stream pin must be skipped under 'auto': {sp_sets}"
+
+    def boom(self, docs, epoch_id):
+        raise RuntimeError("captured-auto")
+
+    monkeypatch.setattr(CorpusIngest, "process_batch", boom)
+    with pytest.raises(RuntimeError, match="captured-auto"):
+        corpus_replay.docs_corpus_ingest_replay(spark, "/root/testdata/sf0.001")
+    assert sp_sets == [], f"corpus pin must be skipped under 'auto': {sp_sets}"
+
+
 def test_corpus_replay_pin_is_restored_on_failure(spark, monkeypatch):
     """The corpus-replay sp pin must restore the caller's value even
     when an epoch raises mid-loop (the restore lives in a finally)."""

@@ -132,22 +132,19 @@ def test_bench_order_frozen_to_r3():
 
 def test_gate_window_prioritizes_unverified_queries():
     """The driver's correctness gate checks the first ~50 entries of
-    queries() in dict order.  Round 13's window: rotation from the
-    OLDEST green driver rows — the full round-8 residue (28 queries)
-    plus the 20 oldest round-9 rows — and the round's changed-code
-    re-gates (the replay sp-pin cap touched stream_replay's shared
-    _run_to_memory and corpus_replay): the 8 events_stream_*_replay
-    fixtures already sit in the round-9 top-up, and
-    docs_corpus_ingest_replay + docs_stream_decontam_replay enter
-    explicitly, displacing the two newest top-ups.  oracle_sql()
-    iterates in the same order so the driver sees identical windows
-    from both."""
+    queries() in dict order.  Round 14's window: rotation from the
+    OLDEST green driver rows — the full round-9 residue (29 queries)
+    plus the 11 oldest round-10 rows — and the round's changed-code
+    re-gates (the round-13-advice non-numeric-conf pin skip touched
+    stream_replay's shared _run_to_memory and corpus_replay, so all
+    ten of their gated queries re-enter).  oracle_sql() iterates in
+    the same order so the driver sees identical windows from both."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(qs)
     n = len(entry_mod.GATE_PRIORITY)
-    # 28 round-8 canaries + 20 round-9 top-ups + 2 changed-code
-    # re-gates = exactly the driver's measured 50-row gate window
+    # 29 round-9 canaries + 10 changed-code re-gates + 11 round-10
+    # top-ups = exactly the driver's measured 50-row gate window
     # (CORRECTNESS_r07/r08 checked 50), so no window entry silently
     # falls off the cut
     assert n == 50
@@ -156,12 +153,15 @@ def test_gate_window_prioritizes_unverified_queries():
     assert list(oracles)[:n] == names[:n]
     # the oldest canaries and the changed-code re-gates ride along
     for must in (
-        "docs_incremental_dedup",
-        "big_quantity_orders",
+        "lineitem_corr_stats",
+        "purchase_funnel",
+        "docs_thumbnail_plan",
         "events_stream_interval_join_left_replay",
         "events_stream_interval_join_replay",
         "docs_corpus_ingest_replay",
         "docs_stream_decontam_replay",
+        "embedding_pq_topk",
+        "docs_weighted_sample",
     ):
         assert must in names[:n]
     # the rest keeps registration order (no accidental shuffling)
@@ -279,3 +279,24 @@ def test_replay_bench_delta_zero_ratio_and_empty_intersection():
     assert d["compared_fixtures"] == 0
     assert d["empty_intersection"] is True
     assert d["normalized_total_ratio"] is None
+    assert d["prior_total_zero"] is False
+
+
+def test_replay_bench_delta_prior_total_zero_is_flagged():
+    """Round-13 advice #3: a prior total of exactly 0.0 over a
+    NON-empty intersection is legitimate data, not 'no prior' — the
+    ratio stays None (undefined) but the distinct prior_total_zero
+    flag separates it from the empty-intersection case."""
+    rb = _load_replay_bench()
+    d = rb.vs_prior_round(
+        {"a": 1.0}, {"round": 13, "queries_sec_normalized": {"a": 0.0}}
+    )
+    assert d["normalized_total_ratio"] is None
+    assert d["prior_total_zero"] is True
+    assert d["empty_intersection"] is False
+    # and the healthy path carries the flag as False
+    d = rb.vs_prior_round(
+        {"a": 1.0}, {"round": 13, "queries_sec_normalized": {"a": 2.0}}
+    )
+    assert d["prior_total_zero"] is False
+    assert d["normalized_total_ratio"] == 0.5

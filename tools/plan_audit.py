@@ -35,6 +35,7 @@ import argparse
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -106,6 +107,11 @@ def main() -> int:
         action="store_true",
         help="re-pin PLAN_BASELINE.json to the current exchange counts",
     )
+    ap.add_argument(
+        "--round",
+        default="unspecified",
+        help="round number stamped into the output's freshness line",
+    )
     args = ap.parse_args()
     baseline_path = os.path.join(REPO, "PLAN_BASELINE.json")
 
@@ -141,6 +147,19 @@ def main() -> int:
             flagged.append((name, info["flags"]))
         spark.catalog.clearCache()
 
+    # Self-certifying freshness (round-13 verdict task 4): stamp the
+    # HEAD commit the audit ran at, so a future reader never has to
+    # reconstruct "no plan-shaping code changed since" from git log.
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+    except Exception:
+        head = "unknown"
     with open(args.out, "w") as f:
         f.write(
             "# PLAN_AUDIT — physical-plan anti-pattern sweep\n\n"
@@ -148,6 +167,7 @@ def main() -> int:
             " (plan SHAPE is SF-independent; AQE may re-plan exchanges at"
             " runtime).  Generated by `tools/plan_audit.py`; flag semantics"
             " in its docstring.\n\n"
+            f"**Generated at:** round {args.round}, HEAD `{head}`.\n\n"
         )
         f.write(f"**Flagged: {len(flagged)}**")
         if flagged:

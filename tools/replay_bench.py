@@ -46,7 +46,11 @@ def vs_prior_round(current_norm: dict, prior: dict) -> dict:
     common = sorted(set(current_norm) & set(prior_norm))
     common_cur = sum(current_norm[n] for n in common)
     common_prior = sum(prior_norm[n] for n in common)
-    ratio = common_cur / common_prior if common_prior else None
+    # A prior total of exactly 0.0 over a NON-empty intersection is
+    # legitimate data, not "no prior" — flag it distinctly instead of
+    # letting the ratio's None conflate the two (round-13 advice #3).
+    prior_total_zero = bool(common) and common_prior == 0
+    ratio = common_cur / common_prior if common and not prior_total_zero else None
     worst = max(
         (
             (n, round(current_norm[n] / prior_norm[n], 3))
@@ -63,6 +67,7 @@ def vs_prior_round(current_norm: dict, prior: dict) -> dict:
         "normalized_total_ratio": round(ratio, 3) if ratio is not None else None,
         "compared_fixtures": len(common),
         "empty_intersection": not common,
+        "prior_total_zero": prior_total_zero,
         "fixture_set_changed": set(current_norm) != set(prior_norm),
         "only_in_current": sorted(set(current_norm) - set(prior_norm)),
         "only_in_prior": sorted(set(prior_norm) - set(current_norm)),
