@@ -227,6 +227,12 @@ ROUND13_QUERIES = [
     "docs_stream_decontam_replay",
 ]
 
+# Round 14: no query code changed semantically (the replay pin skip is
+# a no-op under every numeric session conf) — re-time the round-13 set
+# so the sf1 ladder stays fresh and the two touched replay files get a
+# fresh decade measurement on identical fixtures.
+ROUND14_QUERIES = list(ROUND13_QUERIES)
+
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ETYPES = ["view", "click", "purchase", "signup", "error"]
@@ -384,8 +390,15 @@ def main() -> int:
         action="store_true",
         help="time ROUND13_QUERIES and write SF1NEW_r13.json",
     )
+    ap.add_argument(
+        "--round14",
+        action="store_true",
+        help="time ROUND14_QUERIES and write SF1NEW_r14.json",
+    )
     args = ap.parse_args()
-    if args.round13:
+    if args.round14:
+        names, out_name = ROUND14_QUERIES, "SF1NEW_r14.json"
+    elif args.round13:
         names, out_name = ROUND13_QUERIES, "SF1NEW_r13.json"
     elif args.round12:
         names, out_name = ROUND12_QUERIES, "SF1NEW_r12.json"
