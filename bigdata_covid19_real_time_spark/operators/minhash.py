@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_covid19_real_time_spark.operators.bucketing import cap_bucket_size
+from bigdata_covid19_real_time_spark.operators.fanout import fan_out_scan
 from bigdata_covid19_real_time_spark.operators.text import tokens
 
 
@@ -51,8 +52,42 @@ def _permutation_salts(num_perm: int, seed: int) -> list[int]:
     return [rng.randrange(-(1 << 31), 1 << 31) for _ in range(num_perm)]
 
 
+def _salted_min_struct(salts: list[int], with_count: bool) -> str:
+    """The signature aggregate as ONE SQL struct expression.
+
+    Column-object construction of 128 ``min(xxhash64(lit, col))`` aggs
+    costs ~1 s of py4j round-trips PER QUERY BUILD (measured round 14);
+    a single parsed string builds the identical expression tree in one
+    JVM call.  ``CAST(.. AS INT)`` pins each salt literal to the
+    IntegerType that ``F.lit(salt)`` produced — xxhash64 hashes INT and
+    BIGINT inputs differently, so the cast is what keeps signatures
+    bit-identical with the historical implementation.
+    """
+    fields = ["count(1) AS __n"] if with_count else []
+    fields += [
+        f"min(xxhash64(CAST({s} AS INT), __h)) AS __m{i}"
+        for i, s in enumerate(salts)
+    ]
+    return "struct(" + ", ".join(fields) + ")"
+
+
+def _band_hash_array(bands: int, rows_per_band: int) -> str:
+    """The per-band signature hashes as ONE SQL array expression (same
+    py4j-chatter rationale as ``_salted_min_struct``; CAST pins the
+    band-id literal to F.lit's IntegerType)."""
+    return "array(" + ", ".join(
+        "xxhash64(CAST({b} AS INT), array({cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"__m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    ) + ")"
+
+
 def _exploded_shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, fan_out: bool = False
 ) -> DataFrame:
     """(id, shingle-hash) rows: distinct word n-grams as 64-bit hashes.
 
@@ -66,6 +101,12 @@ def _exploded_shingle_hashes(
     toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
         F.size("__toks") >= n
     )
+    if fan_out:
+        # scale-adaptive: a no-op whenever the scan is already at least
+        # session-parallel (any real corpus); on under-split local
+        # inputs it distributes the shingle/hash map, and keying by the
+        # doc id lets the signature groupBy reuse this exchange
+        toks_df = fan_out_scan(toks_df, key=id_col)
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(F.col("__toks")) - n),
@@ -99,14 +140,15 @@ def minhash_signatures(
     # min-aggregate per permutation over exploded rows: partial (map-side)
     # aggregation collapses each partition to one row per doc before the
     # single shuffle on the id; the num_perm hash+min columns evaluate in
-    # one codegen'd pass per row
+    # one codegen'd pass per row.  Built as ONE parsed struct expression
+    # (the optimizer unwraps struct-of-aggregates into plain aggregate
+    # functions, so the physical plan is unchanged).
     mins = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.lit(s), F.col("__h"))).alias(f"__m{i}")
-            for i, s in enumerate(salts)
-        ]
+        F.expr(_salted_min_struct(salts, with_count=False)).alias("__s")
+    ).select(id_col, "__s.*")
+    sig = F.expr(
+        "array(" + ", ".join(f"__m{i}" for i in range(num_perm)) + ")"
     )
-    sig = F.array(*[F.col(f"__m{i}") for i in range(num_perm)])
     return mins.select(F.col(id_col), sig.alias("signature"))
 
 
@@ -130,13 +172,12 @@ def band_hash_rows(
         raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, num_perm, shingle_n, seed, id_col, text_col)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-            )
+    band_hashes = F.expr(
+        "array(" + ", ".join(
+            f"xxhash64(CAST({b} AS INT), "
+            f"slice(signature, {b * rows_per_band + 1}, {rows_per_band}))"
             for b in range(bands)
-        ]
+        ) + ")"
     )
     return sigs.select(F.col(id_col), F.explode(band_hashes).alias("band_hash"))
 
@@ -188,6 +229,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = 10_000,
+    fan_out: bool = True,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
 
@@ -208,24 +250,19 @@ def minhash_lsh_pairs(
     # set sizes, and exact-Jaccard verification of candidates.  This
     # halves the job count vs composing minhash_lsh_candidates +
     # jaccard_pairs (which would tokenize and shingle the corpus twice).
-    exploded = _exploded_shingle_hashes(df, id_col, text_col, shingle_n).persist()
+    # ``fan_out`` (scale-adaptive, no-op on session-parallel scans)
+    # keys the fan-out by the doc id so this groupBy reuses it.
+    exploded = _exploded_shingle_hashes(
+        df, id_col, text_col, shingle_n, fan_out=fan_out
+    ).persist()
 
+    # ONE parsed struct expression (py4j-chatter fix, see
+    # _salted_min_struct — the optimizer unwraps it into the identical
+    # plain aggregate list)
     stats = exploded.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.min(F.xxhash64(F.lit(s), F.col("__h"))).alias(f"__m{i}")
-            for i, s in enumerate(salts)
-        ],
-    )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                F.array(*[F.col(f"__m{b * rows_per_band + r}") for r in range(rows_per_band)]),
-            )
-            for b in range(bands)
-        ]
-    )
+        F.expr(_salted_min_struct(salts, with_count=True)).alias("__s")
+    ).select(id_col, "__s.*")
+    band_hashes = F.expr(_band_hash_array(bands, rows_per_band))
     # cap_bucket_size persists the flagged bucket table, partitioned on
     # band_hash — the candidate self-join reuses that partitioning
     buckets = stats.select(

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_covid19_real_time_spark.operators.bucketing import cap_bucket_size
+from bigdata_covid19_real_time_spark.operators.fanout import fan_out_scan
 from bigdata_covid19_real_time_spark.operators.text import tokens
 
 _BITS = 64
@@ -49,11 +50,18 @@ def simhash_fingerprints(
     64 longs per doc per partition.  Docs with zero tokens after split
     produce no rows and are dropped (no text, no fingerprint).
 
-    Bit positions are unrolled in Python: shiftright takes a literal
-    shift; bit 63 wraps to the long sign bit via shiftleft — fine for an
-    opaque fingerprint.
+    Bit positions are unrolled as SQL text: the vote aggregate and the
+    64-term packing projection are each built as ONE parsed expression
+    string — the Column-object loops they replace cost a measured
+    ~2.5 s of py4j round-trips per query build (round 14); the parsed
+    tree (and therefore every fingerprint) is identical.  shiftright
+    takes a literal shift; bit 63 wraps to the long sign bit via
+    shiftleft — fine for an opaque fingerprint.
     """
     toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # scale-adaptive fan-out (no-op on session-parallel scans), keyed by
+    # the doc id so the vote groupBy below reuses the exchange
+    toks_df = fan_out_scan(toks_df, key=id_col)
     ex = toks_df.select(
         F.col(id_col), F.explode_outer("__toks").alias("__t")
     ).filter(F.col("__t").isNotNull())
@@ -70,9 +78,9 @@ def simhash_fingerprints(
         F.conv(F.substring("__md5", 9, 8), 16, 10).cast("long").alias("__h2"),
     )
 
-    def bit(j: int) -> Column:
-        half = F.col("__h1") if j < 32 else F.col("__h2")
-        return F.shiftright(half, j % 32).bitwiseAND(F.lit(1))
+    def bit_sql(j: int) -> str:
+        half = "__h1" if j < 32 else "__h2"
+        return f"(shiftright({half}, {j % 32}) & 1)"
 
     # Pack TWO per-bit counters into each aggregated long (31-bit
     # fields): sum(b_lo + (b_hi << 31)) = s_lo + (s_hi << 31) with no
@@ -80,29 +88,30 @@ def simhash_fingerprints(
     # real document does).  Halves the aggregate count (32 sums + 1
     # count vs 64 conditional sums) — less generated code to compile
     # and 33 longs per doc per partition on the shuffle instead of 64.
-    # The +/-1 vote sign is recovered as 2*s_j > n.
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for k in range(_BITS // 2):
-        packed_pair = bit(2 * k) + F.shiftleft(bit(2 * k + 1), 31)
-        aggs.append(F.sum(packed_pair).alias(f"__p{k}"))
-    votes = hashed.groupBy(id_col).agg(*aggs)
+    # The +/-1 vote sign is recovered as 2*s_j > n.  One struct-of-
+    # aggregates expression: the optimizer unwraps it into the same
+    # plain aggregate list the Column-object loop produced.
+    agg_fields = ["count(1) AS __n"] + [
+        f"sum({bit_sql(2 * k)} + shiftleft({bit_sql(2 * k + 1)}, 31)) AS __p{k}"
+        for k in range(_BITS // 2)
+    ]
+    votes = hashed.groupBy(id_col).agg(
+        F.expr("struct(" + ", ".join(agg_fields) + ")").alias("__s")
+    ).select(id_col, "__s.*")
 
-    lo_mask = F.lit((1 << 31) - 1).cast("long")
+    def ones_sql(j: int) -> str:
+        pair = f"__p{j // 2}"
+        # 2147483647 = (1 << 31) - 1, the low-field mask
+        return f"({pair} & CAST(2147483647 AS BIGINT))" if j % 2 == 0 else f"shiftright({pair}, 31)"
 
-    def ones(j: int) -> Column:
-        pair = F.col(f"__p{j // 2}")
-        return (
-            pair.bitwiseAND(lo_mask) if j % 2 == 0 else F.shiftright(pair, 31)
+    packed = F.expr(
+        "CAST(0 AS BIGINT) | " + " | ".join(
+            f"(CASE WHEN {ones_sql(j)} * 2 > __n"
+            f" THEN shiftleft(CAST(1 AS BIGINT), {j})"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for j in range(_BITS)
         )
-
-    packed = F.lit(0).cast("long")
-    for j in range(_BITS):
-        packed = packed.bitwiseOR(
-            F.when(
-                ones(j) * 2 > F.col("__n"),
-                F.shiftleft(F.lit(1).cast("long"), j),
-            ).otherwise(F.lit(0).cast("long"))
-        )
+    )
     return votes.select(F.col(id_col), packed.alias("simhash"))
 
 

@@ -193,7 +193,12 @@ class CorpusIngest:
             seed=self.seed,
         )
         pairs = minhash_lsh_pairs(
-            survivors, threshold=self.near_dup_threshold, **lsh_kwargs
+            survivors,
+            threshold=self.near_dup_threshold,
+            # micro-batches are small by construction; the scale-adaptive
+            # fan-out would add a per-trigger repartition for nothing
+            fan_out=False,
+            **lsh_kwargs,
         )
         # persist the DECISION (an id-only frame, O(near-dups) rows):
         # three sink writes consume the screen downstream, and without

@@ -33,9 +33,10 @@ EVENT_DIR = "/tmp/spark-events-profile"
 
 
 def run_and_profile(name: str, sf_dir: str, runs: int) -> dict:
+    import shutil
+
+    shutil.rmtree(EVENT_DIR, ignore_errors=True)
     os.makedirs(EVENT_DIR, exist_ok=True)
-    for p in glob.glob(f"{EVENT_DIR}/*"):
-        os.remove(p)
 
     from bigdata_covid19_real_time_spark.plans import QUERIES
     from bigdata_covid19_real_time_spark.session import get_spark
@@ -50,6 +51,8 @@ def run_and_profile(name: str, sf_dir: str, runs: int) -> dict:
             "spark.cleaner.periodicGC.interval": "60s",
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVENT_DIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,22 +69,34 @@ def run_and_profile(name: str, sf_dir: str, runs: int) -> dict:
         t0 = time.perf_counter()
         # marker epoch-ms so the parser can isolate each timed run
         marks.append({"t0_ms": int(time.time() * 1000)})
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        df = QUERIES[name](spark, sf_dir)
+        t_build = time.perf_counter() - t0
+        df.write.mode("overwrite").format("noop").save()
         timings.append(round(time.perf_counter() - t0, 3))
         marks[-1]["t1_ms"] = int(time.time() * 1000)
+        marks[-1]["build_sec"] = round(t_build, 3)
         spark.catalog.clearCache()
     spark.stop()
 
-    logs = glob.glob(f"{EVENT_DIR}/*")
-    assert len(logs) == 1, logs
-    return parse_log(logs[0], marks, timings)
+    # Spark 4 rolling format: a directory per app containing events_* files
+    logs = [
+        p
+        for p in glob.glob(f"{EVENT_DIR}/**/*", recursive=True)
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ] or [p for p in glob.glob(f"{EVENT_DIR}/*") if os.path.isfile(p)]
+    assert logs, f"no event log under {EVENT_DIR}"
+    return parse_log(sorted(logs), marks, timings)
 
 
-def parse_log(path: str, marks: list[dict], timings: list[float]) -> dict:
+def parse_log(paths: list[str], marks: list[dict], timings: list[float]) -> dict:
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(path) as fh:
-        for line in fh:
+    lines = []
+    for path in paths:
+        with open(path) as fh:
+            lines.extend(fh)
+    if True:
+        for line in lines:
             ev = json.loads(line)
             e = ev.get("Event")
             if e == "SparkListenerJobStart":
@@ -166,6 +181,7 @@ def parse_log(path: str, marks: list[dict], timings: list[float]) -> dict:
             {
                 "run": mi,
                 "elapsed_sec": timings[mi],
+                "build_sec": m.get("build_sec"),
                 "n_jobs": len(run_jobs),
                 "sum_job_wall_ms": total_job_ms,
                 "sum_gaps_ms": sum(x["gap_before_ms"] for x in jl) + tail_gap,
@@ -190,7 +206,7 @@ def main() -> int:
             json.dump(res, f, indent=1)
     for r in res["runs"]:
         print(
-            f"== run {r['run']}: {r['elapsed_sec']}s  jobs={r['n_jobs']} "
+            f"== run {r['run']}: {r['elapsed_sec']}s (build {r['build_sec']}s) jobs={r['n_jobs']} "
             f"job_wall={r['sum_job_wall_ms']}ms gaps={r['sum_gaps_ms']}ms "
             f"(tail {r['tail_gap_ms']}ms)"
         )
