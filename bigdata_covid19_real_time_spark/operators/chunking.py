@@ -92,9 +92,15 @@ def cdc_chunks(
     """
     from pyspark.sql import functions as F
 
+    from bigdata_covid19_real_time_spark.operators.fanout import fan_out_scan
+
     base = df.select(F.col(id_col), F.col(text_col).alias("__t")).filter(
         F.length("__t") > 0
     )
+    # scale-adaptive fan-out (no-op on session-parallel inputs): the
+    # per-position rolling md5 below is a multi-second single-task map
+    # on under-split inputs (round-14 profile)
+    base = fan_out_scan(base)
     n = F.length("__t")
     gram_hash = lambda i: F.conv(  # noqa: E731
         F.substring(F.md5(F.col("__t").substr(i - k + 1, F.lit(k))), 1, 15), 16, 10

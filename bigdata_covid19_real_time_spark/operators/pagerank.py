@@ -38,30 +38,44 @@ def pagerank(
     """(node, rank) after ``n_iters`` power iterations over the
     directed ``edges`` frame.  Ranks sum to 1 (dangling mass is
     redistributed uniformly)."""
+    # LAZY lineage truncation (the components.connected_components
+    # pattern): each localCheckpoint still cuts the Catalyst plan at the
+    # RDD boundary immediately, but materialization folds into the
+    # caller's own action instead of running one eager job per call —
+    # the eager form cost a job per checkpoint (5+ extra scheduling
+    # rounds for 3 iterations) with identical total work.
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_frame = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__out"))
+    # Loop-invariant hoist: the (src, dst, out_degree) frame does not
+    # change across iterations — joining deg inside the loop re-ran the
+    # degree aggregate + join every round.
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    # The dangling-node SET is loop-invariant too (nodes with no
+    # out-edge); only the rank mass over it changes per round.
+    dangling_nodes = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=False)
 
     ranks = nodes.join(n_frame).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     for _ in range(n_iters):
         contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .join(deg, "src")
+            ed.join(ranks, ed.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("__out")).alias("__m"))
         )
         dangling = F.broadcast(
-            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
         ranks = (
@@ -79,6 +93,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks

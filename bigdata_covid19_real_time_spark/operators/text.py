@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_covid19_real_time_spark.operators.fanout import fan_out_scan
+
 #: Tiny per-language stopword lists for the n-gram/stopword language
 #: heuristic and stopword-ratio quality signal.
 STOPWORDS = {
@@ -105,6 +107,10 @@ def shingle_sets(
     toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
         F.size("toks") >= n
     )
+    # scale-adaptive (no-op on session-parallel inputs): distribute the
+    # shingle construction when the scan under-splits (round-14 measured
+    # multi-second single-task map stages on the bench corpus)
+    toks_df = fan_out_scan(toks_df)
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(F.col("toks")) - n),
@@ -186,6 +192,8 @@ def jaccard_pairs(
     toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
         F.size("toks") >= n
     )
+    # scale-adaptive fan-out (no-op on session-parallel inputs)
+    toks_df = fan_out_scan(toks_df)
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(F.col("toks")) - n),
@@ -280,6 +288,11 @@ def winnow_fingerprints(
     base = df.select(F.col(id_col), norm.alias("__t")).filter(
         F.length("__t") >= k + window - 1
     )
+    # scale-adaptive fan-out (no-op on session-parallel inputs), keyed so
+    # a downstream per-doc aggregation reuses the exchange; the per-char
+    # md5 gram chain below is the engine's heaviest narrow map (measured
+    # 3.5 s single-task at bench scale)
+    base = fan_out_scan(base, key=id_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.length("__t") - k + 1),
         # Column.substr accepts Column start positions (F.substring needs
@@ -411,6 +424,8 @@ def duplicate_spans(
     toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
         F.size("toks") >= n
     )
+    # scale-adaptive fan-out (no-op on session-parallel inputs)
+    toks_df = fan_out_scan(toks_df)
     spans = F.transform(
         F.sequence(F.lit(0), F.size(F.col("toks")) - n),
         lambda i: F.concat_ws(
@@ -457,8 +472,13 @@ def remove_repeated_spans(
     # base persisted: three branches re-ran the corpus tokenization
     # uncached (token rows, gram rows, the before-counts), and sibling
     # branches are never exchange-reused
-    base = df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
-        F.size("__t") > 0
+    base = fan_out_scan(
+        # scale-adaptive (no-op on session-parallel inputs); keyed by the
+        # doc id so the per-doc aggregations downstream reuse the exchange
+        df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
+            F.size("__t") > 0
+        ),
+        key=id_col,
     ).persist()
     tok_rows = base.select(
         id_col, F.posexplode("__t").alias("__pos", "__tok")
@@ -652,8 +672,13 @@ def remove_global_repeated_spans(
     # base persisted: three branches re-ran the corpus tokenization
     # uncached (token rows, gram rows, the before-counts), and sibling
     # branches are never exchange-reused
-    base = df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
-        F.size("__t") > 0
+    base = fan_out_scan(
+        # scale-adaptive (no-op on session-parallel inputs); keyed by the
+        # doc id so the per-doc aggregations downstream reuse the exchange
+        df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
+            F.size("__t") > 0
+        ),
+        key=id_col,
     ).persist()
     tok_rows = base.select(
         id_col, F.posexplode("__t").alias("__pos", "__tok")

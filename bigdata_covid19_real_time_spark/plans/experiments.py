@@ -375,8 +375,12 @@ def events_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash through the exact Poisson(1) inverse CDF, never ``rand()``,
     so both engines draw identical resamples and the gate hashes
     match."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    from bigdata_covid19_real_time_spark.operators.fanout import fan_out_scan
+
+    ev = fan_out_scan(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value", "event_id")
     )
     drawn = ev.select(
         "event_type",
