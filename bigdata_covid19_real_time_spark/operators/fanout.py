@@ -44,6 +44,26 @@ def fan_out_scan(
     """
     spark = df.sparkSession
     sc = spark.sparkContext
+    # Guard: only probe/repartition SCAN-SHAPED frames (scan + narrow
+    # ops).  A frame whose lineage already contains a shuffle-inducing
+    # node is post-exchange parallel — and, critically, the partition
+    # probe below (`df.rdd`) would not be free on it: under AQE,
+    # converting to an RDD EXECUTES the upstream query stages eagerly,
+    # so probing a derived frame re-runs its whole pipeline (measured
+    # 2.3x on the curation waterfall before this guard).
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — connect/other backends: skip quietly
+        return df
+    if any(
+        tok in analyzed
+        for tok in (
+            "Join", "Aggregate", "Repartition", "Window", "Sort",
+            "Deduplicate", "Distinct", "InMemoryRelation", "Union",
+            "GlobalLimit",
+        )
+    ):
+        return df
     if target is None:
         # keyed fan-outs must match spark.sql.shuffle.partitions so the
         # downstream aggregation's ClusteredDistribution is satisfied by

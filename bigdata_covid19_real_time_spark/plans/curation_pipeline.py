@@ -221,6 +221,14 @@ def docs_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs ~8% FASTER than the window variant it replaced while keeping
     text off the content shuffle.
     """
+    # Round-14 note: a scale-adaptive fan-out of this scan was tried and
+    # REVERTED — the waterfall references `docs` from several broadcast
+    # build sides (kept, gmin, exact_losers, the eval holdout), and each
+    # build-side plan re-ran the repartition shuffle, turning one cheap
+    # single-task scan per subtree into a 32-task exchange per subtree
+    # (interleaved A/B: 2.3-3.6x SLOWER).  The one-shuffle flags design
+    # below is the right shape; the composed LSH/decontam operators'
+    # fan-outs stay no-ops here via fan_out_scan's scan-shaped guard.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
