@@ -186,8 +186,16 @@ def train_bpe_merges(
         if local_threshold is not None:
             n_words = words.count()  # also materializes the cache
             if n_words <= local_threshold:
+                # Arrow-backed driver transfer (identical values; a row
+                # collect pickles every symbol list individually)
+                wpdf = words.toPandas()
                 return _train_local(
-                    [(r["syms"], r["weight"]) for r in words.collect()],
+                    list(
+                        zip(
+                            (list(s) for s in wpdf["syms"]),
+                            wpdf["weight"].tolist(),
+                        )
+                    ),
                     n_merges,
                     min_count,
                 )
@@ -262,4 +270,9 @@ def apply_bpe(
             ]
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: toks})
 
-    return df.select(id_col, text_col).mapInPandas(kernel, schema)
+    from bigdata_covid19_real_time_spark.operators.fanout import fan_out_scan
+
+    # scale-adaptive fan-out (no-op on session-parallel/derived inputs):
+    # the pure-Python merge loop is the cost — on a 1-split scan it runs
+    # in a single Python worker while the rest of the host idles
+    return fan_out_scan(df.select(id_col, text_col)).mapInPandas(kernel, schema)

@@ -136,8 +136,11 @@ def connected_components(
         if n_edges <= local_threshold:
             import pandas as pd
 
+            # Arrow-backed driver transfer (collect() would pickle the
+            # edge rows one by one; values identical)
+            epdf = edges.toPandas()
             rows = _cc_local(
-                [(r["src"], r["dst"]) for r in edges.collect()]
+                list(zip(epdf["src"].tolist(), epdf["dst"].tolist()))
             )
             # Arrow-backed return: a plain createDataFrame(python_rows)
             # re-ships pickled rows on EVERY downstream action (~0.8 s

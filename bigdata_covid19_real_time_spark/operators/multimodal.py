@@ -89,7 +89,13 @@ def attach_media_column(
 
 def text_as_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """UTF-8-encode a text column into a binary payload — the test stand-in
-    for real media bytes (the corpus has no binary table)."""
+    for real media bytes (the corpus has no binary table).
+
+    Round-14 note: a scan fan-out here was tried and REVERTED — the
+    deterministic fake decode kernels are too cheap to amortize the
+    extra exchange (interleaved A/B: 2.1x slower on
+    docs_media_features).  With real image decoders the calculus flips;
+    apply fan_out_scan at the call site in that deployment."""
     return df.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload"))
 
 

@@ -33,6 +33,7 @@ def quality_filter(
     min_alpha_ratio: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fan_out: bool = False,
 ) -> DataFrame:
     """Per-document keep/drop with named reasons.
 
@@ -44,7 +45,7 @@ def quality_filter(
     stats = quality_stats(df, text_col).select(
         F.col(id_col), "alpha_ratio"
     )
-    rep = repetition_stats(df, id_col, text_col)
+    rep = repetition_stats(df, id_col, text_col, fan_out=fan_out)
     joined = rep.join(stats, id_col)
 
     rules = {

@@ -43,8 +43,14 @@ def redact_pii(
     typed placeholders preserve the token-count shape for downstream
     budget estimates.
     """
+    from bigdata_covid19_real_time_spark.operators.fanout import fan_out_scan
+
     patterns = PII_PATTERNS if patterns is None else patterns
     out_col = out_col or text_col
+    # scale-adaptive fan-out (no-op on session-parallel/derived inputs):
+    # the per-pattern regex scans are a multi-second single-task map on
+    # under-split scans
+    df = fan_out_scan(df)
     counts = {
         f"redacted_{name}": F.regexp_count(F.col(text_col), F.lit(rx))
         for name, rx in patterns.items()

@@ -315,7 +315,10 @@ def winnow_fingerprints(
 
 
 def repetition_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fan_out: bool = False,
 ) -> DataFrame:
     """Per-document repetition signals (the Gopher/C4 family of quality
     rules, adapted to token/n-gram form): type-token ratio, most-frequent
@@ -340,6 +343,12 @@ def repetition_stats(
     toks_df = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
         F.size("toks") > 0
     )
+    if fan_out:
+        # opt-in (default OFF): composite pipelines that reference this
+        # subtree from broadcast build sides (curation waterfall) must
+        # not pay a repartition per reference; standalone per-doc stats
+        # queries turn it on, keyed so the gram groupBys reuse it
+        toks_df = fan_out_scan(toks_df, key=id_col)
 
     uni = (
         toks_df.select(F.col(id_col), F.explode_outer("toks").alias("g"))

@@ -34,7 +34,14 @@ from bigdata_covid19_real_time_spark.operators.text import tokens
 
 def _term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per (doc, term) with its occurrence count."""
-    term_rows = df.select(
+    from bigdata_covid19_real_time_spark.operators.fanout import fan_out_scan
+
+    # scale-adaptive fan-out (no-op on session-parallel or derived
+    # inputs), keyed so this groupBy and per-doc rollups reuse it
+    staged = fan_out_scan(
+        df.select(F.col(id_col), F.col(text_col)), key=id_col
+    )
+    term_rows = staged.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
     return term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -173,9 +180,14 @@ def bigram_lm_scores(
 
     Output: ``(id_col, bigram_total, cross_entropy)``.
     """
-    toks = df.select(
-        F.col(id_col), tokens(text_col).alias("__t")
-    ).filter(F.size("__t") >= 2)
+    from bigdata_covid19_real_time_spark.operators.fanout import fan_out_scan
+
+    toks = fan_out_scan(
+        df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
+            F.size("__t") >= 2
+        ),
+        key=id_col,
+    )
     pair_rows = toks.select(
         F.col(id_col),
         F.explode(

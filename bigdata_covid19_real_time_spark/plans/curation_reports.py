@@ -71,7 +71,7 @@ def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     run prints before anyone commits to a filter config.  One pass of
     the per-doc filter frame; output is |rules|+3 rows."""
     qf = quality_filter(
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents"), fan_out=True
     ).select("keep", "reasons")
     tot = F.broadcast(qf.agg(F.count(F.lit(1)).alias("t")))
     per_rule = (

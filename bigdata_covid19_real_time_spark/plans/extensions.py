@@ -894,6 +894,9 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_covid19_real_time_spark.operators.text import repetition_stats
 
     docs = load_table(spark, sf_dir, "documents")
+    # round-14 A/B: fan-out REGRESSED this standalone query (1.2x, no
+    # overlap) — the gram work is too light to amortize the extra
+    # exchange; left un-fanned deliberately
     out = repetition_stats(docs)
     return out.select(
         "doc_id",
@@ -1001,7 +1004,7 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_covid19_real_time_spark.operators.quality import quality_filter
 
     docs = load_table(spark, sf_dir, "documents")
-    out = quality_filter(docs)
+    out = quality_filter(docs, fan_out=True)
     return out.select(
         "doc_id",
         "token_count",
@@ -1063,7 +1066,7 @@ def docs_corpus_ingest_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    verdict = quality_filter(docs).select("doc_id", "keep", "reasons")
+    verdict = quality_filter(docs, fan_out=True).select("doc_id", "keep", "reasons")
     scored = docs.join(verdict, "doc_id")
     quality_rejects = scored.filter(~F.col("keep")).select(
         "doc_id",

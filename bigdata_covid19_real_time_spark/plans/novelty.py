@@ -60,6 +60,9 @@ def docs_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     one distinct + two partial-agg shuffles.  At 100 TB group on
     ``xxhash64(gram)`` so the shuffles carry 8-byte keys — the string
     form here keeps the oracle trivially equivalent."""
+    # round-14 A/B: a scan fan-out REGRESSED this query (1.19x, no
+    # overlap) — the gram distinct already pays a full shuffle right
+    # after the map, so the extra exchange buys nothing; left un-fanned
     toks = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
