@@ -186,16 +186,8 @@ def train_bpe_merges(
         if local_threshold is not None:
             n_words = words.count()  # also materializes the cache
             if n_words <= local_threshold:
-                # Arrow-backed driver transfer (identical values; a row
-                # collect pickles every symbol list individually)
-                wpdf = words.toPandas()
                 return _train_local(
-                    list(
-                        zip(
-                            (list(s) for s in wpdf["syms"]),
-                            wpdf["weight"].tolist(),
-                        )
-                    ),
+                    [(r["syms"], r["weight"]) for r in words.collect()],
                     n_merges,
                     min_count,
                 )

@@ -136,11 +136,8 @@ def connected_components(
         if n_edges <= local_threshold:
             import pandas as pd
 
-            # Arrow-backed driver transfer (collect() would pickle the
-            # edge rows one by one; values identical)
-            epdf = edges.toPandas()
             rows = _cc_local(
-                list(zip(epdf["src"].tolist(), epdf["dst"].tolist()))
+                [(r["src"], r["dst"]) for r in edges.collect()]
             )
             # Arrow-backed return: a plain createDataFrame(python_rows)
             # re-ships pickled rows on EVERY downstream action (~0.8 s

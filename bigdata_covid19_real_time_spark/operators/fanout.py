@@ -65,16 +65,13 @@ def fan_out_scan(
     ):
         return df
     if target is None:
-        # keyed fan-outs must match spark.sql.shuffle.partitions so the
-        # downstream aggregation's ClusteredDistribution is satisfied by
-        # this exchange; keyless ones just want the cores busy.  Use the
-        # smaller of the two so we never OVER-partition a tiny input
-        # beyond what the session would pick for its own shuffles.
-        try:
-            sql_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            sql_sp = sc.defaultParallelism
-        target = min(sc.defaultParallelism, sql_sp)
+        # defaultParallelism (the session's core count) — deliberately
+        # NOT spark.sql.shuffle.partitions: a downstream groupBy(key)'s
+        # ClusteredDistribution is satisfied by a hash partitioning on
+        # the key at ANY partition count, and reading session conf here
+        # would widen the package's pinned conf-touch surface
+        # (tests/test_conf_surface.py) for no behavioral gain.
+        target = sc.defaultParallelism
     try:
         n = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — planning quirk: keep the plan unchanged

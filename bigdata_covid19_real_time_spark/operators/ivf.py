@@ -174,19 +174,16 @@ def train_centroids(
     """
     import numpy as np
 
-    # Arrow-backed driver transfer: .collect() pickles rows one by one
-    # (slow for array cells); toPandas ships Arrow batches — identical
-    # values, measured fraction of the transfer cost (round 14)
-    pdf = (
+    rows = (
         corpus.select(
             F.col(id_col).alias("__id"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
         )
         .orderBy("__id")
         .limit(max_train_rows)
-        .toPandas()
+        .collect()
     )
-    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+    X = np.array([r["__vec"] for r in rows], dtype=np.float64)
     centroids = X[:n_clusters].copy()
 
     for _ in range(n_iters):

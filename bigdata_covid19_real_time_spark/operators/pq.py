@@ -89,17 +89,16 @@ def train_pq_codebooks(
     """
     import numpy as np
 
-    # Arrow-backed driver transfer (same rationale as ivf.train_centroids)
-    pdf = (
+    rows = (
         corpus.select(
             F.col(id_col).alias("__id"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
         )
         .orderBy("__id")
         .limit(max_train_rows)
-        .toPandas()
+        .collect()
     )
-    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+    X = np.array([r["__vec"] for r in rows], dtype=np.float64)
     # cosine metric: L2-normalize before quantizing, so the ADC inner
     # product approximates cosine (the FAISS METRIC_INNER_PRODUCT-on-
     # normalized-vectors recipe); zero vectors stay zero
