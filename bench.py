@@ -850,9 +850,13 @@ def main() -> None:
         )
 
     # compact stdout line: headline value + the heaviest queries only,
-    # so it always fits the driver's capture window
+    # so it always fits the driver's capture window.  Round-15 (verdict
+    # task 7, additions-only): widened 10 -> 30 so round-over-round
+    # PERF comparisons intersect on a real sample instead of a 5-query
+    # top-10 overlap; the timing methodology is unchanged and the full
+    # map still lives in the detail file.
     heaviest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:30]
     )
     print(
         json.dumps(

@@ -21,16 +21,48 @@ partition count is below the session's default parallelism, so:
   of shuffling the pruned input columns once.
 
 When the heavy map feeds a ``groupBy(key)``, pass ``key``: the fan-out
-then hash-partitions on that key with the session shuffle-partition
-count, and the downstream aggregation reuses the partitioning instead
-of inserting its own exchange — same total exchange count as the
-un-fanned plan, with the map work distributed.
+then hash-partitions on that key — targeting the session's
+``defaultParallelism``, the same partition count the keyless path uses
+(NOT ``spark.sql.shuffle.partitions``; see the inline comment at the
+target computation) — and the downstream aggregation reuses the
+partitioning instead of inserting its own exchange: same total
+exchange count as the un-fanned plan, with the map work distributed.
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Logical nodes whose presence in the lineage disqualifies a frame:
+#: they either imply the frame is already post-exchange parallel, or
+#: (the round-14 hard lesson) make the ``df.rdd`` partition probe
+#: non-free — under AQE, converting a frame with exchanges in its
+#: lineage to an RDD EXECUTES the upstream query stages eagerly
+#: (measured 2.3x on the curation waterfall before this guard).
+#: Matched as NODE NAMES at line starts of the analyzed-plan tree
+#: string (a column literally named e.g. ``sort_key`` appears inside
+#: brackets mid-line and does not false-positive) — round-15 advice
+#: closure: Except/Intersect added, identifier collisions fixed.
+_SHUFFLE_NODE_RE = re.compile(
+    r"^[\s:+|-]*(?:"
+    r"Join|Aggregate|Repartition|Window|Sort|Deduplicate|Distinct|"
+    r"InMemoryRelation|Union|GlobalLimit|LocalLimit|Except|Intersect"
+    r")\b",
+    re.MULTILINE,
+)
+
+#: Planned-partition-count memo: ``df.rdd.getNumPartitions()`` runs a
+#: full physical planning of the input per call, and operators composed
+#: several times per query re-probe the same scan repeatedly (round-15
+#: advice closure).  Same session + semantically-equal analyzed plan
+#: => same file listing => same planned split count, so the count is
+#: safe to memoize; bounded so a long-lived session cannot grow it
+#: without limit.
+_PROBE_MEMO: dict[tuple[str, int], int] = {}
+_PROBE_MEMO_MAX = 4096
 
 
 def fan_out_scan(
@@ -42,39 +74,35 @@ def fan_out_scan(
     session's parallelism (see module docstring).  ``key`` keeps the
     fan-out reusable by a downstream ``groupBy(key)``/join on ``key``.
     """
-    spark = df.sparkSession
-    sc = spark.sparkContext
     # Guard: only probe/repartition SCAN-SHAPED frames (scan + narrow
-    # ops).  A frame whose lineage already contains a shuffle-inducing
-    # node is post-exchange parallel — and, critically, the partition
-    # probe below (`df.rdd`) would not be free on it: under AQE,
-    # converting to an RDD EXECUTES the upstream query stages eagerly,
-    # so probing a derived frame re-runs its whole pipeline (measured
-    # 2.3x on the curation waterfall before this guard).
+    # ops) — see _SHUFFLE_NODE_RE.  Every py4j touch (queryExecution,
+    # sparkContext, the .rdd probe) stays inside a try so non-classic
+    # backends (Spark Connect has no _jdf/sparkContext) fall through to
+    # the identity return instead of raising.
     try:
         analyzed = df._jdf.queryExecution().analyzed().toString()
-    except Exception:  # noqa: BLE001 — connect/other backends: skip quietly
-        return df
-    if any(
-        tok in analyzed
-        for tok in (
-            "Join", "Aggregate", "Repartition", "Window", "Sort",
-            "Deduplicate", "Distinct", "InMemoryRelation", "Union",
-            "GlobalLimit",
+        if _SHUFFLE_NODE_RE.search(analyzed):
+            return df
+        if target is None:
+            # defaultParallelism (the session's core count) —
+            # deliberately NOT spark.sql.shuffle.partitions: a
+            # downstream groupBy(key)'s ClusteredDistribution is
+            # satisfied by a hash partitioning on the key at ANY
+            # partition count, and reading session conf here would
+            # widen the package's pinned conf-touch surface
+            # (tests/test_conf_surface.py) for no behavioral gain.
+            target = df.sparkSession.sparkContext.defaultParallelism
+        memo_key = (
+            df.sparkSession._jsparkSession._target_id,  # noqa: SLF001
+            df.semanticHash(),
         )
-    ):
-        return df
-    if target is None:
-        # defaultParallelism (the session's core count) — deliberately
-        # NOT spark.sql.shuffle.partitions: a downstream groupBy(key)'s
-        # ClusteredDistribution is satisfied by a hash partitioning on
-        # the key at ANY partition count, and reading session conf here
-        # would widen the package's pinned conf-touch surface
-        # (tests/test_conf_surface.py) for no behavioral gain.
-        target = sc.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — planning quirk: keep the plan unchanged
+        n = _PROBE_MEMO.get(memo_key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            if len(_PROBE_MEMO) >= _PROBE_MEMO_MAX:
+                _PROBE_MEMO.clear()
+            _PROBE_MEMO[memo_key] = n
+    except Exception:  # noqa: BLE001 — connect/other backends: skip quietly
         return df
     if n >= target:
         return df

@@ -137,6 +137,33 @@ def _probes(
     )
 
 
+def collect_training_rows(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int = 262_144,
+) -> list:
+    """The bounded training fetch both trainers share: the
+    ``max_train_rows`` lowest-id vectors via one distributed top-K
+    (TakeOrdered — no global sort) collected as ``(__id, __vec)`` rows.
+
+    Factored out in round 15 so composed queries that train BOTH the
+    coarse quantizer and the PQ codebooks (``embedding_ivfpq_topk``,
+    ``embedding_rrf_topk``) run this corpus-wide fetch ONCE and pass
+    the rows to each trainer, instead of executing the identical
+    TakeOrdered+collect job twice per query (guide §1.2: don't compute
+    things you already have)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
+        )
+        .orderBy("__id")
+        .limit(max_train_rows)
+        .collect()
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     n_clusters: int = 16,
@@ -144,6 +171,7 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_train_rows: int = 262_144,
+    train_rows: list | None = None,
 ) -> list[list[float]]:
     """Deterministic k-means: init = the ``n_clusters`` lowest-id vectors,
     then ``n_iters`` Lloyd steps — computed driver-side in numpy over a
@@ -162,6 +190,9 @@ def train_centroids(
     unbiased subsample at 100 TB (where low ids may correlate with one
     shard), pre-sample the corpus with
     ``operators.sampling.deterministic_sample`` and pass the result in.
+    ``train_rows`` (from :func:`collect_training_rows`) lets a caller
+    that also trains PQ codebooks share ONE training fetch between the
+    two trainers instead of collecting the identical rows twice.
 
     Everything corpus-sized — assignment, probing, scoring, the
     inverted-file write — stays fully distributed (``_assign`` /
@@ -175,13 +206,9 @@ def train_centroids(
     import numpy as np
 
     rows = (
-        corpus.select(
-            F.col(id_col).alias("__id"),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
-        )
-        .orderBy("__id")
-        .limit(max_train_rows)
-        .collect()
+        collect_training_rows(corpus, id_col, vec_col, max_train_rows)
+        if train_rows is None
+        else train_rows
     )
     X = np.array([r["__vec"] for r in rows], dtype=np.float64)
     centroids = X[:n_clusters].copy()

@@ -46,6 +46,7 @@ from bigdata_covid19_real_time_spark.operators.ivf import (
     _dot,
     _norm,
     centroid_struct_rows,
+    collect_training_rows,
 )
 
 
@@ -76,6 +77,7 @@ def train_pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_train_rows: int = 262_144,
+    train_rows: list | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace deterministic k-means codebooks:
     ``codebooks[s][j]`` is code ``j``'s centroid in subspace ``s``.
@@ -85,18 +87,17 @@ def train_pq_codebooks(
     argmax(dot - |c|^2/2) assignment with ties to the lower code, empty
     codes keep their previous centroid) — which is what makes the gate's
     SQL replication possible.  The vector dimension must divide by
-    ``m``.
+    ``m``.  ``train_rows`` (from ``ivf.collect_training_rows``) lets a
+    caller that also trains IVF centroids share ONE training fetch
+    between the two trainers (round 15: the composed ivfpq/rrf queries
+    ran the identical TakeOrdered+collect twice per query).
     """
     import numpy as np
 
     rows = (
-        corpus.select(
-            F.col(id_col).alias("__id"),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
-        )
-        .orderBy("__id")
-        .limit(max_train_rows)
-        .collect()
+        collect_training_rows(corpus, id_col, vec_col, max_train_rows)
+        if train_rows is None
+        else train_rows
     )
     X = np.array([r["__vec"] for r in rows], dtype=np.float64)
     # cosine metric: L2-normalize before quantizing, so the ADC inner

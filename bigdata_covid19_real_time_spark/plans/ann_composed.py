@@ -111,13 +111,19 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, cosine double"
         )
-    from bigdata_covid19_real_time_spark.operators.ivf import train_centroids
+    from bigdata_covid19_real_time_spark.operators.ivf import (
+        collect_training_rows,
+        train_centroids,
+    )
     from bigdata_covid19_real_time_spark.operators.ivfpq import ivfpq_topk
     from bigdata_covid19_real_time_spark.operators.pq import train_pq_codebooks
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = train_centroids(emb, n_clusters=16, n_iters=3)
-    books = train_pq_codebooks(emb, m=4, k=16, n_iters=2)
+    # one training fetch shared by both trainers (round 15): the same
+    # lowest-id TakeOrdered+collect previously ran twice per query
+    train_rows = collect_training_rows(emb)
+    centroids = train_centroids(emb, n_clusters=16, n_iters=3, train_rows=train_rows)
+    books = train_pq_codebooks(emb, m=4, k=16, n_iters=2, train_rows=train_rows)
     out = ivfpq_topk(
         emb,
         emb.filter(F.col("vec_id") < 10),

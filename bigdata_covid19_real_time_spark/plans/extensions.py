@@ -1871,6 +1871,7 @@ def embedding_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _empty_embeddings(spark, sf_dir):
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int, rrf_score double")
     from bigdata_covid19_real_time_spark.operators.ivf import (
+        collect_training_rows,
         ivf_topk,
         train_centroids,
     )
@@ -1887,9 +1888,12 @@ def embedding_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     exact = cosine_topk(emb, queries_df, k=5)
-    centroids = train_centroids(emb, n_clusters=16, n_iters=3)
+    # one training fetch shared by both trainers (round 15): the same
+    # lowest-id TakeOrdered+collect previously ran twice per query
+    train_rows = collect_training_rows(emb)
+    centroids = train_centroids(emb, n_clusters=16, n_iters=3, train_rows=train_rows)
     ivf = ivf_topk(emb, queries_df, centroids, k=5, nprobe=6)
-    books = train_pq_codebooks(emb, m=4, k=16, n_iters=2)
+    books = train_pq_codebooks(emb, m=4, k=16, n_iters=2, train_rows=train_rows)
     pq = pq_topk(pq_encode(emb, books), queries_df, books, k_top=5)
     return reciprocal_rank_fusion([exact, ivf, pq], k_top=5, rrf_k=60)
 

@@ -54,6 +54,15 @@ ERASE_BUCKETS = 200_000
 LPA_KNN = 3
 #: Fixed synchronous label-propagation rounds.
 LPA_ROUNDS = 3
+#: Distinct directed-edge count under which the LPA rounds run
+#: driver-side (the ``components.LOCAL_CC_MAX_EDGES`` precedent): k-NN
+#: sparsification bounds the graph at |brands| * 2k edges, so the
+#: rounds operate on a frame thousands of times smaller than the
+#: baskets self-join that BUILDS it — 2M (string, string, long) edge
+#: rows is tens of MB on the driver, and a dict-based synchronous LPA
+#: pass replaces ~5 AQE stage materializations per round.  Above the
+#: threshold the distributed loop takes over unchanged.
+LPA_LOCAL_MAX_EDGES = 2_000_000
 
 _SCD2 = """
     scd_s AS (
@@ -295,9 +304,13 @@ def brand_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrized, every node starts as its own label, and each round
     every node adopts the neighbor label with the largest incident
     weight sum (deterministic ``weight DESC, label ASC`` tie-break;
-    isolated nodes keep their label).  Per round the plan is one
+    isolated nodes keep their label).  Execution is hybrid (round 15,
+    the connected-components precedent): the edge build always runs
+    distributed; the rounds run driver-side when the k-NN-bounded edge
+    list is under ``LPA_LOCAL_MAX_EDGES`` (identical argmax semantics,
+    parity-pinned), else as the distributed per-round plan — one
     edge-to-label join plus one argmax groupBy over the brand-bounded
-    frame; the fixed round count makes the oracle exactly unrollable
+    frame.  The fixed round count makes the oracle exactly unrollable
     (the PageRank-oracle pattern)."""
     part = F.broadcast(
         load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -328,6 +341,57 @@ def brand_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     ).distinct()
     nodes = baskets.select("b").distinct()
+
+    # Hybrid execution (round 15; the components.LOCAL_CC_MAX_EDGES
+    # precedent): the expensive half of this query is the baskets
+    # self-join that BUILDS the k-NN edge list — the LPA rounds
+    # themselves run on a graph k-NN sparsification bounds at
+    # |brands| * 2k edges.  Running the 3 synchronous rounds as one
+    # deep lazy plan cost ~16 small AQE stage materializations plus
+    # repeated re-planning of the edge subtree (profiled r15: ~2.6 s
+    # of the query's 3.9 s at bench SF).  So: truncate the edge
+    # lineage (the count materializes the checkpoint; the distributed
+    # fallback reuses it instead of re-deriving the self-join per
+    # round), and when the graph is driver-sized run the EXACT same
+    # rounds in plain Python over the collected edges — integer weight
+    # sums, ``weight DESC, label ASC`` argmax, isolated nodes keep
+    # their label — bit-equal semantics, pinned by the local-vs-
+    # distributed parity test (tests/test_stewardship.py).
+    edges = edges.localCheckpoint(eager=False)
+    if edges.count() <= LPA_LOCAL_MAX_EDGES:
+        import pandas as pd
+
+        incid = [(r["u"], r["v"], r["w"]) for r in edges.collect()]
+        labels_d: dict = {r["b"]: r["b"] for r in nodes.collect()}
+        for _ in range(LPA_ROUNDS):
+            scores: dict = {}
+            for u, v, w in incid:
+                key = (u, labels_d[v])
+                scores[key] = scores.get(key, 0) + w
+            best: dict = {}
+            for (b, lbl), s in scores.items():
+                cur = best.get(b)
+                if cur is None or s > cur[0] or (s == cur[0] and lbl < cur[1]):
+                    best[b] = (s, lbl)
+            labels_d = {
+                b: (best[b][1] if b in best else lbl)
+                for b, lbl in labels_d.items()
+            }
+        sizes: dict = {}
+        for lbl in labels_d.values():
+            sizes[lbl] = sizes.get(lbl, 0) + 1
+        # Arrow-backed literal return (the components-local idiom): a
+        # plain createDataFrame(python_rows) re-ships pickled rows on
+        # every downstream action.
+        pdf = pd.DataFrame(
+            [(b, lbl, sizes[lbl]) for b, lbl in sorted(labels_d.items())],
+            columns=["brand", "community", "community_size"],
+        )
+        pdf["community_size"] = pdf["community_size"].astype("int64")
+        return spark.createDataFrame(
+            pdf, "brand string, community string, community_size long"
+        )
+
     labels = nodes.select("b", F.col("b").alias("lbl"))
 
     pick = Window.partitionBy("b").orderBy(F.desc("s"), F.asc("lbl"))

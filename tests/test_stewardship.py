@@ -151,3 +151,48 @@ def test_lpa_finds_two_cliques_bridged_weakly(spark):
     assert len(a_comms) == 1 and len(b_comms) == 1
     assert a_comms != b_comms
     assert out["A1"]["community_size"] == 3
+
+
+def test_lpa_local_and_distributed_paths_agree(spark, monkeypatch):
+    """Round-15 hybrid-execution pin (the components-parity pattern):
+    the driver-side LPA rounds and the distributed per-round plan must
+    produce identical labels and community sizes.  Uses the
+    two-cliques fixture plus a shared-popularity brand to exercise the
+    weight-sum argmax tie-break on both paths."""
+    import bigdata_covid19_real_time_spark.plans.stewardship as st
+
+    li, okey = [], 0
+    brands = ["A1", "A2", "A3", "B1", "B2", "B3", "C1"]
+    part = [(i, f"p{i}", b, "t", 1, 1.0) for i, b in enumerate(brands)]
+    brand_part = {b: i for i, b in enumerate(brands)}
+
+    def order_with(bs):
+        nonlocal okey
+        okey += 1
+        for j, b in enumerate(bs):
+            li.append((okey, brand_part[b], 1, j + 1, 1.0, 10.0, 0.0, 0.0,
+                       "N", "O", "1995-02-01"))
+
+    for _ in range(7):
+        order_with(["A1", "A2", "A3"])
+        order_with(["B1", "B2", "B3"])
+    for _ in range(3):
+        order_with(["C1", "A1"])
+        order_with(["C1", "B1"])  # C1 tied between the cliques
+    order_with(["A1", "B1"])
+    d = tempfile.mkdtemp()
+    _write(spark, d, "lineitem", li, LI_SCHEMA, post=_li_dates)
+    _write(spark, d, "part", part,
+           "p_partkey long, p_name string, p_brand string, p_type string, "
+           "p_size int, p_retailprice double")
+    from bigdata_covid19_real_time_spark.plans import QUERIES
+
+    local = sorted(
+        map(tuple, QUERIES["brand_copurchase_communities"](spark, d).collect())
+    )
+    monkeypatch.setattr(st, "LPA_LOCAL_MAX_EDGES", -1)  # force distributed
+    dist = sorted(
+        map(tuple, QUERIES["brand_copurchase_communities"](spark, d).collect())
+    )
+    assert local == dist
+    assert len(local) == len(brands)

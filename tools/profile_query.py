@@ -95,46 +95,45 @@ def parse_log(paths: list[str], marks: list[dict], timings: list[float]) -> dict
     for path in paths:
         with open(path) as fh:
             lines.extend(fh)
-    if True:
-        for line in lines:
-            ev = json.loads(line)
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                jobs[ev["Job ID"]] = {
-                    "start": ev["Submission Time"],
-                    "desc": (ev.get("Properties") or {}).get(
-                        "spark.job.description", ""
-                    )[:80],
-                    "stage_ids": [s["Stage ID"] for s in ev["Stage Infos"]],
-                }
-            elif e == "SparkListenerJobEnd":
-                if ev["Job ID"] in jobs:
-                    jobs[ev["Job ID"]]["end"] = ev["Completion Time"]
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                acc = {
-                    a["Name"]: a.get("Value")
-                    for a in si.get("Accumulables", [])
-                }
+    for line in lines:
+        ev = json.loads(line)
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            jobs[ev["Job ID"]] = {
+                "start": ev["Submission Time"],
+                "desc": (ev.get("Properties") or {}).get(
+                    "spark.job.description", ""
+                )[:80],
+                "stage_ids": [s["Stage ID"] for s in ev["Stage Infos"]],
+            }
+        elif e == "SparkListenerJobEnd":
+            if ev["Job ID"] in jobs:
+                jobs[ev["Job ID"]]["end"] = ev["Completion Time"]
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            acc = {
+                a["Name"]: a.get("Value")
+                for a in si.get("Accumulables", [])
+            }
 
-                def num(key):
-                    v = acc.get(key)
-                    try:
-                        return int(v)
-                    except (TypeError, ValueError):
-                        return 0
+            def num(key):
+                v = acc.get(key)
+                try:
+                    return int(v)
+                except (TypeError, ValueError):
+                    return 0
 
-                stages[si["Stage ID"]] = {
-                    "name": si["Stage Name"].split("\n")[0][:70],
-                    "tasks": si["Number of Tasks"],
-                    "submit": si.get("Submission Time"),
-                    "complete": si.get("Completion Time"),
-                    "shuffle_write_b": num("internal.metrics.shuffleWrite.bytesWritten"),
-                    "shuffle_read_b": num("internal.metrics.shuffleRead.remoteBytesRead")
-                    + num("internal.metrics.shuffleRead.localBytesRead"),
-                    "task_time_ms": num("internal.metrics.executorRunTime"),
-                    "cpu_ms": num("internal.metrics.executorCpuTime") // 1_000_000,
-                }
+            stages[si["Stage ID"]] = {
+                "name": si["Stage Name"].split("\n")[0][:70],
+                "tasks": si["Number of Tasks"],
+                "submit": si.get("Submission Time"),
+                "complete": si.get("Completion Time"),
+                "shuffle_write_b": num("internal.metrics.shuffleWrite.bytesWritten"),
+                "shuffle_read_b": num("internal.metrics.shuffleRead.remoteBytesRead")
+                + num("internal.metrics.shuffleRead.localBytesRead"),
+                "task_time_ms": num("internal.metrics.executorRunTime"),
+                "cpu_ms": num("internal.metrics.executorCpuTime") // 1_000_000,
+            }
 
     out_runs = []
     for mi, m in enumerate(marks):
