@@ -55,13 +55,18 @@ _SHUFFLE_NODE_RE = re.compile(
 )
 
 #: Planned-partition-count memo: ``df.rdd.getNumPartitions()`` runs a
-#: full physical planning of the input per call, and operators composed
-#: several times per query re-probe the same scan repeatedly (round-15
-#: advice closure).  Same session + semantically-equal analyzed plan
-#: => same file listing => same planned split count, so the count is
-#: safe to memoize; bounded so a long-lived session cannot grow it
-#: without limit.
-_PROBE_MEMO: dict[tuple[str, int], int] = {}
+#: full physical planning of the input per call (measured 0.1–1 s),
+#: and operators composed several times per query re-probe the same
+#: scan repeatedly (round-15 advice closure).  For the scan-shaped
+#: frames the guard admits, the planned split count is a function of
+#: the scanned FILES alone (FilePartition packing is byte-based;
+#: column pruning does not change it), so the memo keys on the
+#: session + sorted input-file list and collapses every projection of
+#: the same table to ONE physical planning per session.  Frames with
+#: no file inputs (e.g. ``spark.range``) key on the semantic hash of
+#: the analyzed plan instead.  Bounded so a long-lived session cannot
+#: grow it without limit.
+_PROBE_MEMO: dict[tuple, int] = {}
 _PROBE_MEMO_MAX = 4096
 
 
@@ -92,9 +97,12 @@ def fan_out_scan(
             # widen the package's pinned conf-touch surface
             # (tests/test_conf_surface.py) for no behavioral gain.
             target = df.sparkSession.sparkContext.defaultParallelism
+        session_id = df.sparkSession._jsparkSession._target_id  # noqa: SLF001
+        files = df.inputFiles()
         memo_key = (
-            df.sparkSession._jsparkSession._target_id,  # noqa: SLF001
-            df.semanticHash(),
+            (session_id, tuple(sorted(files)))
+            if files
+            else (session_id, df.semanticHash())
         )
         n = _PROBE_MEMO.get(memo_key)
         if n is None:

@@ -224,22 +224,36 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_subjects"),
         )
 
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
+    from bigdata_covid19_real_time_spark.operators.fanout import fan_out_scan
+
+    # scale-adaptive fan-out (no-op on session-parallel inputs): the
+    # audit rule runs a per-row md5 over every key, and AQE broadcasts
+    # the orders side of the lineitem join, so on the single-row-group
+    # bench corpus the scan+join+partial-agg chain ran as ONE task
+    # (profiled r15: 2.0 s stage wall with 3 tasks for 3 audits).  The
+    # fanned frames are projected to the audit key columns first, so
+    # the added exchange carries 8-byte rows (guide §2.3).
+    events = fan_out_scan(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
     )
     orders = load_table(spark, sf_dir, "orders")
     li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey")
+        fan_out_scan(load_table(spark, sf_dir, "lineitem").select("l_orderkey"))
         .join(
             orders.select("o_orderkey", "o_custkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
     )
+    # separate fanned projection for the orders AUDIT only — the join
+    # build side above stays unfanned (a repartition under a broadcast
+    # build side re-runs per reference, the round-14 waterfall lesson)
+    orders_audit = fan_out_scan(orders.select("o_custkey"))
     customer = load_table(spark, sf_dir, "customer")
     return (
         audit(events, "events", "user_id")
-        .unionAll(audit(orders, "orders", "o_custkey"))
+        .unionAll(audit(orders_audit, "orders", "o_custkey"))
         .unionAll(audit(li, "lineitem", "o_custkey"))
         .unionAll(audit(customer, "customer", "c_custkey"))
     )
