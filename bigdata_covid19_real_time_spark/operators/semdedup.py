@@ -91,7 +91,10 @@ def semantic_dedup_flags(
     id_type = corpus.schema[id_col].dataType.simpleString()
     emit_floor = float(threshold) - _EMIT_MARGIN
 
-    def cell_dups(pdf: pd.DataFrame):
+    # no type hints on the kernel: with `from __future__ import
+    # annotations` the hint is a string pandas can't resolve and Spark
+    # emits an eval-type UserWarning per build
+    def cell_dups(pdf):
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"__dup_id": [], "__cmax": []})
