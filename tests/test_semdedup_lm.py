@@ -55,6 +55,80 @@ class TestSemanticDedup:
         }
         assert flags == {5: True, 6: False, 7: False}
 
+    def test_gemm_block_loop_spans_block_boundaries(self, spark):
+        # Pin the r15 blocked-GEMM kernel's lower-triangular masking
+        # across MULTIPLE row blocks: with the block size patched to 2,
+        # a 7-vector cell runs the j-loop three times (rows 0-1, 2-3,
+        # 4-5; the top id is correctly never a flagger), and the
+        # keep/drop set must equal the hand-derived pairwise answer.
+        from bigdata_covid19_real_time_spark.operators import semdedup
+
+        orig = semdedup._GEMM_BLOCK
+        semdedup._GEMM_BLOCK = 2
+        try:
+            corpus = emb(
+                spark,
+                [
+                    (10, [1, 0, 0]),
+                    (11, [0, 1, 0]),
+                    (12, [1, 0.001, 0]),      # dup of 10
+                    (13, [0, 1, 0.001]),      # dup of 11
+                    (14, [0, 0, 1]),
+                    (15, [0, 0.001, 1]),      # dup of 14
+                    (16, [1, 0.002, 0]),      # dup of 10 and 12
+                ],
+            )
+            flags = {
+                r["vec_id"]: r["keep"]
+                for r in semantic_dedup_flags(
+                    corpus, [[1.0, 0.0, 0.0]], threshold=0.99
+                ).collect()
+            }
+        finally:
+            semdedup._GEMM_BLOCK = orig
+        assert flags == {
+            10: True, 11: True, 12: False, 13: False,
+            14: True, 15: False, 16: False,
+        }
+
+    def test_rounded_threshold_boundary_matches_certified_cut(self, spark):
+        # Pin the kernel's emission margin against the certified
+        # JVM-side cut round(cos + 1e-9, 6) >= threshold: a pair 4e-7
+        # BELOW threshold still rounds UP to it (must be emitted by the
+        # kernel despite cos < threshold — the _EMIT_MARGIN contract),
+        # while a pair 6e-7 below rounds DOWN and survives.  Two cells
+        # so the two boundary pairs never compare with each other.
+        import math
+
+        c_up, c_down = 0.9 - 4e-7, 0.9 - 6e-7
+        corpus = emb(
+            spark,
+            [
+                (1, [1, 0]),
+                (2, [c_up, math.sqrt(1 - c_up * c_up)]),
+                (3, [0, 1]),
+                (4, [math.sqrt(1 - c_down * c_down), c_down]),
+            ],
+        )
+        flags = {
+            r["vec_id"]: r["keep"]
+            for r in semantic_dedup_flags(
+                corpus, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9
+            ).collect()
+        }
+        assert flags == {1: True, 2: False, 3: True, 4: True}
+
+    def test_zero_norm_vectors_score_zero_and_survive(self, spark):
+        # The JVM formulation scored any pair with a zero-norm side a
+        # literal 0.0 cosine; the GEMM kernel's guarded divide must
+        # reproduce that (zero vectors never flagged at a positive
+        # threshold, including against each other).
+        corpus = emb(spark, [(1, [0, 0]), (2, [0, 0]), (3, [1, 0])])
+        flags = semantic_dedup_flags(
+            corpus, [[1.0, 0.0]], threshold=0.5
+        ).collect()
+        assert all(r["keep"] for r in flags)
+
 
 class TestUnigramLm:
     def test_hand_computed_cross_entropy(self, spark):
