@@ -233,6 +233,21 @@ ROUND13_QUERIES = [
 # fresh decade measurement on identical fixtures.
 ROUND14_QUERIES = list(ROUND13_QUERIES)
 
+#: Round 15: the queries whose execution changed this round — the LPA
+#: local/distributed hybrid (its 2M-edge threshold must keep choosing
+#: correctly as the baskets grow), the semdedup GEMM kernel (at sf1
+#: the ~20k-embedding corpus makes cells larger than _GEMM_BLOCK, so
+#: the multi-block path runs on real data), the erasure-audit key
+#: fan-outs (must no-op or stay cheap on the larger twin), and the
+#: shared ANN training fetch.
+ROUND15_QUERIES = [
+    "brand_copurchase_communities",
+    "embedding_semantic_dedup",
+    "user_erasure_audit",
+    "embedding_ivfpq_topk",
+    "embedding_rrf_topk",
+]
+
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ETYPES = ["view", "click", "purchase", "signup", "error"]
@@ -395,8 +410,15 @@ def main() -> int:
         action="store_true",
         help="time ROUND14_QUERIES and write SF1NEW_r14.json",
     )
+    ap.add_argument(
+        "--round15",
+        action="store_true",
+        help="time ROUND15_QUERIES and write SF1NEW_r15.json",
+    )
     args = ap.parse_args()
-    if args.round14:
+    if args.round15:
+        names, out_name = ROUND15_QUERIES, "SF1NEW_r15.json"
+    elif args.round14:
         names, out_name = ROUND14_QUERIES, "SF1NEW_r14.json"
     elif args.round13:
         names, out_name = ROUND13_QUERIES, "SF1NEW_r13.json"
